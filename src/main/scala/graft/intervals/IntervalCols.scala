@@ -1,0 +1,84 @@
+package graft.intervals
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level algebra over half-open intervals.
+  *
+  * Canonical physical representation: `struct<start: long, stop: long>` in an
+  * integer unit (canonically nanoseconds since epoch), half-open `[start, stop)`.
+  * This mirrors the reference's `Interval{T,Closed,Open}` convention — the only
+  * bound combination its test suite exercises end-to-end (reference
+  * `src/DataFrameIntervals.jl:38-60`, `test/runtests.jl:19,77`).
+  *
+  * Everything here is a pure Catalyst `Column` expression — whole-stage
+  * codegen'd, no UDFs, NULL-propagating like the reference's `intersect_`
+  * (`src/DataFrameIntervals.jl:13-17`).
+  */
+object IntervalCols {
+
+  /** Build a canonical interval struct from two endpoint columns. */
+  def interval(start: Column, stop: Column): Column =
+    struct(start.as("start"), stop.as("stop"))
+
+  def start(i: Column): Column = i.getField("start")
+  def stop(i: Column): Column  = i.getField("stop")
+
+  /** Normalize any `struct` carrying `start`/`stop` fields (either field
+    * order — the reference accepts `(:start,:stop)` and `(:stop,:start)`
+    * NamedTuples, `src/DataFrameIntervals.jl:38-46`) to canonical field order.
+    */
+  def normalize(c: Column): Column = interval(c.getField("start"), c.getField("stop"))
+
+  /** Interval from a nanosecond-timestamp pair already stored as longs. */
+  def intervalNs(startNs: Column, stopNs: Column): Column = interval(startNs, stopNs)
+
+  /** Interval from Spark `TimestampType` endpoints, converted to long ns
+    * (µs precision ×1000 — TimestampType is µs; ns loss rules documented). */
+  def intervalFromTimestamps(startTs: Column, stopTs: Column): Column =
+    interval(unix_micros(startTs) * 1000L, unix_micros(stopTs) * 1000L)
+
+  /** Half-open overlap: `[a,b) ∩ [c,d) ≠ ∅  ⇔  a < d && c < b`.
+    * Touching intervals (`a.stop == b.start`) do NOT overlap — bound-sensitive
+    * like the reference (quirk 5, SURVEY §2.1). */
+  def overlaps(l: Column, r: Column): Column =
+    start(l) < stop(r) && start(r) < stop(l)
+
+  /** Scalar interval intersection (reference I4, `src/DataFrameIntervals.jl:13-17`):
+    * NULL if either input is NULL. Spark's `greatest`/`least` skip NULLs, so the
+    * NULL propagation is made explicit. */
+  def intersection(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, lit(null)).otherwise(
+      interval(greatest(start(l), start(r)), least(stop(l), stop(r))))
+
+  /** Interval width in the underlying unit (ns). */
+  def duration(i: Column): Column = stop(i) - start(i)
+
+  /** Duration in (double) seconds — convenient for weighted aggregates. */
+  def durationSec(i: Column): Column = duration(i).cast("double") / 1e9
+
+  /** Covering-span aggregate expressions (reference I6 `dfspan`,
+    * `src/DataFrameIntervals.jl:380-387`): min start / max stop of a column. */
+  def spanAgg(i: Column): Seq[Column] =
+    Seq(min(start(i)).as("start"), max(stop(i)).as("stop"))
+
+  /** Collect the covering span of `df`'s interval column to the driver
+    * (2 longs — the only driver-side materialization in the library).
+    * Returns None for an empty/all-null frame (the reference returns
+    * `missing`, `src/DataFrameIntervals.jl:381-382`). */
+  def coveringSpan(df: DataFrame, spancol: String): Option[(Long, Long)] = {
+    val row = df.agg(min(start(col(spancol))), max(stop(col(spancol)))).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) None
+    else Some((row.getLong(0), row.getLong(1)))
+  }
+
+  /** Runtime NULL guard: fails the job with the reference's error message the
+    * moment a NULL interval flows through — a plan-time expression, so no
+    * extra eager scan is needed (the reference does an eager missing-scan,
+    * `src/DataFrameIntervals.jl:136-141`; at 100 TB an extra scan per join
+    * is unacceptable, so we assert inline). */
+  def rejectNull(c: Column, side: String): Column =
+    when(c.isNull || start(c).isNull || stop(c).isNull,
+      raise_error(lit(s"There are missing values in the $side table of `interval_join`.")))
+      .otherwise(normalize(c))
+}

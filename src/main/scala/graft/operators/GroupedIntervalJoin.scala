@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
+import org.apache.spark.sql.functions.col
+
+/** Fused grouped interval join + aggregate (reference I7
+  * `groupby_interval_join`, `src/DataFrameIntervals.jl:241-329`) and the
+  * grouping-column selector DSL (reference I8 `find_valid`, `:195-237`).
+  *
+  * The reference builds a lazy `GroupedIntervalJoin` so the full join is
+  * never materialized before grouping. Under Spark that fusion is automatic:
+  * Catalyst plans `intervalJoin(...).groupBy(...).agg(...)` as one pipelined
+  * job with partial (map-side) aggregation — no intermediate materialization
+  * exists to avoid. The API is kept for parity as a thin lazy wrapper; its
+  * `agg` is contractually identical to
+  * `combine(groupby(interval_join(left, right), groups), ...)`
+  * (equivalence pinned by reference `test/runtests.jl:83-93,110-116`).
+  */
+object GroupedIntervalJoin {
+
+  /** Column selectors, mirroring the DataFrames.jl selector surface the
+    * reference resolves against *two* frames (`src/DataFrameIntervals.jl:195-237`).
+    * A plain name may live on either side; `All` and grouping by the `on`
+    * column are rejected with the reference's (quirky, stale-named) errors. */
+  sealed trait Selector
+  object Selector {
+    final case class Name(n: String)                extends Selector
+    final case class Names(ns: Seq[String])         extends Selector
+    final case class Pattern(re: String)            extends Selector
+    final case class Not(inner: Selector)           extends Selector
+    final case class Between(from: String, to: String) extends Selector
+    final case class Predicate(f: String => Boolean) extends Selector
+    case object All                                 extends Selector
+    import scala.language.implicitConversions
+    implicit def fromString(s: String): Selector = Name(s)
+  }
+
+  final class Grouped private[operators] (val joined: DataFrame, val groupColumns: Seq[String]) {
+    def grouped: RelationalGroupedDataset = joined.groupBy(groupColumns.map(col): _*)
+    def agg(e: Column, es: Column*): DataFrame = grouped.agg(e, es: _*)
+  }
+
+  def groupbyIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      groups: Seq[Selector],
+      on: (String, String),
+      opts: IntervalJoin.Options = IntervalJoin.Options()): Grouped = {
+    val groupCols = resolve(groups, left, right, on, opts)
+    val joined = IntervalJoin.intervalJoin(left, right, on, opts)
+    new Grouped(joined, groupCols)
+  }
+
+  def groupbyIntervalJoin(left: DataFrame, right: DataFrame, groups: Seq[Selector],
+      on: String): Grouped =
+    groupbyIntervalJoin(left, right, groups, on -> on)
+
+  /** Resolve selectors against both frames' non-`on` columns, mapping matches
+    * through `renamecols` to the join's output names (reference resolves
+    * against each side then splits, `src/DataFrameIntervals.jl:264-271`). */
+  private def resolve(groups: Seq[Selector], left: DataFrame, right: DataFrame,
+      on: (String, String), opts: IntervalJoin.Options): Seq[String] = {
+    import Selector._
+    val (lOn, rOn) = on
+    val lCols = left.columns.filterNot(_ == lOn).toIndexedSeq
+    val rCols = right.columns.filterNot(_ == rOn).toIndexedSeq
+
+    def onColError(name: String): Nothing =
+      // Stale function name preserved on purpose — the reference's own error
+      // text says `split_into_combine` (src/DataFrameIntervals.jl:187-188).
+      throw new IllegalArgumentException(
+        s"Column $name cannot be used for grouping during a call to `split_into_combine`.")
+
+    def resolveOne(sel: Selector, cols: IndexedSeq[String], onName: String): Seq[String] = sel match {
+      case All          => onColError(onName)
+      case Name(n)      => if (n == onName) onColError(n) else cols.filter(_ == n)
+      case Names(ns)    => ns.flatMap(n => resolveOne(Name(n), cols, onName))
+      case Pattern(re)  => val r = re.r; cols.filter(c => r.findFirstIn(c).isDefined)
+      case Predicate(f) => cols.filter(f)
+      case Not(inner)   => val excluded = resolveOne(inner, cols, onName).toSet
+                           cols.filterNot(excluded)
+      case Between(a, b) =>
+        val ia = cols.indexOf(a); val ib = cols.indexOf(b)
+        if (ia < 0 || ib < 0) Seq.empty else cols.slice(math.min(ia, ib), math.max(ia, ib) + 1)
+    }
+
+    // A plain Name must resolve on at least one side (ref :272-275).
+    val invalid = groups.collect {
+      case Name(n) if n != lOn && n != rOn && !lCols.contains(n) && !rCols.contains(n) => n
+      case Names(ns) => ns.filter(n => n != lOn && n != rOn &&
+        !lCols.contains(n) && !rCols.contains(n))
+    }.flatMap {
+      case s: String => Seq(s)
+      case ss: Seq[_] => ss.collect { case s: String => s }
+    }
+    if (invalid.nonEmpty)
+      throw new IllegalArgumentException("Columns do not exist: " + andJoin(invalid))
+
+    val fromLeft = groups.flatMap(resolveOne(_, lCols, lOn)).map(opts.renamecols._1)
+    val fromRight = groups.flatMap(resolveOne(_, rCols, rOn)).map(opts.renamecols._2)
+    (fromLeft ++ fromRight).distinct
+  }
+
+  /** Julia-style list join: "a, b and c". */
+  private def andJoin(xs: Seq[String]): String = xs match {
+    case Seq()  => ""
+    case Seq(a) => a
+    case _      => xs.init.mkString(", ") + " and " + xs.last
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.IntervalJoin
+import graft.operators.IntervalJoin.{Options, Strategy}
+import graft.operators.QuantileWindows._
+
+/** Mirrors reference `test/runtests.jl:32-80`: oracle cross-check against a
+  * direct nested-loop computation, invariants, outer variants, renames,
+  * missing rejection, empty frames, strategy equivalence. */
+class IntervalJoinSpec extends SparkSuite {
+
+  lazy val df = fixture()
+  lazy val quarters = quantileWindows(4, df, "span", "quarter")
+
+  /** brute-force oracle: all (l, r) pairs with half-open overlap */
+  def bruteCount(): Long = {
+    val spans = df.select("span.start", "span.stop").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wins = quarters.select("span.start", "span.stop").collect().map(r => (r.getLong(0), r.getLong(1)))
+    spans.map(s => wins.count(w => s._1 < w._2 && w._1 < s._2).toLong).sum
+  }
+
+  test("inner join matches brute-force oracle; every span matched at least once") {
+    val j = IntervalJoin.intervalJoin(df, quarters, "span")
+    assert(j.count() == bruteCount())
+    assert(j.count() >= df.count()) // windows cover the whole span
+  }
+
+  test("output columns: left, right (renamed on both sides), intersection last") {
+    val j = IntervalJoin.intervalJoin(df, quarters, "span")
+    assert(j.columns.toSeq == Seq("label", "x", "span_left", "quarter", "span_right", "span"))
+  }
+
+  test("invariant: per window, sum of intersection durations <= window duration") {
+    val j = IntervalJoin.intervalJoin(df, quarters, "span")
+    val bad = j.groupBy("quarter", "span_right")
+      .agg(sum(col("span.stop") - col("span.start")).as("tot"))
+      .where(col("tot") > col("span_right.stop") - col("span_right.start"))
+    assert(bad.count() == 0)
+  }
+
+  test("intersection is contained in both inputs and non-empty (inner)") {
+    val j = IntervalJoin.intervalJoin(df, quarters, "span")
+    val bad = j.where(
+      col("span.start") < greatest(col("span_left.start"), col("span_right.start")) ||
+      col("span.stop") > least(col("span_left.stop"), col("span_right.stop")) ||
+      col("span.start") >= col("span.stop"))
+    assert(bad.count() == 0)
+  }
+
+  test("touching half-open intervals do not match") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L)).toDF("id", "s", "e").select(col("id"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val b = Seq((2L, 10L, 20L)).toDF("id", "s", "e").select(col("id"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    assert(IntervalJoin.intervalJoin(a, b, "span", Options(makeunique = true)).count() == 0)
+  }
+
+  test("binned strategy result set == range strategy result set") {
+    val jr = IntervalJoin.intervalJoin(df, quarters, "span", Options(strategy = Strategy.Range))
+    val jb = IntervalJoin.intervalJoin(df, quarters, "span", Options(strategy = Strategy.Binned))
+    assertSameRows(jr, jb)
+    // and with an adversarial tiny bin width (heavy replication)
+    val jb2 = IntervalJoin.intervalJoin(df, quarters, "span",
+      Options(strategy = Strategy.Binned, binWidth = Some(1000000L)))
+    assertSameRows(jr, jb2)
+  }
+
+  test("keepleft: unmatched left rows survive with NULL right/intersection") {
+    // windows over only the first half of the span -> later spans unmatched
+    val Some((lo, hi)) = graft.intervals.IntervalCols.coveringSpan(df, "span")
+    val halfWins = quantileWindows(spark, 2, lo, lo + (hi - lo) / 2, "span", "half")
+    val j = IntervalJoin.intervalJoin(df, halfWins, "span", Options(keepleft = true))
+    val unmatched = j.where(col("half").isNull)
+    assert(unmatched.count() > 0)
+    assert(unmatched.where(col("span").isNotNull || col("span_right").isNotNull).count() == 0)
+    // matched + distinct-unmatched-left == all left rows
+    val matchedLeft = j.where(col("half").isNotNull).select("span_left").distinct().count()
+    val unmatchedLeft = unmatched.select("span_left").distinct().count()
+    assert(matchedLeft + unmatchedLeft == df.select("span").distinct().count())
+  }
+
+  test("keepright: windows with no span keep NULL left side") {
+    val few = df.limit(3)
+    val j = IntervalJoin.intervalJoin(few, quantileWindows(1000, df, "span", "idx"),
+      "span", Options(keepright = true))
+    assert(j.where(col("label").isNull).count() > 0)
+    assert(j.count() >= 1000)
+  }
+
+  test("keepleft+keepright = full outer; empty other side keeps rows (documented divergence)") {
+    val empty = quarters.limit(0)
+    val j = IntervalJoin.intervalJoin(df, empty, "span", Options(keepleft = true, keepright = true))
+    assert(j.count() == df.count()) // reference would silently drop these
+    assert(j.where(col("quarter").isNotNull).count() == 0)
+  }
+
+  test("renamecols/renameon surface") {
+    val j = IntervalJoin.intervalJoin(df, quarters, "span", Options(
+      renamecols = (_ + "_A", _ + "_B"),
+      renameon = (_ + "_lo", _ + "_ro")))
+    assert(j.columns.toSeq == Seq("label_A", "x_A", "span_lo", "quarter_B", "span_ro", "span"))
+  }
+
+  test("renameon clash with joined column errors like the reference") {
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(df, quarters, "span", Options(renameon = (identity, _ + "_r")))
+    }
+    assert(e.getMessage.contains("Interval join failed"))
+  }
+
+  test("duplicate payload names need makeunique") {
+    val q2 = quarters.withColumn("label", lit("z"))
+    intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(df, q2, "span")
+    }
+    val j = IntervalJoin.intervalJoin(df, q2, "span", Options(makeunique = true))
+    assert(j.columns.count(_.startsWith("label")) == 2)
+    assert(j.columns.contains("label_1"))
+  }
+
+  test("different on names on each side") {
+    val q2 = quarters.withColumnRenamed("span", "time_span")
+    val j = IntervalJoin.intervalJoin(df, q2, "span" -> "time_span")
+    assert(j.columns.contains("span_left") && j.columns.contains("time_span_right"))
+    assert(j.count() == bruteCount())
+  }
+
+  test("NULL on values rejected with the reference's message") {
+    val withNull = df.select(col("label"), col("x"),
+      when(col("x") < lit(0.05), lit(null)).otherwise(col("span")).as("span"))
+    val e = intercept[Exception] {
+      IntervalJoin.intervalJoin(withNull, quarters, "span").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("There are missing values in the left table")))
+  }
+
+  test("empty inputs: schema preserved") {
+    val j = IntervalJoin.intervalJoin(df.limit(0), quarters, "span")
+    assert(j.count() == 0)
+    assert(j.columns.toSeq == Seq("label", "x", "span_left", "quarter", "span_right", "span"))
+  }
+
+  test("reversed struct field order is normalized") {
+    val rev = df.select(col("label"), col("x"),
+      struct(col("span.stop").as("stop"), col("span.start").as("start")).as("span"))
+    val j = IntervalJoin.intervalJoin(rev, quarters, "span")
+    assert(j.count() == bruteCount())
+    val f = j.schema("span").dataType.asInstanceOf[StructType].fieldNames.toSeq
+    assert(f == Seq("start", "stop"))
+  }
+}
