@@ -9,6 +9,8 @@ import graft.intervals.IntervalCols
 import graft.operators.{GroupedIntervalJoin, IntervalJoin, QuantileWindows}
 import graft.operators.IntervalJoin.{Options, Strategy}
 import graft.operators.GroupedIntervalJoin.Selector
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.multimodal.Multimodal
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with DuckDB-oracle SQL for each (SURVEY §2.3).
@@ -204,8 +206,104 @@ object SparkEntry {
       val c = table(sp, dir, "customer")
       val o = table(sp, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
+    }),
+
+    // Dedup: exact duplicate groups by content hash
+    "q09_dedup_exact" -> ((sp, dir) =>
+      Dedup.exactDupGroups(table(sp, dir, "documents"), "text", "doc_id")),
+
+    // Text analysis: token counts, quality, language ID, rolling fingerprint
+    "q10_text_stats" -> ((sp, dir) => {
+      table(sp, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tok"),
+        TF.bpeTokenCount(col("text")).as("n_bpe"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.fingerprint(col("text")).as("fp"),
+        TF.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Dedup: MinHash signature values (k=16, 5-gram shingles), exploded.
+    // Fast imperative path (one pass/partition); values bit-identical to
+    // the Column path and the DuckDB oracle.
+    "q11_minhash_sig" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").where(length(col("text")) >= 5)
+      Dedup.signatures(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").as("j"), col("col").as("sigval"))
+    }),
+
+    // Dedup: LSH band hashes (4 bands x 4 rows)
+    "q12_lsh_bands" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").where(length(col("text")) >= 5)
+      Dedup.signatures(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), posexplode(col("bhs")))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    }),
+
+    // Dedup: 3-gram Jaccard over consecutive-doc pairs
+    "q13_ngram_jaccard" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select("doc_id", "text")
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          round(TF.ngramJaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
+    }),
+
+    // Dedup: 32-bit SimHash per document
+    "q14_simhash" -> ((sp, dir) =>
+      table(sp, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))),
+
+    // Similarity: exact brute-force cosine top-10 for query vectors
+    "q15_ann_brute" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
+      Similarity.bruteForceTopK(e, q, 10)
+    }),
+
+    // Similarity: LSH-bucketed approximate top-10 (rows-only check;
+    // the scale path — equi-join on sign-projection code)
+    "q16_ann_lsh" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
+      Similarity.lshTopK(e, q, 10, Similarity.randomPlanes(8, 64))
+    }),
+
+    // Dedup: end-to-end MinHash-LSH near-dup pipeline (rows-only check)
+    "q17_neardup_pairs" -> ((sp, dir) =>
+      Dedup.nearDupPairs(table(sp, dir, "documents"), "text", "doc_id",
+        k = 16, bands = 4, shingleN = 5, threshold = 0.5)),
+
+    // Multimodal: binary payload -> partition-parallel stub decode
+    "q18_multimodal" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("data"))
+      Multimodal.mediaFeatures(d, "doc_id", "data")
     })
   )
+
+  // ------------------------------------------------- oracle SQL fragments
+
+  /** DuckDB rendering of [[TF.tokenHashMod]]: md5-derived 60-bit hash mod P. */
+  private def hSql(x: String) =
+    s"('0x' || substr(md5($x),1,15))::BIGINT % ${TF.HashMod}"
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+
+  private def shinglesSql(n: Int) =
+    s"list_distinct(list_transform(range(1, greatest(len(lower(text))-${n - 1}, 0)+1), " +
+      s"i -> substr(lower(text), CAST(i AS INT), $n)))"
+
+  /** The k=16 MinHash params as a DuckDB struct-list literal — same
+    * constants as [[Dedup.hashParams]]. */
+  private val paramsSql = Dedup.hashParams(16)
+    .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
+
+  private val sigSql =
+    s"""list_transform($paramsSql, p ->
+       |  list_min(list_transform(sh, sg -> (p.a * (${hSql("sg")}) + p.b) % ${Dedup.P})))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_quantile_windows" ->
@@ -283,6 +381,89 @@ object SparkEntry {
 
     "q23_delegated_anti" ->
       """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q09_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q10_text_stats" -> {
+      val scoreSqls = TF.LangStopwords.map { case (l, ws) =>
+        l -> s"len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ${ws.map(w => s"'$w'").mkString("[", ",", "]")}))"
+      }
+      val bestSql = s"greatest(${scoreSqls.map(s => s"s_${s._1}").mkString(", ")})"
+      val caseSql = scoreSqls.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         len($toksSql) AS n_tok,
+         |         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe,
+         |         len(text) AS n_chars,
+         |         len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+         |         ${scoreSqls.map { case (l, s) => s"$s AS s_$l" }.mkString(",\n         ")}
+         |  FROM documents),
+         |t2 AS (SELECT *, $bestSql AS best,
+         |         CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok ELSE 0.0 END AS avgtok
+         |       FROM t)
+         |SELECT doc_id, n_tok, n_bpe,
+         |  round(least(n_tok/100.0, 1.0)*0.4
+         |      + (1.0 - least(n_punct/greatest(n_chars, 1)*5.0, 1.0))*0.3
+         |      + (CASE WHEN avgtok >= 3.0 AND avgtok <= 10.0 THEN 1.0 ELSE 0.0 END)*0.3, 6) AS quality,
+         |  CASE WHEN len($toksSql) = 0 THEN 0
+         |       ELSE list_reduce(list_transform($toksSql, t -> ${hSql("t")}),
+         |                        (a, b) -> (a*31 + b) % ${TF.HashMod}) END AS fp,
+         |  CASE $caseSql ELSE 'und' END AS lang_pred
+         |FROM t2""".stripMargin
+    },
+
+    "q11_minhash_sig" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents WHERE len(text) >= 5),
+         |s AS (SELECT doc_id, $sigSql AS sig FROM d)
+         |SELECT doc_id, j, sig[CAST(j+1 AS INT)] AS sigval
+         |FROM s, range(16) t(j)""".stripMargin,
+
+    "q12_lsh_bands" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents WHERE len(text) >= 5),
+         |s AS (SELECT doc_id, $sigSql AS sig FROM d)
+         |SELECT doc_id, band,
+         |       list_reduce(sig[CAST(band*4+1 AS INT):CAST(band*4+4 AS INT)],
+         |                   (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh
+         |FROM s, range(4) t(band)""".stripMargin,
+
+    "q13_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_intersect(a.sh, b.sh))
+         |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q14_simhash" -> {
+      val hsSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t),1,15))::BIGINT)"
+      val bitTerms = (0 until 32).map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"""WITH t AS (SELECT doc_id, $hsSql AS hs FROM documents)
+         |SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t""".stripMargin
+    },
+
+    "q15_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q_id, vec_id,
+        |             round(list_dot_product(v, qv)
+        |                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS sim
+        |      FROM c, q WHERE vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q18_multimodal" ->
+      """SELECT doc_id AS id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       CASE WHEN len(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+        |       CAST(COALESCE(list_sum(list_transform(range(1, least(len(text), 16)+1),
+        |                     i -> unicode(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS checksum16
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting. All pure Catalyst column expressions (codegen'd, no UDFs)
+  * so they run inside whole-stage codegen over 100 TB scans.
+  *
+  * Cross-engine determinism: token hashing goes through md5 (identical in
+  * every engine) — the first 15 hex chars parsed as a 60-bit integer — rather
+  * than engine-specific hash functions, so results are exactly reproducible
+  * by the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Modulus for rolling/perm hashes: fits products in 63 bits. */
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: word pieces + isolated punctuation. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** 60-bit md5-derived token hash (deterministic across engines). */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** tokenHash reduced mod [[HashMod]] — safe in 64-bit products. */
+  def tokenHashMod(t: Column): Column = tokenHash(t) % HashMod
+
+  /** Character n-grams (positions 1..len-n+1); empty for strings shorter
+    * than n (guarded: Spark's `sequence(1, 0)` counts DOWN, not empty). */
+  def charNGrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct lowercase character shingles — the near-dup unit. */
+  def shingles(c: Column, n: Int): Column = array_distinct(charNGrams(lower(c), n))
+
+  /** n-gram Jaccard similarity of two documents' shingle sets. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = shingles(a, n)
+    val sb = shingles(b, n)
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+  }
+
+  /** Stopword tables for the n-gram/stopword language heuristic. Order is
+    * the tie-break precedence. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "de"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他"))
+
+  /** Per-language stopword-hit counts (distinct hits, like list_intersect). */
+  def langScore(c: Column, lang: String): Column = {
+    val words = LangStopwords.toMap.apply(lang)
+    size(array_intersect(tokens(lower(c)), array(words.map(lit): _*)))
+  }
+
+  /** Predicted language: argmax stopword hits, precedence order on ties,
+    * "und" (undetermined) when nothing hits. */
+  def langId(c: Column): Column = {
+    val scores = LangStopwords.map { case (l, _) => l -> langScore(c, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length signal (up to ~100 tokens),
+    * low punctuation density, sane mean token length. Deterministic integer
+    * ratios → identical across engines. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChars = length(c).cast("double")
+    val punct = length(regexp_replace(c, "[\\w\\s]", "")).cast("double")
+    val avgTok = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punct / greatest(nChars, lit(1.0)) * 5.0, lit(1.0))) * 0.3 +
+      when(avgTok >= 3.0 && avgTok <= 10.0, lit(1.0)).otherwise(lit(0.0)) * 0.3,
+      6)
+  }
+
+  /** Rolling polynomial fingerprint over token hashes:
+    * fp = fold(0, (acc, h) -> (acc*31 + h) mod HashMod). Matches DuckDB's
+    * `list_reduce` over the same pre-modded token hashes. */
+  def fingerprint(c: Column): Column =
+    aggregate(transform(tokens(c), tokenHashMod(_)), lit(0L),
+      (acc, x) => pmod(acc * 31L + x, lit(HashMod)))
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Dedup
+
+/** The imperative fast path ([[Dedup.signatures]]) must produce values
+  * bit-identical to the pure-Column expression path (which is what the
+  * DuckDB oracle mirrors). */
+class DedupParitySpec extends SparkSuite {
+
+  test("mapPartitions signatures == Column-expression signatures on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val fast = Dedup.signatures(docs, "text", "doc_id")
+      .select(col("id"), col("sig"), col("bhs"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val cols = docs
+      .withColumn("__hs", Dedup.shingleHashes(col("text")))
+      .withColumn("__sig", Dedup.minhashFromHashes(col("__hs"), 16))
+      .select(col("doc_id"), col("__sig"),
+        transform(Dedup.bandHashes(col("__sig"), 4, 4), _.getField("bh")).as("__bhs"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    assert(fast.keySet == cols.keySet)
+    fast.foreach { case (id, (sig, bhs)) =>
+      assert(sig == cols(id)._1, s"sig mismatch doc $id")
+      assert(bhs == cols(id)._2, s"band-hash mismatch doc $id")
+    }
+  }
+
+  test("shingle hash set parity (as sets — order differs by construction)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val fast = Dedup.signatures(docs, "text", "doc_id")
+      .select(col("id"), col("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val cols = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fast == cols)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.multimodal.Multimodal
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val vecs = {
+    val rng = new scala.util.Random(3L)
+    val base = Array.fill(16)(rng.nextGaussian().toFloat)
+    val nearBase = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val rows = Seq(
+      (0L, base), (1L, nearBase),
+      (2L, base.map(-_))) ++ (3L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: self=1, opposite=-1") {
+    val r = vecs.where(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding"))).head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: nearest of the base vector is its perturbed copy") {
+    val q = vecs.where(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(vecs, q, 3).orderBy("rank").collect()
+    assert(top.length == 3)
+    assert(top.head.getLong(1) == 1L)   // vec_id of rank 1
+    assert(top.head.getDouble(2) > 0.999)
+    // and the opposite vector ranks dead last overall
+    val all = Similarity.bruteForceTopK(vecs, q, 100).count()
+    assert(all == vecs.count() - 1)
+  }
+
+  test("LSH top-k: same-bucket results agree with brute-force ranking restricted to the bucket") {
+    val planes = Similarity.randomPlanes(6, 16)
+    val q = vecs.where(col("vec_id") === 0)
+    val lsh = Similarity.lshTopK(vecs, q, 5, planes).collect()
+    assert(lsh.nonEmpty)
+    // identical-direction near-dup lands in the same bucket -> rank 1
+    assert(lsh.head.getLong(1) == 1L)
+    // recall proxy: every LSH hit must also be a brute-force neighbour
+    val brute = Similarity.bruteForceTopK(vecs, q, 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.map(_.getLong(1)).forall(brute.contains))
+  }
+
+  test("multimodal stub decode: features match the payload bytes") {
+    val df = Seq((1L, "ABC"), (2L, "")).toDF("id", "text")
+      .select(col("id"), col("text").cast("binary").as("data"))
+    val f = Multimodal.mediaFeatures(df, "id", "data").orderBy("id").collect()
+    assert(f(0).getLong(1) == 3L)       // n_bytes
+    assert(f(0).getInt(2) == 'A'.toInt) // first_byte
+    assert(f(0).getLong(3) == 'A' + 'B' + 'C')
+    assert(f(1).getLong(1) == 0L && f(1).getInt(2) == -1 && f(1).getLong(3) == 0L)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, TextFunctions => TF}
+
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (4L, "tiny")                                          // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("token counts") {
+    val r = docs.select(TF.tokenCount(col("text")).as("n")).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(9, 9, 6, 9, 1))
+    val bpe = docs.where(col("doc_id") === 0)
+      .select(TF.bpeTokenCount(lit("Hello, world!"))).head.getInt(0)
+    assert(bpe == 4) // Hello | , | world | !
+  }
+
+  test("charNGrams guards short strings (no descending-sequence bug)") {
+    val r = docs.select(TF.charNGrams(col("text"), 5).as("g")).where(col("doc_id") === 4)
+      .select(size(col("g"))).head.getInt(0)
+    assert(r == 0)
+  }
+
+  test("jaccard: identity 1, near-dup high, disjoint low") {
+    val j = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        TF.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.7)
+    assert(j((0L, 2L)) < 0.2)
+  }
+
+  test("fingerprint: equal texts equal, different texts differ, bounded by modulus") {
+    val fps = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+    assert(fps.values.forall(v => v >= 0 && v < TF.HashMod))
+  }
+
+  test("langId picks stopword-bearing language") {
+    val r = Seq(
+      "the cat sat on a mat and the dog",
+      "der Hund und die Katze sind nicht da",
+      "le chat et la souris est une histoire",
+      "xyzzy qwerty").toDF("text")
+      .select(TF.langId(col("text"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("minhash: identical docs identical sigs; near-dups agree on most; k respected") {
+    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L).length == 16)
+    assert(sigs(0L) == sigs(3L))
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02)
+    assert(agree01 >= 8) // J ~ 0.8 -> expect most minhashes to collide
+  }
+
+  test("simhash: identical equal; near-dup within small hamming distance") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("exact dup groups") {
+    val g = Dedup.exactDupGroups(docs, "text", "doc_id")
+    assert(g.count() == 4) // 5 docs, one exact pair
+    val dupRow = g.where(col("cnt") === 2).head
+    assert(dupRow.getLong(2) == 0L) // keeper = min doc_id
+  }
+
+  test("near-dup pipeline finds the exact and near pair, not the disjoint one") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("no UDFs: text ops stay codegen expressions (plan contains no BatchEvalPython/ScalaUDF)") {
+    val plan = docs.select(TF.fingerprint(col("text")), Dedup.simhash32(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"))
+  }
+}
