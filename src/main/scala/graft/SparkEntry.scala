@@ -167,10 +167,11 @@ object SparkEntry {
       val os = orderSpans(sp, dir).where(pmod(col("o_orderkey"), lit(3L)) === 0L)
       val j = IntervalJoin.intervalJoin(os, os, "span", Options(
         renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Binned))
-      // exact integer division — epoch-ns magnitudes exceed Double's mantissa
+      // exact integer division — epoch-ns magnitudes exceed Double's mantissa;
+      // per-pair overlap in whole seconds so the sum fits int64 at any SF
       j.groupBy(expr("span_left.start div 2592000000000000").as("bucket"))
         .agg(count(lit(1)).as("pairs"),
-          sum(col("span.stop") - col("span.start")).as("overlap_ns"))
+          sum(expr("(span.stop - span.start) div 1000000000")).as("overlap_s"))
     }),
 
     // Delegated: hash aggregate with exact decimal sums (TPC-H Q1 shape)
@@ -355,7 +356,7 @@ object SparkEntry {
       s"""WITH $osSql, os2 AS (SELECT * FROM os WHERE o_orderkey % 3 = 0)
          |SELECT l.s // 2592000000000000 AS bucket,
          |       count(*) AS pairs,
-         |       CAST(sum(least(l.e, r.e) - greatest(l.s, r.s)) AS BIGINT) AS overlap_ns
+         |       CAST(sum((least(l.e, r.e) - greatest(l.s, r.s)) // 1000000000) AS BIGINT) AS overlap_s
          |FROM os2 l, os2 r WHERE l.s < r.e AND r.s < l.e
          |GROUP BY 1""".stripMargin,
 

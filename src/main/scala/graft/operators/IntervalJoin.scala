@@ -67,7 +67,7 @@ object IntervalJoin {
       strategy: Strategy = Strategy.Auto,
       binWidth: Option[Long] = None,
       targetBins: Long = 1L << 20,
-      maxBinsPerRow: Long = 64L,
+      maxBinsPerRow: Long = 1024L,
       checkMissing: Boolean = true)
 
   def intervalJoin(left: DataFrame, right: DataFrame, on: String): DataFrame =
@@ -163,7 +163,8 @@ object IntervalJoin {
       opts: Options): DataFrame = {
     val stats = l2.select(start(col(lOnT)).as("s"), stop(col(lOnT)).as("e"))
       .unionAll(r2.select(start(col(rOnT)).as("s"), stop(col(rOnT)).as("e")))
-      .agg(min("s"), max("e"), max(col("e") - col("s"))).head()
+      .agg(min("s"), max("e"), max(col("e") - col("s")),
+        avg(col("e") - col("s"))).head()
     if (stats.isNullAt(0)) {
       // one side empty — a plain join is free and keeps the schema exact
       return l2.join(r2, overlaps(col(lOnT), col(rOnT)), "inner")
@@ -171,11 +172,16 @@ object IntervalJoin {
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
     val maxLen = math.max(stats.getLong(2), 1L)
+    val avgLen = math.max(math.ceil(stats.getDouble(3)).toLong, 1L)
     val span = math.max(hi - lo, 1L)
+    // Bin width ~ the average interval length: each interval then explodes
+    // to ~2 bins, so candidate work per bin stays near-linear in the output
+    // (w = maxLen/64 was measured 17x slower at sf0.1 — 33x row replication
+    // makes per-bin work quadratic). Floors: pathological long intervals may
+    // not explode past maxBinsPerRow copies, and the total bin count stays
+    // within targetBins so per-bin membership is never too fine-grained.
     val w = opts.binWidth.getOrElse {
-      math.max(1L, math.max(
-        ceilDiv(maxLen, opts.maxBinsPerRow),
-        ceilDiv(span, opts.targetBins)))
+      Seq(avgLen, ceilDiv(maxLen, opts.maxBinsPerRow), ceilDiv(span, opts.targetBins), 1L).max
     }
     // bin(x) = (x - lo) div w ; offsets are non-negative so `div` == floor.
     // Exact 64-bit integer division (SQL `div`), never through Double —
