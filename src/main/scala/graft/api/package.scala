@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reference-parity façade: the three public entry points of
+  * DataFrameIntervals.jl (`interval_join`, `quantile_windows`,
+  * `groupby_interval_join` — reference `src/DataFrameIntervals.jl:4`),
+  * re-expressed Spark-first, plus implicit syntax on DataFrame.
+  *
+  * {{{
+  * import graft.api._
+  * val quarters = quantileWindows(4, df, spancol = "span", label = "quarter")
+  * df.intervalJoin(quarters, on = "span")
+  *   .groupBy("quarter").agg(...)
+  * }}}
+  */
+package object api {
+
+  type JoinOptions = operators.IntervalJoin.Options
+  val JoinOptions: operators.IntervalJoin.Options.type = operators.IntervalJoin.Options
+  type Selector = operators.GroupedIntervalJoin.Selector
+  val Selector: operators.GroupedIntervalJoin.Selector.type = operators.GroupedIntervalJoin.Selector
+
+  /** Reference `interval_join(left, right; on, ...)`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, on: String,
+      opts: JoinOptions = JoinOptions()): DataFrame =
+    operators.IntervalJoin.intervalJoin(left, right, on, opts)
+
+  /** Reference `quantile_windows(n, df; spancol, label)`. */
+  def quantileWindows(n: Long, df: DataFrame, spancol: String = "span",
+      label: String = "index"): DataFrame =
+    operators.QuantileWindows.quantileWindows(n, df, spancol, label)
+
+  /** Reference `quantile_windows(n, span)` with an explicit [lo, hi) span. */
+  def quantileWindows(spark: SparkSession, n: Long, lo: Long, hi: Long): DataFrame =
+    operators.QuantileWindows.quantileWindows(spark, n, lo, hi)
+
+  /** Reference `groupby_interval_join(left, right, groups; on, ...)`. */
+  def groupbyIntervalJoin(left: DataFrame, right: DataFrame, groups: Seq[Selector],
+      on: (String, String), opts: JoinOptions = JoinOptions()): operators.GroupedIntervalJoin.Grouped =
+    operators.GroupedIntervalJoin.groupbyIntervalJoin(left, right, groups, on, opts)
+
+  implicit final class IntervalDataFrameOps(private val df: DataFrame) extends AnyVal {
+    def intervalJoin(right: DataFrame, on: String): DataFrame =
+      operators.IntervalJoin.intervalJoin(df, right, on)
+    def intervalJoin(right: DataFrame, on: String, opts: JoinOptions): DataFrame =
+      operators.IntervalJoin.intervalJoin(df, right, on, opts)
+    def intervalJoin(right: DataFrame, on: (String, String), opts: JoinOptions): DataFrame =
+      operators.IntervalJoin.intervalJoin(df, right, on, opts)
+    def quantileWindows(n: Long, spancol: String = "span", label: String = "index"): DataFrame =
+      operators.QuantileWindows.quantileWindows(n, df, spancol, label)
+  }
+}

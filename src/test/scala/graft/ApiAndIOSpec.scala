@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.api._
+
+/** The reference-parity façade plus source/sink roundtrips (the reference
+  * has no sources at all — SURVEY §2.2 delegates them to Spark built-ins;
+  * these pin that interval structs survive parquet/json/csv round trips). */
+class ApiAndIOSpec extends SparkSuite {
+
+  lazy val df = fixture()
+
+  test("façade: quantileWindows + implicit intervalJoin syntax") {
+    val quarters = quantileWindows(4, df, spancol = "span", label = "quarter")
+    val j = df.intervalJoin(quarters, "span")
+    assert(j.count() > 0)
+    assert(j.columns.contains("quarter"))
+    val g = groupbyIntervalJoin(df, quarters, Seq(Selector.Name("quarter")), "span" -> "span")
+    assert(g.agg(count(lit(1)).as("n")).count() == 4)
+  }
+
+  test("parquet roundtrip preserves interval structs and join results") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    df.write.mode("overwrite").parquet(s"$dir/spans")
+    val back = spark.read.parquet(s"$dir/spans")
+    // parquet reads all fields nullable; compare names/types only
+    assert(back.schema("span").dataType.simpleString == df.schema("span").dataType.simpleString)
+    val quarters = quantileWindows(4, df, "span", "quarter")
+    assertSameRows(
+      df.intervalJoin(quarters, "span"),
+      back.intervalJoin(quarters, "span"))
+  }
+
+  test("json roundtrip (nested struct as JSON object)") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(s"$dir/spans")
+    val back = spark.read.schema(df.schema).json(s"$dir/spans")
+    assert(back.count() == df.count())
+    assert(back.select(min(col("span.start"))).head.getLong(0) ==
+      df.select(min(col("span.start"))).head.getLong(0))
+  }
+
+  test("csv roundtrip via flattened endpoints (csv has no nested types)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    df.select(col("label"), col("x"), col("span.start").as("s"), col("span.stop").as("e"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/spans")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/spans")
+      .select(col("label"), col("x"),
+        struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    assert(back.count() == df.count())
+    val quarters = quantileWindows(4, df, "span", "quarter")
+    assert(back.intervalJoin(quarters, "span").count() ==
+      df.intervalJoin(quarters, "span").count())
+  }
+}

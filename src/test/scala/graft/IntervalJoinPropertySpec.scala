@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.IntervalJoin
+import graft.operators.IntervalJoin.{Options, Strategy}
+
+/** Property tests (SURVEY §5): over random interval sets, every physical
+  * strategy must agree with an in-memory brute-force oracle — including
+  * pathological shapes (nested intervals, heavy overlap, giant outliers).
+  * Raw ScalaCheck generators driven by fixed seeds (the scalatest bridge
+  * artifact isn't available offline). */
+class IntervalJoinPropertySpec extends SparkSuite {
+
+  private val genInterval: Gen[(Long, Long)] = for {
+    start <- Gen.chooseNum(0L, 100000L)
+    short <- Gen.oneOf(true, false)
+    len <- if (short) Gen.chooseNum(1L, 100L) else Gen.chooseNum(1L, 50000L)
+  } yield (start, start + len)
+
+  private val genSet: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, genInterval))
+
+  private def sample(seed: Long): (List[(Long, Long)], List[(Long, Long)]) = {
+    val g = for { a <- genSet; b <- genSet } yield (a, b)
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+  }
+
+  private def toDF(xs: List[(Long, Long)], tag: String) = {
+    val schema = StructType(Seq(
+      StructField(s"id_$tag", LongType, nullable = false),
+      StructField("span", spanSchema, nullable = true)))
+    val rows = xs.zipWithIndex.map { case ((s, e), i) => Row(i.toLong, Row(s, e)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  private def brute(l: List[(Long, Long)], r: List[(Long, Long)]): Set[(Int, Int)] =
+    (for {
+      (a, i) <- l.zipWithIndex
+      (b, j) <- r.zipWithIndex
+      if a._1 < b._2 && b._1 < a._2
+    } yield (i, j)).toSet
+
+  test("range and binned strategies match the brute-force pair set on 20 random inputs") {
+    (1 to 20).foreach { seed =>
+      val (ls, rs) = sample(seed.toLong)
+      val expected = brute(ls, rs)
+      val lDF = toDF(ls, "l")
+      val rDF = toDF(rs, "r")
+      def pairs(strategy: Strategy, binWidth: Option[Long] = None) =
+        IntervalJoin.intervalJoin(lDF, rDF, "span",
+          Options(strategy = strategy, binWidth = binWidth))
+          .select("id_l", "id_r").collect()
+          .map(x => (x.getLong(0).toInt, x.getLong(1).toInt)).toSet
+      assert(pairs(Strategy.Range) == expected, s"range strategy, seed=$seed")
+      assert(pairs(Strategy.Binned) == expected, s"binned auto width, seed=$seed")
+      assert(pairs(Strategy.Binned, binWidth = Some(7L)) == expected, s"binned w=7, seed=$seed")
+    }
+  }
+
+  test("intersection is exactly [max(starts), min(stops)) for every matched pair") {
+    (100 to 104).foreach { seed =>
+      val (ls, rs) = sample(seed.toLong)
+      val j = IntervalJoin.intervalJoin(toDF(ls, "l"), toDF(rs, "r"), "span",
+        Options(strategy = Strategy.Binned))
+      val bad = j.where(
+        col("span.start") =!= greatest(col("span_left.start"), col("span_right.start")) ||
+        col("span.stop") =!= least(col("span_left.stop"), col("span_right.stop")))
+      assert(bad.count() == 0, s"seed=$seed")
+    }
+  }
+}
