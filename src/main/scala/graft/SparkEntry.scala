@@ -276,6 +276,19 @@ object SparkEntry {
       Dedup.nearDupPairs(table(sp, dir, "documents"), "text", "doc_id",
         k = 16, bands = 4, shingleN = 5, threshold = 0.5)),
 
+    // As-of join (beyond the reference): latest purchase at or before each
+    // click, per user — one shuffle + one window pass, no range join
+    "q19_asof" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tsq").as("ts"), col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsq").as("pts"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin.asofJoin(clicks, purchases, "ts", "pts",
+        Seq("user_id" -> "user_id"))
+    }),
+
     // Multimodal: binary payload -> partition-parallel stub decode
     "q18_multimodal" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
@@ -458,6 +471,14 @@ object SparkEntry {
         |      FROM c, q WHERE vec_id <> q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
         |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q19_asof" ->
+      """SELECT l.user_id, epoch_ns(l.ts) AS ts, l.event_id AS click_id,
+        |       r.event_id AS purchase_id, r.value AS purchase_value,
+        |       epoch_ns(r.ts) AS pts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

@@ -146,10 +146,11 @@ object IntervalJoin {
     val joined = strategy match {
       case Strategy.Binned if joinType == "inner" =>
         binnedInner(l2, r2, lOnT, rOnT, opts)
+      case Strategy.Binned =>
+        binnedOuter(l2, r2, lOnT, rOnT, opts)
       case _ =>
-        // Theta join; Catalyst broadcasts the small side (BNLJ). Outer
-        // variants always take this path in v1 — they are only used against
-        // small window frames in the reference's workloads.
+        // Theta join; Catalyst broadcasts the small side (BNLJ) — right for
+        // the reference's canonical small-window workloads.
         l2.join(r2, overlaps(col(lOnT), col(rOnT)), joinType)
     }
 
@@ -198,6 +199,33 @@ object IntervalJoin {
       overlaps(col(lOnT), col(rOnT)) &&
       col("__lbin") === expr(binOf(s"greatest($lOnT.start, $rOnT.start)"))
     lB.join(rB, cond, "inner").drop("__lbin", "__rbin")
+  }
+
+  /** Outer variants at scale: binned inner join + anti-join complements.
+    * Row identity comes from `monotonically_increasing_id` stamped BEFORE
+    * the bin explode — stable for deterministic sources (partition id +
+    * in-partition index), and both the matched set and the complement
+    * derive from the same stamped plan node. All shuffles are equi-joins
+    * (bins, then 8-byte ids) — no nested loop anywhere. */
+  private def binnedOuter(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
+      opts: Options): DataFrame = {
+    val lId = l2.withColumn("__lid", monotonically_increasing_id())
+    val rId = r2.withColumn("__rid", monotonically_increasing_id())
+    val inner = binnedInner(lId, rId, lOnT, rOnT, opts)
+    val nullRight = r2.columns.map(c => lit(null).cast(r2.schema(c).dataType).as(c))
+    val nullLeft = l2.columns.map(c => lit(null).cast(l2.schema(c).dataType).as(c))
+    val lCols = l2.columns.map(col)
+    val rCols = r2.columns.map(col)
+    var out = inner.select(lCols ++ rCols: _*)
+    if (opts.keepleft) {
+      val unmatched = lId.join(inner.select("__lid").distinct(), Seq("__lid"), "left_anti")
+      out = out.unionAll(unmatched.select(lCols ++ nullRight: _*))
+    }
+    if (opts.keepright) {
+      val unmatched = rId.join(inner.select("__rid").distinct(), Seq("__rid"), "left_anti")
+      out = out.unionAll(unmatched.select(nullLeft ++ rCols: _*))
+    }
+    out
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b

@@ -89,6 +89,18 @@ class IntervalJoinSpec extends SparkSuite {
     assert(j.count() >= 1000)
   }
 
+  test("binned outer strategies match range outer results (left/right/full)") {
+    val Some((lo, hi)) = graft.intervals.IntervalCols.coveringSpan(df, "span")
+    val halfWins = quantileWindows(spark, 40, lo, lo + (hi - lo) / 2, "span", "w")
+    val few = df.where(col("x") < 0.3)
+    for ((kl, kr) <- Seq((true, false), (false, true), (true, true))) {
+      val o = Options(keepleft = kl, keepright = kr)
+      assertSameRows(
+        IntervalJoin.intervalJoin(few, halfWins, "span", o.copy(strategy = Strategy.Range)),
+        IntervalJoin.intervalJoin(few, halfWins, "span", o.copy(strategy = Strategy.Binned)))
+    }
+  }
+
   test("keepleft+keepright = full outer; empty other side keeps rows (documented divergence)") {
     val empty = quarters.limit(0)
     val j = IntervalJoin.intervalJoin(df, empty, "span", Options(keepleft = true, keepright = true))
