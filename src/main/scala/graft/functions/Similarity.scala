@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen'd dot product (see [[graft.expressions.DotProduct]]);
+    * element-order double accumulation, so values are bit-identical to the
+    * interpreted `zip_with`+`aggregate` fold and to the SQL oracle. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.GraftExtensions.dot_product(a, b)
+
+  /** The interpreted-HOF formulation, kept as the parity/behavior oracle
+    * for [[dot]] (SimilaritySpec pins both paths equal). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

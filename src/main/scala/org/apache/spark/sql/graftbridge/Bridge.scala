@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression <-> Column bridge. Spark 4 hides the classic converters
+  * behind `private[sql]`; extensions that ship custom Catalyst expressions
+  * conventionally expose them via a shim in the sql package. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -18,6 +18,37 @@ class SimilaritySpec extends SparkSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("native dot_product == interpreted HOF fold, bit for bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv")).limit(5)
+    val pairs = e.crossJoin(broadcast(q))
+      .select(
+        Similarity.dot(col("embedding").cast("array<double>"), col("qv").cast("array<double>")).as("fast"),
+        Similarity.dotHof(col("embedding").cast("array<double>"), col("qv").cast("array<double>")).as("slow"))
+    assert(pairs.where(col("fast") =!= col("slow")).count() == 0)
+    // and it participates in whole-stage codegen (HOFs never do)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("dotproduct") || plan.contains("DotProduct") || !plan.contains("CodegenFallback"))
+  }
+
+  test("SQL registration via SparkSessionExtensions builders") {
+    import graft.expressions.GraftExtensions
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => builder(exprs), "scala_udf")
+    }
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       interval_overlaps(named_struct('start', 0L, 'stop', 5L),
+        |                         named_struct('start', 4L, 'stop', 9L)) AS o,
+        |       interval_intersect(named_struct('start', 0L, 'stop', 5L),
+        |                          named_struct('start', 4L, 'stop', 9L)).start AS is0
+        |""".stripMargin).head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getBoolean(1))
+    assert(r.getLong(2) == 4L)
+  }
+
   test("cosine: self=1, opposite=-1") {
     val r = vecs.where(col("vec_id") === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding"))).head.getDouble(0)
