@@ -209,6 +209,34 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
     }),
 
+    // Delegated: rollup (grouping sets) with exact decimal sums
+    "q24_delegated_rollup" -> ((sp, dir) => {
+      table(sp, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+    }),
+
+    // Delegated: set operations (intersect/except on key sets)
+    "q25_delegated_setops" -> ((sp, dir) => {
+      val c = table(sp, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
+      val s = table(sp, dir, "supplier").select(col("s_nationkey").cast("int").as("k"))
+      c.intersect(s).withColumn("tag", lit("both"))
+        .unionByName(c.except(s).withColumn("tag", lit("cust_only")))
+    }),
+
+    // Delegated: scalar string/date/math functions in one projection
+    "q26_delegated_scalars" -> ((sp, dir) => {
+      table(sp, dir, "orders").select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        length(col("o_orderstatus")).as("st_len"),
+        year(col("o_orderdate").cast("timestamp")).as("yr"),
+        month(col("o_orderdate").cast("timestamp")).as("mo"),
+        round(sqrt(col("o_totalprice")), 6).as("sq"),
+        pmod(col("o_orderkey") * 2654435761L, lit(1000000007L)).as("hashed"))
+    }),
+
     // Dedup: exact duplicate groups by content hash
     "q09_dedup_exact" -> ((sp, dir) =>
       Dedup.exactDupGroups(table(sp, dir, "documents"), "text", "doc_id")),
@@ -400,6 +428,28 @@ object SparkEntry {
     "q09_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q24_delegated_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q25_delegated_setops" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS INT) AS k FROM customer),
+        |s AS (SELECT CAST(s_nationkey AS INT) AS k FROM supplier)
+        |SELECT k, 'both' AS tag FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+        |UNION ALL
+        |SELECT k, 'cust_only' AS tag FROM (SELECT k FROM c EXCEPT SELECT k FROM s)""".stripMargin,
+
+    "q26_delegated_scalars" ->
+      """SELECT o_orderkey,
+        |       upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |       len(o_orderstatus) AS st_len,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       round(sqrt(o_totalprice), 6) AS sq,
+        |       (o_orderkey * 2654435761) % 1000000007 AS hashed
+        |FROM orders""".stripMargin,
 
     "q10_text_stats" -> {
       val scoreSqls = TF.LangStopwords.map { case (l, ws) =>
