@@ -83,6 +83,8 @@ object IntervalJoin {
     val (lOnName, rOnName) = on
     require(left.columns.contains(lOnName), s"left frame has no column `$lOnName`")
     require(right.columns.contains(rOnName), s"right frame has no column `$rOnName`")
+    checkOnColumn(left, lOnName, "left")
+    checkOnColumn(right, rOnName, "right")
 
     // Output intersection column keeps the LEFT frame's `on` name (ref :76).
     val joinedOn = lOnName
@@ -229,6 +231,19 @@ object IntervalJoin {
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** Plan-time schema validation, mirroring the reference's eager adapter
+    * dispatch errors (SURVEY §1.3): the `on` column must be a struct
+    * carrying `start` and `stop` fields (either order). */
+  private def checkOnColumn(df: DataFrame, name: String, side: String): Unit =
+    df.schema(name).dataType match {
+      case s: org.apache.spark.sql.types.StructType
+        if s.fieldNames.contains("start") && s.fieldNames.contains("stop") => ()
+      case other => throw new IllegalArgumentException(
+        s"the $side frame's `on` column `$name` must be a struct<start,stop> interval " +
+          s"(use graft.intervals.IntervalCols.interval/intervalFromTimestamps to build one); " +
+          s"got ${other.simpleString}")
+    }
 
   /** DataFrames.jl-style `makeunique`: duplicate names get `_1`, `_2`, ...
     * suffixes; without the flag duplicates are an error

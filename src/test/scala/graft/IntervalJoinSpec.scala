@@ -156,6 +156,46 @@ class IntervalJoinSpec extends SparkSuite {
     assert(j.columns.toSeq == Seq("label", "x", "span_left", "quarter", "span_right", "span"))
   }
 
+  test("non-struct on column rejected at plan time with a helpful message") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("id", "span")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(bad, quarters, "span")
+    }
+    assert(e.getMessage.contains("must be a struct<start,stop>"))
+  }
+
+  test("Auto strategy: small side -> theta/broadcast plan; big-big -> binned plan") {
+    val small = IntervalJoin.intervalJoin(df, quarters, "span")
+    assert(small.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    // force tiny broadcast threshold so both sides count as big
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val big = IntervalJoin.intervalJoin(df, df, "span",
+        Options(renamecols = (_ + "_a", _ + "_b")))
+      val plan = big.queryExecution.executedPlan.toString
+      assert(plan.contains("explode(sequence"), s"expected binned plan:\n${plan.take(500)}")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("adversarial skew: heavily stacked intervals still join correctly") {
+    import spark.implicits._
+    // 300 intervals all overlapping the same hot region + 50 spread out
+    val hot = (0 until 300).map(i => (i.toLong, 1000L + i, 2000L + i))
+    val cold = (0 until 50).map(i => (1000L + i, 100000L * (i + 1), 100000L * (i + 1) + 10L))
+    val d = (hot ++ cold).toDF("id", "s", "e")
+      .select(col("id"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val expected = {
+      val xs = (hot ++ cold)
+      (for { a <- xs; b <- xs if a._2 < b._3 && b._2 < a._3 } yield 1).size.toLong
+    }
+    val got = IntervalJoin.intervalJoin(d, d, "span",
+      Options(renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Binned)).count()
+    assert(got == expected)
+  }
+
   test("reversed struct field order is normalized") {
     val rev = df.select(col("label"), col("x"),
       struct(col("span.stop").as("stop"), col("span.start").as("start")).as("span"))
