@@ -58,6 +58,10 @@ object IntervalJoin {
     case object Binned extends Strategy
   }
 
+  /** Reference-style suffix renaming (`renamecols = "_l" => "_r"`). */
+  def suffixes(l: String, r: String): (String => String, String => String) =
+    (_ + l, _ + r)
+
   final case class Options(
       renamecols: (String => String, String => String) = (identity, identity),
       renameon: (String => String, String => String) = (_ + "_left", _ + "_right"),

@@ -47,19 +47,39 @@ object QuantileWindows {
   /** DataFrame method: derive the covering span from `df`'s interval column
     * (reference `src/DataFrameIntervals.jl:376-378`). Empty input → empty
     * output frame with the right schema (documented divergence from the
-    * reference's `missing` scalar, quirk 4 SURVEY §2.1). */
+    * reference's `missing` scalar, quirk 4 SURVEY §2.1). `minDuration` is
+    * accepted and ignored like the reference's dead parameter. */
+  def quantileWindows(n: Long, df: DataFrame, spancol: String, label: String): DataFrame =
+    quantileWindows(n, df, spancol, label, None)
+
   def quantileWindows(
       n: Long,
       df: DataFrame,
       spancol: String,
-      label: String): DataFrame =
+      label: String,
+      minDuration: Option[Long]): DataFrame =
     IntervalCols.coveringSpan(df, spancol) match {
       case Some((lo, hi)) =>
-        quantileWindows(df.sparkSession, n, lo, hi, spancol, label)
+        quantileWindows(df.sparkSession, n, lo, hi, spancol, label, minDuration)
       case None =>
         quantileWindows(df.sparkSession, n, 0L, 0L, spancol, label).limit(0)
     }
 
   def quantileWindows(n: Long, df: DataFrame, spancol: String): DataFrame =
     quantileWindows(n, df, spancol, "index")
+
+  /** Reference's `label = sym => iterable` form: a custom label column with
+    * caller-provided values (one per window, `src/DataFrameIntervals.jl:331-334`). */
+  def quantileWindowsLabeled(
+      n: Int,
+      df: DataFrame,
+      spancol: String,
+      label: (String, Seq[String])): DataFrame = {
+    val (name, values) = label
+    require(values.length == n, s"label values (${values.length}) must match n ($n)")
+    quantileWindows(n.toLong, df, spancol, "__idx")
+      .withColumn(name, element_at(array(values.map(lit): _*), col("__idx").cast("int")))
+      .drop("__idx")
+      .select(col(name), col(spancol))
+  }
 }

@@ -52,6 +52,17 @@ class QuantileWindowsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("custom label values (reference's `label = sym => iterable`)") {
+    val w = quantileWindowsLabeled(4, fixture(), "span",
+      "quarter" -> Seq("Q1", "Q2", "Q3", "Q4"))
+    assert(w.columns.toSeq == Seq("quarter", "span"))
+    assert(w.orderBy("span.start").select("quarter").collect().map(_.getString(0)).toSeq ==
+      Seq("Q1", "Q2", "Q3", "Q4"))
+    // dead min_duration kwarg accepted and ignored, like the reference
+    val w2 = quantileWindows(4, fixture(), "span", "index", minDuration = Some(123L))
+    assert(w2.count() == 4)
+  }
+
   test("coveringSpan of empty frame is None") {
     assert(IntervalCols.coveringSpan(fixture().limit(0), "span").isEmpty)
   }
