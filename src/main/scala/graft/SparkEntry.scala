@@ -299,6 +299,14 @@ object SparkEntry {
       Similarity.lshTopK(e, q, 10, Similarity.randomPlanes(8, 64))
     }),
 
+    // Similarity: IVF approximate top-10 (rows-only check; coarse k-means
+    // quantizer trained on a bounded sample, search = equi-join on list id)
+    "q27_ann_ivf" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
+      Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 4)
+    }),
+
     // Dedup: end-to-end MinHash-LSH near-dup pipeline (rows-only check)
     "q17_neardup_pairs" -> ((sp, dir) =>
       Dedup.nearDupPairs(table(sp, dir, "documents"), "text", "doc_id",

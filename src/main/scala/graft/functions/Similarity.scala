@@ -67,6 +67,92 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) index state: coarse-quantizer centroids. */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nLists: Int = centroids.length
+  }
+
+  /** Train the IVF coarse quantizer: k-means over (a sample of) the corpus.
+    * Runs on the driver over a bounded sample — the index is tiny (nLists ×
+    * dim doubles) and broadcasts; assignment/search stay fully distributed. */
+  def ivfTrain(corpus: DataFrame, nLists: Int, sampleSize: Int = 10000,
+      iterations: Int = 10, seed: Long = 11L,
+      vecCol: String = "embedding"): IvfIndex = {
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    var centroids = Array.fill(nLists)(sample(rng.nextInt(sample.length)).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (0 until iterations).foreach { _ =>
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        val c = nearest(v); counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    IvfIndex(centroids)
+  }
+
+  /** Centroid-assignment column: argmin squared distance over the (small,
+    * literal) centroid set — a codegen-friendly fold over nLists terms. */
+  def ivfListId(vec: Column, index: IvfIndex): Column = {
+    val vd = vec.cast("array<double>")
+    // dist^2(v, c) = |v|^2 - 2 v·c + |c|^2 ; |v|^2 is common to all lists,
+    // so argmin needs only (-2 v·c + |c|^2) — one native dot per centroid
+    val scores = index.centroids.map { c =>
+      val cCol = array(c.map(lit).toIndexedSeq: _*)
+      dot(vd, cCol) * (-2.0) + lit(c.map(x => x * x).sum)
+    }
+    val best = scores.reduce((a, b) => least(a, b))
+    scores.zipWithIndex.foldRight(lit(-1): Column) { case ((s, i), acc) =>
+      when(s === best, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    * (one shuffle-free projection); each query probes its `nProbe` nearest
+    * lists and reranks candidates exactly. The candidate join is an
+    * equi-join on the list id — the classic IVF trade of recall for a
+    * 1/nLists·nProbe fraction of the scan. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, index: IvfIndex,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cBucketed = corpus.withColumn("list_id", ivfListId(col(vecCol), index))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("list_id", explode(ivfProbeLists(col("q_vec"), index, nProbe)))
+    val sim = cBucketed.join(broadcast(q), Seq("list_id"))
+      .where(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol), col("q_vec")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
+    sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The query side's nProbe nearest list ids, as an array column. */
+  def ivfProbeLists(vec: Column, index: IvfIndex, nProbe: Int): Column = {
+    val vd = vec.cast("array<double>")
+    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.map(lit).toIndexedSeq: _*)
+      struct((dot(vd, cCol) * (-2.0) + lit(c.map(x => x * x).sum)).as("d"), lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(scored.toIndexedSeq: _*)), _.getField("i")), 1, nProbe)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Seq[Seq[Double]],
