@@ -37,6 +37,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark keeps first occurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)] // (id, text, epochSec)
+    val df = in.toDF()
+      .select(col("_1").as("id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("text")
+    val q = df.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      val base = 1704067200L
+      in.addData((1L, "aaa", base), (2L, "bbb", base + 1), (3L, "aaa", base + 2))
+      q.processAllAvailable()
+      in.addData((4L, "aaa", base + 3), (5L, "ccc", base + 4))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup").collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("aaa", "bbb", "ccc"))
+    } finally q.stop()
+  }
+
+  test("streaming MinHash signatures: the imperative fast path runs on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sigs = graft.functions.Dedup.signatures(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = sigs.writeStream.format("memory").queryName("sigs").outputMode("append").start()
+    try {
+      in.addData((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, sig FROM sigs").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1)) // identical docs, identical sigs
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches overlapping pairs") {
     implicit val sqlCtx = spark.sqlContext
     val leftIn = MemoryStream[(Long, Long, Long)]
