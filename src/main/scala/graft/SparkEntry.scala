@@ -209,6 +209,27 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
     }),
 
+    // Interval-set union: coalesce overlapping order spans per customer
+    "q28_merge_intervals" -> ((sp, dir) => {
+      val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+      val os = table(sp, dir, "orders").select(
+        col("o_custkey"),
+        IntervalCols.interval(startNs,
+          startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L) * lit(86400000000000L)).as("span"))
+      graft.operators.IntervalOps.mergeIntervals(os, Seq("o_custkey"), "span")
+        .select(col("o_custkey"), col("span.start").as("mstart"),
+          col("span.stop").as("mstop"), col("n_merged"))
+    }),
+
+    // Sessionization: gap-based event sessions per user (30 min gap)
+    "q29_sessionize" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
+      graft.operators.IntervalOps.sessionize(ev, Seq("user_id"), "tsq",
+          gapNs = 1800000000000L, orderTiebreak = Seq("event_id"))
+        .select(col("user_id"), col("session"), col("span.start").as("sstart"),
+          col("span.stop").as("sstop"), col("n_events"))
+    }),
+
     // Delegated: rollup (grouping sets) with exact decimal sums
     "q24_delegated_rollup" -> ((sp, dir) => {
       table(sp, dir, "orders")
@@ -436,6 +457,38 @@ object SparkEntry {
     "q09_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q28_merge_intervals" ->
+      """WITH os AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate)*1000 AS s,
+        |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |      FROM os),
+        |g AS (SELECT o_custkey, s, e,
+        |             sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                     ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m)
+        |SELECT o_custkey, min(s) AS mstart, max(e) AS mstop,
+        |       count(*) AS n_merged
+        |FROM g GROUP BY o_custkey, grp""".stripMargin,
+
+    "q29_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+        |l AS (SELECT user_id, t,
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM ev),
+        |s AS (SELECT user_id, t,
+        |             sum(CASE WHEN prev IS NULL OR t - prev > 1800000000000 THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY t
+        |                     ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM l)
+        |SELECT user_id, session, min(t) AS sstart, max(t) AS sstop,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session""".stripMargin,
 
     "q24_delegated_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
