@@ -40,6 +40,58 @@ class IntervalOpsSpec extends SparkSuite {
     assert(s == Set(("u1", 1L, 0L, 11L, 2L), ("u1", 2L, 100L, 101L, 1L), ("u2", 1L, 5L, 6L, 1L)))
   }
 
+  test("property: merged intervals equal brute-force union on random sets") {
+    (1 to 10).foreach { seed =>
+      val rng = new scala.util.Random(seed.toLong)
+      val xs = List.fill(rng.nextInt(80))(("k", {
+        val s = rng.nextInt(1000).toLong; (s, s + 1L + rng.nextInt(60)) }))
+        .map { case (k, (s, e)) => (k, s, e) }
+      if (xs.nonEmpty) {
+        // brute-force union of half-open intervals
+        val sorted = xs.map(x => (x._2, x._3)).sortBy(identity)
+        val merged = sorted.tail.foldLeft(List(sorted.head)) { case (acc, (s, e)) =>
+          val (cs, ce) = acc.head
+          if (s <= ce) (cs, math.max(ce, e)) :: acc.tail else (s, e) :: acc
+        }.reverse.toSet
+        val got = IntervalOps.mergeIntervals(spans(xs: _*), Seq("k"), "span")
+          .select(col("span.start"), col("span.stop"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == merged, s"seed=$seed")
+        // covered duration equals sum of merged lengths
+        val cov = IntervalOps.coveredDuration(spans(xs: _*), Seq("k"), "span")
+          .head.getLong(1)
+        assert(cov == merged.toSeq.map(x => x._2 - x._1).sum, s"seed=$seed")
+      }
+    }
+  }
+
+  test("property: sessionize partitions events; sessions are gap-separated and internally dense") {
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(100L + seed)
+      val ts = List.fill(60)(rng.nextInt(10000).toLong).distinct.sorted
+      val ev = ts.map(t => ("u", t)).toDF("user", "ts")
+      val gap = 200L
+      val sessions = IntervalOps.sessionize(ev, Seq("user"), "ts", gap)
+        .select(col("span.start"), col("span.stop"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // total events preserved
+      assert(sessions.map(_._3).sum == ts.length)
+      // consecutive sessions separated by more than gap
+      sessions.sliding(2).foreach {
+        case Array(a, b) => assert(b._1 - a._2 > gap)
+        case _ => ()
+      }
+      // within-session max gap <= gap (recheck against raw points)
+      sessions.foreach { case (s, e, _) =>
+        val pts = ts.filter(t => t >= s && t <= e)
+        pts.sliding(2).foreach {
+          case List(x, y) => assert(y - x <= gap)
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("single shuffle: plan has one Exchange for window + reuses it for the aggregate") {
     val d = spans(("a", 0L, 10L))
     val plan = IntervalOps.mergeIntervals(d, Seq("k"), "span").queryExecution.executedPlan.toString
