@@ -176,9 +176,11 @@ object SparkEntry {
 
     // Delegated: hash aggregate with exact decimal sums (TPC-H Q1 shape)
     "q20_delegated_agg" -> ((sp, dir) => {
+      // sums re-cast to DECIMAL(38,2): Spark widens sum(DECIMAL(18,2)) to
+      // (28,2) while DuckDB widens to (38,2); align so result types hash equal
       table(sp, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"),
         count(lit(1)).as("n"))
     }),
 
@@ -198,7 +200,7 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("rev"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -235,7 +237,7 @@ object SparkEntry {
       table(sp, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
     }),
 
     // Delegated: set operations (intersect/except on key sets)
@@ -478,12 +480,12 @@ object SparkEntry {
 
     "q29_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
-        |l AS (SELECT user_id, t,
+        |l AS (SELECT user_id, event_id, t,
         |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
         |      FROM ev),
         |s AS (SELECT user_id, t,
         |             sum(CASE WHEN prev IS NULL OR t - prev > 1800000000000 THEN 1 ELSE 0 END)
-        |               OVER (PARTITION BY user_id ORDER BY t
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS session
         |      FROM l)
         |SELECT user_id, session, min(t) AS sstart, max(t) AS sstop,
