@@ -38,11 +38,16 @@ object IntervalCols {
   def intervalFromTimestamps(startTs: Column, stopTs: Column): Column =
     interval(unix_micros(startTs) * 1000L, unix_micros(stopTs) * 1000L)
 
-  /** Half-open overlap: `[a,b) ∩ [c,d) ≠ ∅  ⇔  a < d && c < b`.
+  /** Half-open overlap: `[a,b) ∩ [c,d) ≠ ∅  ⇔  a < d && c < b && a < b && c < d`.
     * Touching intervals (`a.stop == b.start`) do NOT overlap — bound-sensitive
-    * like the reference (quirk 5, SURVEY §2.1). */
+    * like the reference (quirk 5, SURVEY §2.1). Degenerate intervals with
+    * `start >= stop` denote the EMPTY set and overlap nothing (the reference's
+    * `Interval` constructor rejects reversed endpoints outright; a zero-width
+    * Closed-Open interval is empty) — without the two extra conjuncts a
+    * reversed interval nested inside another would spuriously "match". */
   def overlaps(l: Column, r: Column): Column =
-    start(l) < stop(r) && start(r) < stop(l)
+    start(l) < stop(r) && start(r) < stop(l) &&
+      start(l) < stop(l) && start(r) < stop(r)
 
   /** Scalar interval intersection (reference I4, `src/DataFrameIntervals.jl:13-17`):
     * NULL if either input is NULL. Spark's `greatest`/`least` skip NULLs, so the

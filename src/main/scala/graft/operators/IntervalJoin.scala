@@ -2,6 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.intervals.IntervalCols._
 
@@ -140,8 +141,8 @@ object IntervalJoin {
 
     val strategy = opts.strategy match {
       case Strategy.Auto =>
-        val thresh = left.sparkSession.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").replace("b", "").toLong
+        // Spark's own parsed value — handles byte-string confs ("10MB", "100k")
+        val thresh = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
         val lSize = l2.queryExecution.optimizedPlan.stats.sizeInBytes
         val rSize = r2.queryExecution.optimizedPlan.stats.sizeInBytes
         if (thresh > 0 && (lSize <= thresh || rSize <= thresh)) Strategy.Range
@@ -165,17 +166,22 @@ object IntervalJoin {
     joined.select(outCols: _*)
   }
 
-  /** Binned equi-join on overlapping fixed-width time buckets. See scaladoc. */
-  private def binnedInner(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
-      opts: Options): DataFrame = {
+  /** Shared setup for the binned strategies: one cheap stats pass picks the
+    * bin width, both sides explode to the bins they overlap, and the returned
+    * condition is the bin equi-key + overlap residual + first-overlap-bin
+    * dedup. Returns None when there are no intervals at all (both sides
+    * empty) — callers fall back to a plain theta join, which is free there.
+    *
+    * `outer = true` switches to `explode_outer` (rows with zero bins survive
+    * with a NULL bin so outer variants can keep them) and stamps each side's
+    * own first bin (`__lbin0`/`__rbin0`) for null-extension dedup. */
+  private def binPlan(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
+      opts: Options, outer: Boolean): Option[(DataFrame, DataFrame, Column)] = {
     val stats = l2.select(start(col(lOnT)).as("s"), stop(col(lOnT)).as("e"))
       .unionAll(r2.select(start(col(rOnT)).as("s"), stop(col(rOnT)).as("e")))
       .agg(min("s"), max("e"), max(col("e") - col("s")),
         avg(col("e") - col("s"))).head()
-    if (stats.isNullAt(0)) {
-      // one side empty — a plain join is free and keeps the schema exact
-      return l2.join(r2, overlaps(col(lOnT), col(rOnT)), "inner")
-    }
+    if (stats.isNullAt(0)) return None
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
     val maxLen = math.max(stats.getLong(2), 1L)
@@ -194,44 +200,87 @@ object IntervalJoin {
     // Exact 64-bit integer division (SQL `div`), never through Double —
     // epoch-ns magnitudes (~1.7e18) exceed Double's 53-bit mantissa.
     def binOf(xSql: String) = s"(($xSql) - ${lo}L) div ${w}L"
-    def withBins(df: DataFrame, onT: String, binCol: String) =
-      df.withColumn(binCol,
-        expr(s"explode(sequence(${binOf(s"$onT.start")}, ${binOf(s"$onT.stop - 1")}))"))
-    val lB = withBins(l2, lOnT, "__lbin")
-    val rB = withBins(r2, rOnT, "__rbin")
+    // Reversed/empty intervals (start >= stop) overlap nothing: give them an
+    // empty bin array instead of letting `sequence` count DOWN and explode
+    // one corrupt row into up to targetBins rows.
+    def binsOf(onT: String) = expr(
+      s"case when ($onT.start) < ($onT.stop) " +
+        s"then sequence(${binOf(s"$onT.start")}, ${binOf(s"$onT.stop - 1")}) " +
+        "else cast(array() as array<bigint>) end")
+    def withBins(df: DataFrame, onT: String, binCol: String, bin0: String) = {
+      val exploded = df.withColumn(binCol,
+        if (outer) explode_outer(binsOf(onT)) else explode(binsOf(onT)))
+      if (outer) exploded.withColumn(bin0, expr(binOf(s"$onT.start"))) else exploded
+    }
+    val lB = withBins(l2, lOnT, "__lbin", "__lbin0")
+    val rB = withBins(r2, rOnT, "__rbin", "__rbin0")
     // Keep each matching pair only in the bin holding greatest(l.start,
     // r.start): dedup folded into the join residual, no `distinct` shuffle.
     val cond = col("__lbin") === col("__rbin") &&
       overlaps(col(lOnT), col(rOnT)) &&
       col("__lbin") === expr(binOf(s"greatest($lOnT.start, $rOnT.start)"))
-    lB.join(rB, cond, "inner").drop("__lbin", "__rbin")
+    Some((lB, rB, cond))
   }
 
-  /** Outer variants at scale: binned inner join + anti-join complements.
-    * Row identity comes from `monotonically_increasing_id` stamped BEFORE
-    * the bin explode — stable for deterministic sources (partition id +
-    * in-partition index), and both the matched set and the complement
-    * derive from the same stamped plan node. All shuffles are equi-joins
-    * (bins, then 8-byte ids) — no nested loop anywhere. */
+  /** Binned equi-join on overlapping fixed-width time buckets. See scaladoc. */
+  private def binnedInner(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
+      opts: Options): DataFrame =
+    binPlan(l2, r2, lOnT, rOnT, opts, outer = false) match {
+      case None             => l2.join(r2, overlaps(col(lOnT), col(rOnT)), "inner")
+      case Some((lB, rB, c)) => lB.join(rB, c, "inner").drop("__lbin", "__rbin")
+    }
+
+  /** Outer variants at scale: ONE binned outer join, then window-computed
+    * matched flags decide which null-extended rows survive.
+    *
+    * Row identity comes from `monotonically_increasing_id` stamped before the
+    * bin explode. The id column feeds only window partition keys inside this
+    * single linear plan — it appears exactly ONCE in the DAG, so the two-
+    * subtree id-drift hazard (re-evaluating a non-deterministic id under a
+    * complement anti-join) cannot arise. An original row matched in any bin
+    * has `max(match flag) = 1` across its exploded copies; unmatched rows
+    * keep exactly one null-extended copy (the one from the interval's first
+    * bin, or the NULL bin of a zero-bin row). NULL-side ids in the window
+    * keys are replaced by the other side's id negated, so unmatched rows
+    * spread across partitions instead of piling into one NULL-key partition.
+    * All shuffles are equi-partitioned (bins, then 8-byte ids) — no nested
+    * loop anywhere. */
   private def binnedOuter(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
       opts: Options): DataFrame = {
+    val joinType = (opts.keepleft, opts.keepright) match {
+      case (true, true)  => "full_outer"
+      case (true, false) => "left_outer"
+      case _             => "right_outer"
+    }
     val lId = l2.withColumn("__lid", monotonically_increasing_id())
     val rId = r2.withColumn("__rid", monotonically_increasing_id())
-    val inner = binnedInner(lId, rId, lOnT, rOnT, opts)
-    val nullRight = r2.columns.map(c => lit(null).cast(r2.schema(c).dataType).as(c))
-    val nullLeft = l2.columns.map(c => lit(null).cast(l2.schema(c).dataType).as(c))
-    val lCols = l2.columns.map(col)
-    val rCols = r2.columns.map(col)
-    var out = inner.select(lCols ++ rCols: _*)
-    if (opts.keepleft) {
-      val unmatched = lId.join(inner.select("__lid").distinct(), Seq("__lid"), "left_anti")
-      out = out.unionAll(unmatched.select(lCols ++ nullRight: _*))
+    binPlan(lId, rId, lOnT, rOnT, opts, outer = true) match {
+      case None =>
+        l2.join(r2, overlaps(col(lOnT), col(rOnT)), joinType)
+      case Some((lB, rB, cond)) =>
+        var flagged = lB.join(rB, cond, joinType)
+        if (opts.keepleft)
+          flagged = flagged.withColumn("__lmatch",
+            max(when(col("__rid").isNotNull, 1).otherwise(0)).over(
+              Window.partitionBy(coalesce(col("__lid"), lit(-1L) - col("__rid")))))
+        if (opts.keepright)
+          flagged = flagged.withColumn("__rmatch",
+            max(when(col("__lid").isNotNull, 1).otherwise(0)).over(
+              Window.partitionBy(coalesce(col("__rid"), lit(-1L) - col("__lid")))))
+        val matchedPair = col("__lid").isNotNull && col("__rid").isNotNull
+        val keepL =
+          if (opts.keepleft)
+            col("__rid").isNull && col("__lid").isNotNull && col("__lmatch") === 0 &&
+              (col("__lbin") === col("__lbin0") || col("__lbin").isNull)
+          else lit(false)
+        val keepR =
+          if (opts.keepright)
+            col("__lid").isNull && col("__rid").isNotNull && col("__rmatch") === 0 &&
+              (col("__rbin") === col("__rbin0") || col("__rbin").isNull)
+          else lit(false)
+        flagged.where(matchedPair || keepL || keepR)
+          .select((l2.columns ++ r2.columns).map(col): _*)
     }
-    if (opts.keepright) {
-      val unmatched = rId.join(inner.select("__rid").distinct(), Seq("__rid"), "left_anti")
-      out = out.unionAll(unmatched.select(nullLeft ++ rCols: _*))
-    }
-    out
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b

@@ -38,6 +38,26 @@ class AsofJoinSpec extends SparkSuite {
     assert(m2(2L) == ((None, None)))            // age 5 > 0
   }
 
+  test("NULL right payload values carry atomically (whole matched row)") {
+    // latest quote for A@205 has px NULL; per-column carry would resurrect
+    // the older row's 2.0 while q_ts says 201 — atomic carry must keep NULL
+    val q = Seq(
+      ("A", 100L, Some(1.5)), ("A", 200L, Some(2.0)), ("A", 201L, None: Option[Double])
+    ).toDF("sym", "q_ts", "px")
+    val m = AsofJoin.asofJoin(trades, q, "t_ts", "q_ts", Seq("sym" -> "sym"))
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(m(1L) == ((Some(1.5), Some(100L))))
+    assert(m(2L) == ((None, Some(201L))))       // the whole 201 row, px NULL
+    // tolerance checks the matched row's ts, not a stale per-column carry
+    val mt = AsofJoin.asofJoin(trades, q, "t_ts", "q_ts", Seq("sym" -> "sym"), Some(4L))
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(mt(2L) == Some(201L))                // age 4 within 5
+    assert(mt(1L) == Some(100L))
+  }
+
   test("plan is one shuffle + window, no nested-loop join") {
     val plan = AsofJoin.asofJoin(trades, quotes, "t_ts", "q_ts", Seq("sym" -> "sym"))
       .queryExecution.executedPlan.toString

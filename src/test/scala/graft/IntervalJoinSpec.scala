@@ -175,7 +175,7 @@ class IntervalJoinSpec extends SparkSuite {
       val big = IntervalJoin.intervalJoin(df, df, "span",
         Options(renamecols = (_ + "_a", _ + "_b")))
       val plan = big.queryExecution.executedPlan.toString
-      assert(plan.contains("explode(sequence"), s"expected binned plan:\n${plan.take(500)}")
+      assert(plan.contains("sequence("), s"expected binned plan:\n${plan.take(500)}")
       assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
@@ -194,6 +194,26 @@ class IntervalJoinSpec extends SparkSuite {
     val got = IntervalJoin.intervalJoin(d, d, "span",
       Options(renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Binned)).count()
     assert(got == expected)
+  }
+
+  test("reversed/empty intervals match nothing in every strategy, survive outer") {
+    import spark.implicits._
+    // one good interval, one zero-length, one reversed (corrupt) — the
+    // reversed row must NOT explode into a descending bin sequence
+    val d = Seq((1L, 100L, 200L), (2L, 150L, 150L), (3L, 500L, 120L))
+      .toDF("id", "s", "e")
+      .select(col("id"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val r = Seq((10L, 0L, 1000L)).toDF("rid", "s", "e")
+      .select(col("rid"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    for (strat <- Seq(Strategy.Range, Strategy.Binned)) {
+      val inner = IntervalJoin.intervalJoin(d, r, "span",
+        Options(strategy = strat, binWidth = Some(1L)))
+      assert(inner.count() == 1, s"$strat inner")   // only id=1 overlaps
+      val outer = IntervalJoin.intervalJoin(d, r, "span",
+        Options(strategy = strat, binWidth = Some(1L), keepleft = true))
+      assert(outer.count() == 3, s"$strat keepleft") // ids 2,3 kept unmatched
+      assert(outer.where(col("rid").isNull).select("id").as[Long].collect().toSet == Set(2L, 3L))
+    }
   }
 
   test("reversed struct field order is normalized") {
