@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM once (codegen compiler, shuffle machinery, parquet reader)
+    // so the first measured query doesn't absorb session startup costs
+    try {
+      spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
+        .agg(org.apache.spark.sql.functions.sum("id")).count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

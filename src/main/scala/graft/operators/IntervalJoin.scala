@@ -216,8 +216,12 @@ object IntervalJoin {
     val rB = withBins(r2, rOnT, "__rbin", "__rbin0")
     // Keep each matching pair only in the bin holding greatest(l.start,
     // r.start): dedup folded into the join residual, no `distinct` shuffle.
+    // Raw overlap predicate (no degenerate-interval conjuncts): only rows
+    // with start < stop receive bins at all, so the extra checks that
+    // `overlaps` needs on the Range path are already guaranteed here —
+    // two fewer comparisons per candidate pair in the hot loop.
     val cond = col("__lbin") === col("__rbin") &&
-      overlaps(col(lOnT), col(rOnT)) &&
+      start(col(lOnT)) < stop(col(rOnT)) && start(col(rOnT)) < stop(col(lOnT)) &&
       col("__lbin") === expr(binOf(s"greatest($lOnT.start, $rOnT.start)"))
     Some((lB, rB, cond))
   }
