@@ -145,6 +145,23 @@ object SparkEntry {
       flat(j, "idx", "o_orderkey")
     }),
 
+    // I1 over TIMESTAMP-struct intervals (the second native representation;
+    // reference `backto`): join runs on exact µs ticks, output converted
+    // back to timestamps, compared here as unix_micros longs
+    "q32_interval_join_ts" -> ((sp, dir) => {
+      val startTs = col("o_orderdate").cast("timestamp")
+      val os = table(sp, dir, "orders").select(
+        col("o_orderkey"),
+        struct(startTs.as("start"),
+          timestamp_micros(unix_micros(startTs) +
+            (pmod(col("o_orderkey"), lit(30L)) + 1L) * lit(86400000000L)).as("stop")).as("span"))
+      val wins = QuantileWindows.quantileWindows(200, os, "span", "idx")
+      val j = IntervalJoin.intervalJoin(os, wins, "span")
+      j.select(col("idx"), col("o_orderkey"),
+        unix_micros(col("span.start")).as("istart_us"),
+        unix_micros(col("span.stop")).as("istop_us"))
+    }),
+
     // I6: covering-span aggregate
     "q06_span_agg" -> ((sp, dir) => {
       eventSpans(sp, dir).agg(
@@ -335,6 +352,15 @@ object SparkEntry {
       Dedup.nearDupPairs(table(sp, dir, "documents"), "text", "doc_id",
         k = 16, bands = 4, shingleN = 5, threshold = 0.5)),
 
+    // Dedup: exact embedding-cosine near-dup pairs (all-pairs baseline)
+    "q30_embed_neardup" -> ((sp, dir) =>
+      Similarity.cosineNearDupPairs(table(sp, dir, "embeddings"), 0.4)),
+
+    // Dedup: multi-table LSH embedding near-dup (rows-only check; the scale
+    // path — verified cosine makes it a subset of q30's exact pairs)
+    "q31_embed_neardup_lsh" -> ((sp, dir) =>
+      Similarity.lshNearDupPairs(table(sp, dir, "embeddings"), 0.4, dim = 64)),
+
     // As-of join (beyond the reference): latest purchase at or before each
     // click, per user — one shuffle + one window pass, no range join
     "q19_asof" -> ((sp, dir) => {
@@ -414,6 +440,19 @@ object SparkEntry {
 
     "q06_span_agg" ->
       s"""WITH $esSql SELECT min(s) AS lo, max(e) AS hi FROM es""".stripMargin,
+
+    "q32_interval_join_ts" ->
+      s"""WITH osu AS (
+         |  SELECT o_orderkey, epoch_us(o_orderdate) AS s,
+         |         epoch_us(o_orderdate) + ((o_orderkey % 30)+1)*86400000000 AS e
+         |  FROM orders),
+         |sp AS (SELECT min(s) AS lo, max(e) AS hi FROM osu),
+         |win AS (SELECT i + 1 AS idx,
+         |               lo + i*((hi-lo)//200) + (i*((hi-lo)%200))//200 AS ws,
+         |               lo + (i+1)*((hi-lo)//200) + ((i+1)*((hi-lo)%200))//200 AS we
+         |        FROM sp, range(200) t(i))
+         |SELECT idx, o_orderkey, greatest(s, ws) AS istart_us, least(e, we) AS istop_us
+         |FROM osu JOIN win ON s < we AND ws < e""".stripMargin,
 
     "q07_grouped_interval_join" ->
       s"""WITH $esSql, ${winSql(4, "min(s)", "max(e)", "es")}
@@ -584,6 +623,14 @@ object SparkEntry {
         |      FROM c, q WHERE vec_id <> q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
         |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q30_embed_neardup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |              round(list_dot_product(a.v, b.v)
+        |                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |       FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""".stripMargin,
 
     "q19_asof" ->
       """SELECT l.user_id, epoch_ns(l.ts) AS ts, l.event_id AS click_id,

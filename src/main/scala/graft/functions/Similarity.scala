@@ -39,15 +39,31 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** `df` + precomputed double vector and L2 norm columns. Computing each
+    * row's norm ONCE (instead of inside every pairwise cosine) cuts the
+    * per-pair work from 3 dot products to 1; the pairwise similarity
+    * `dot(va, vb) / (na * nb)` is bit-identical to the inline
+    * `dot / (sqrt(dot) * sqrt(dot))` since the factors are the same values. */
+  private def withNorm(df: DataFrame, vecCol: String,
+      vd: String, n: String): DataFrame = {
+    val d = col(vecCol).cast("array<double>")
+    df.withColumn(vd, d).withColumn(n, sqrt(dot(col(vd), col(vd))))
+  }
+
+  private def pairSim(vdA: Column, nA: Column, vdB: Column, nB: Column): Column =
+    round(dot(vdA, vdB) / (nA * nB), 4)
+
   /** Exact top-k neighbours for each query vector.
     * Ranking key is (round(sim, 4) desc, id asc): rounding makes the rank
     * stable across engines whose last-ulp sums differ; ties break by id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val sim = corpus.join(broadcast(q), col(idCol) =!= col("q_id"))
+    val c = withNorm(corpus, vecCol, "__vd", "__n")
+    val q = withNorm(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_vec", "__qvd", "__qn")
+    val sim = c.join(broadcast(q), col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        round(cosine(col(vecCol), col("q_vec")), 4).as("sim"))
+        pairSim(col("__vd"), col("__n"), col("__qvd"), col("__qn")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
     sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -124,13 +140,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, index: IvfIndex,
       nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cBucketed = corpus.withColumn("list_id", ivfListId(col(vecCol), index))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cBucketed = withNorm(corpus, vecCol, "__vd", "__n")
+      .withColumn("list_id", ivfListId(col(vecCol), index))
+    val q = withNorm(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        "q_vec", "__qvd", "__qn")
       .withColumn("list_id", explode(ivfProbeLists(col("q_vec"), index, nProbe)))
     val sim = cBucketed.join(broadcast(q), Seq("list_id"))
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        round(cosine(col(vecCol), col("q_vec")), 4).as("sim"))
+        pairSim(col("__vd"), col("__n"), col("__qvd"), col("__qn")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
     sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -145,17 +163,64 @@ object Similarity {
     slice(transform(array_sort(array(scored.toIndexedSeq: _*)), _.getField("i")), 1, nProbe)
   }
 
+  /** Exact embedding-cosine near-dup pairs: every (a, b) with `id_a < id_b`
+    * and `cosine >= threshold`. All-pairs comparison — the correctness
+    * baseline (the scale path is [[lshNearDupPairs]]); sim rounded to 4
+    * decimals so the rank/threshold test is stable across engines. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nrm = withNorm(df.select(col(idCol).as("id"), col(vecCol)), vecCol, "vd", "n")
+      .select("id", "vd", "n")
+    // broadcast one side; repartition the stream side so a small single-file
+    // source still fans out across all cores (the O(n^2) pair loop is the
+    // work, not the scan)
+    val stream = nrm.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    stream.as("a").join(broadcast(nrm.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        pairSim(col("a.vd"), col("a.n"), col("b.vd"), col("b.n")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup at scale: multi-table sign-projection LSH.
+    * Each vector gets `nTables` bucket codes (independent plane sets);
+    * candidate pairs share a (table, code) bucket — an equi-join, never a
+    * cross product — and are verified with the exact cosine, so the output
+    * is a SUBSET of [[cosineNearDupPairs]] (precision 1, recall < 1 traded
+    * by nTables x planesPerTable). A pair colliding in several tables is
+    * kept once, in the FIRST agreeing table (same residual trick as the
+    * MinHash band join — no distinct shuffle). */
+  def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+      nTables: Int = 4, planesPerTable: Int = 4, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = array((0 until nTables).map(t =>
+      lshCode(col(vecCol), randomPlanes(planesPerTable, dim, seed + t))): _*)
+    val wt = withNorm(df.select(col(idCol).as("id"), col(vecCol), codes.as("codes")),
+        vecCol, "vd", "n")
+      .select(col("id"), col("vd"), col("n"), col("codes"),
+        posexplode(col("codes")).as(Seq("tbl", "code")))
+    val firstAgree = array_position(
+      zip_with(col("a.codes"), col("b.codes"), (x, y) => x === y), true)
+    wt.as("a").join(wt.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code"))
+      .where(col("a.id") < col("b.id") && firstAgree === col("a.tbl") + 1L)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        pairSim(col("a.vd"), col("a.n"), col("b.vd"), col("b.n")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cWithCode = corpus.withColumn("code", lshCode(col(vecCol), planes))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cWithCode = withNorm(corpus, vecCol, "__vd", "__n")
+      .withColumn("code", lshCode(col(vecCol), planes))
+    val q = withNorm(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        "q_vec", "__qvd", "__qn")
       .withColumn("code", lshCode(col("q_vec"), planes))
     val sim = cWithCode.join(broadcast(q), Seq("code"))
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        round(cosine(col(vecCol), col("q_vec")), 4).as("sim"))
+        pairSim(col("__vd"), col("__n"), col("__qvd"), col("__qn")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
     sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -38,6 +38,40 @@ object IntervalCols {
   def intervalFromTimestamps(startTs: Column, stopTs: Column): Column =
     interval(unix_micros(startTs) * 1000L, unix_micros(stopTs) * 1000L)
 
+  /** True when `df(name)` is a struct interval whose endpoints are
+    * timestamps (µs precision) rather than long ns — the second interval
+    * representation the engine accepts natively (reference `backto`
+    * semantics: operator outputs keep the input's representation,
+    * `src/DataFrameIntervals.jl:32-35,44-46`). */
+  def isTimestampInterval(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        Seq("start", "stop").forall(f =>
+          s.fieldNames.contains(f) && (s(f).dataType match {
+            case org.apache.spark.sql.types.TimestampType    => true
+            case org.apache.spark.sql.types.TimestampNTZType => true
+            case _                                           => false
+          }))
+      case _ => false
+    }
+
+  /** µs-timestamp struct → long-µs tick struct (NULL-preserving). The
+    * interval algebra is unit-agnostic, so timestamp intervals flow through
+    * every operator as exact µs ticks — no ns multiplication/division that
+    * would round-trip through lossy arithmetic. */
+  def microsFromTimestampStruct(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(
+      interval(unix_micros(c.getField("start").cast("timestamp")),
+        unix_micros(c.getField("stop").cast("timestamp"))))
+
+  /** Long-µs tick struct → µs-timestamp struct (`backto` for timestamp
+    * inputs). NULL-preserving: a NULL interval (e.g. an unmatched
+    * outer-join row) stays NULL rather than becoming struct(NULL, NULL). */
+  def timestampStructFromMicros(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(
+      struct(timestamp_micros(c.getField("start")).as("start"),
+        timestamp_micros(c.getField("stop")).as("stop")))
+
   /** Half-open overlap: `[a,b) ∩ [c,d) ≠ ∅  ⇔  a < d && c < b && a < b && c < d`.
     * Touching intervals (`a.stop == b.start`) do NOT overlap — bound-sensitive
     * like the reference (quirk 5, SURVEY §2.1). Degenerate intervals with

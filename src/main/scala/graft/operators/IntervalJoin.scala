@@ -91,6 +91,19 @@ object IntervalJoin {
     checkOnColumn(left, lOnName, "left")
     checkOnColumn(right, rOnName, "right")
 
+    // Timestamp-struct intervals are supported natively: converted to exact
+    // long-µs ticks for the join, converted back on output (the reference's
+    // `backto` contract — results keep the input representation). Mixed
+    // long/timestamp sides are ambiguous (whose unit is the long?) → error.
+    val lTs = isTimestampInterval(left, lOnName)
+    val rTs = isTimestampInterval(right, rOnName)
+    if (lTs != rTs)
+      throw new IllegalArgumentException(
+        "interval_join requires both `on` columns in the same representation: " +
+          s"left `$lOnName` is ${if (lTs) "timestamp" else "long"}-based but right " +
+          s"`$rOnName` is ${if (rTs) "timestamp" else "long"}-based; convert one side " +
+          "(IntervalCols.microsFromTimestampStruct / timestampStructFromMicros).")
+
     // Output intersection column keeps the LEFT frame's `on` name (ref :76).
     val joinedOn = lOnName
     val lOnFinal = opts.renameon._1(lOnName)
@@ -126,7 +139,8 @@ object IntervalJoin {
       df.select(df.columns.zip(tmp).map { case (c, t) =>
         if (t == onT) {
           val norm = if (opts.checkMissing) rejectNull(col(c), side) else normalize(col(c))
-          norm.as(t)
+          val ticks = if (lTs) microsFromTimestampStruct(norm) else norm
+          ticks.as(t)
         } else col(c).as(t)
       }: _*)
     val l2 = project(left, lTmp, lOnName, lOnT, "left")
@@ -161,8 +175,10 @@ object IntervalJoin {
         l2.join(r2, overlaps(col(lOnT), col(rOnT)), joinType)
     }
 
-    val outCols = (lTmp ++ rTmp).zip(finalNames).map { case (t, f) => col(t).as(f) } :+
-      intersection(col(lOnT), col(rOnT)).as(joinedOn)
+    def backto(c: Column): Column = if (lTs) timestampStructFromMicros(c) else c
+    val outCols = (lTmp ++ rTmp).zip(finalNames).map { case (t, f) =>
+      if (t == lOnT || t == rOnT) backto(col(t)).as(f) else col(t).as(f)
+    } :+ backto(intersection(col(lOnT), col(rOnT))).as(joinedOn)
     joined.select(outCols: _*)
   }
 

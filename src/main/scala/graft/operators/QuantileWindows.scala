@@ -58,7 +58,20 @@ object QuantileWindows {
       spancol: String,
       label: String,
       minDuration: Option[Long]): DataFrame =
-    IntervalCols.coveringSpan(df, spancol) match {
+    if (IntervalCols.isTimestampInterval(df, spancol)) {
+      // timestamp-struct span: window in exact long-µs ticks, convert the
+      // output back to timestamps (the reference's `backto` contract)
+      val ticks = df.select(
+        IntervalCols.microsFromTimestampStruct(col(spancol)).as(spancol))
+      val wins = IntervalCols.coveringSpan(ticks, spancol) match {
+        case Some((lo, hi)) =>
+          quantileWindows(df.sparkSession, n, lo, hi, spancol, label, minDuration)
+        case None =>
+          quantileWindows(df.sparkSession, n, 0L, 0L, spancol, label).limit(0)
+      }
+      wins.select(col(label),
+        IntervalCols.timestampStructFromMicros(col(spancol)).as(spancol))
+    } else IntervalCols.coveringSpan(df, spancol) match {
       case Some((lo, hi)) =>
         quantileWindows(df.sparkSession, n, lo, hi, spancol, label, minDuration)
       case None =>

@@ -99,6 +99,29 @@ class SimilaritySpec extends SparkSuite {
     assert(full == brute)
   }
 
+  test("cosine near-dup: exact pairs match a driver-side brute force; LSH pairs are a verified subset") {
+    val exact = Similarity.cosineNearDupPairs(vecs, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side oracle over the tiny fixture
+    val local = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- local; (ib, vb) <- local
+      if ia < ib && BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(exact == expected)
+    assert(exact.contains((0L, 1L)))    // the planted perturbed copy
+    // LSH path: verified cosine makes every emitted pair a true near-dup
+    val lsh = Similarity.lshNearDupPairs(vecs, 0.95, dim = 16, nTables = 6, planesPerTable = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // a 0.9999-cosine pair survives 6 tables of 3 planes with near-certainty
+    assert(lsh.contains((0L, 1L)))
+  }
+
   test("multimodal stub decode: features match the payload bytes") {
     val df = Seq((1L, "ABC"), (2L, "")).toDF("id", "text")
       .select(col("id"), col("text").cast("binary").as("data"))
