@@ -42,6 +42,26 @@ object StreamingIntervalJoin {
       .withColumn(lOn, intersection(col(lOnF), col(rOnF)))
   }
 
+  /** Streaming sessionization — the streaming variant of
+    * `IntervalOps.sessionize` (gap-split event sessions per key), built on
+    * Spark's native `session_window` stateful aggregation: state merges
+    * sessions as events arrive and is evicted once the watermark passes a
+    * session's close, at which point the session emits in `append` mode.
+    * Output: key columns, `span` = [first event, last event] as a
+    * timestamp-struct interval, `n_events` — same observable contract as
+    * the batch operator (whose span is also [min ts, max ts]).
+    *
+    * @param gap  session gap as a SQL interval string, e.g. "30 minutes" */
+  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+      .select(keys.map(col) ++ Seq(
+        struct(col("__first").as("start"), col("__last").as("stop")).as("span"),
+        col("n_events")): _*)
+
   /** Stream×stream overlap join with watermark-driven state cleanup.
     *
     * @param maxDuration  upper bound on any interval's length (ns); bounds

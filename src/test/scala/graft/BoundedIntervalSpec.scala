@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.intervals.BoundedIntervals._
+
+/** Bound-flag interval algebra (reference `Interval{T,L,R}`, README.md:29's
+  * Closed-Closed example): overlap and intersection honor Open/Closed
+  * endpoints; a brute-force rational-point oracle pins every combination. */
+class BoundedIntervalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mk(rows: Seq[(Long, Long, Long, Boolean, Boolean)], name: String) =
+    rows.toDF("id", "s", "e", "l", "r").select(col("id").as(s"${name}_id"),
+      bounded(col("s"), col("e"), col("l"), col("r")).as(name))
+
+  test("touching intervals: only Closed-meets-Closed matches") {
+    for {
+      aR <- Seq(true, false); bL <- Seq(true, false)
+    } {
+      val a = mk(Seq((1L, 0L, 10L, true, aR)), "a")
+      val b = mk(Seq((2L, 10L, 20L, bL, false)), "b")
+      val n = a.join(b, overlapsBounded(col("a"), col("b"))).count()
+      assert((n == 1) == (aR && bL), s"aR=$aR bL=$bL")
+    }
+  }
+
+  test("Closed-Closed join reproduces the reference README example semantics") {
+    // [1,3] vs [3,5]: touching closed bounds DO match (unlike half-open)
+    val a = mk(Seq((1L, 1L, 3L, true, true)), "a")
+    val b = mk(Seq((2L, 3L, 5L, true, true)), "b")
+    val j = a.join(b, overlapsBounded(col("a"), col("b")))
+      .select(intersectBounded(col("a"), col("b")).as("i"))
+    val i = j.head()
+    val st = i.getStruct(0)
+    assert(st.getLong(0) == 3L && st.getLong(1) == 3L)
+    assert(st.getBoolean(2) && st.getBoolean(3)) // [3,3] — a valid point set
+    assert(j.select(nonEmpty(col("i"))).head().getBoolean(0))
+  }
+
+  test("degenerate intervals: [a,a] closed-closed is a point; all else empty") {
+    val pt = mk(Seq((1L, 5L, 5L, true, true)), "a")
+    val host = mk(Seq((2L, 0L, 10L, true, false)), "b")
+    assert(pt.join(host, overlapsBounded(col("a"), col("b"))).count() == 1)
+    for ((l, r) <- Seq((true, false), (false, true), (false, false))) {
+      val empt = mk(Seq((1L, 5L, 5L, l, r)), "a")
+      assert(empt.join(host, overlapsBounded(col("a"), col("b"))).count() == 0, s"$l$r")
+    }
+  }
+
+  test("overlap and intersection match a dense-point oracle over all 16 bound combos") {
+    // work on a x2 integer grid so bound openness = grid-point membership:
+    // interval [s,e] with flags covers 2s..2e minus open endpoints
+    def points(s: Long, e: Long, lcl: Boolean, rcl: Boolean): Set[Long] = {
+      val all = (2 * s).to(2 * e).toSet
+      val minusL = if (lcl) all else all - (2 * s)
+      if (rcl) minusL else minusL - (2 * e)
+    }
+    val combos = for {
+      lcl <- Seq(true, false); rcl <- Seq(true, false)
+    } yield (lcl, rcl)
+    val fixtures = for {
+      ((alc, arc), i) <- combos.zipWithIndex
+      ((blc, brc), j) <- combos.zipWithIndex
+      ((as, ae, bs, be), shape) <- Seq((0L, 4L, 2L, 6L), (0L, 4L, 4L, 8L), (0L, 4L, 5L, 9L),
+        (0L, 4L, 0L, 4L), (2L, 2L, 0L, 4L)).zipWithIndex
+    } yield (i * 1000L + j * 10L + shape, as, ae, alc, arc, bs, be, blc, brc)
+    val a = mk(fixtures.map(f => (f._1, f._2, f._3, f._4, f._5)), "a")
+    val b = mk(fixtures.map(f => (f._1, f._6, f._7, f._8, f._9)), "b")
+    val joined = a.join(b, col("a_id") === col("b_id"))
+      .select(col("a_id"),
+        overlapsBounded(col("a"), col("b")).as("ov"),
+        intersectBounded(col("a"), col("b")).as("ix"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getStruct(2)))).toMap
+    fixtures.foreach { f =>
+      val pa = points(f._2, f._3, f._4, f._5)
+      val pb = points(f._6, f._7, f._8, f._9)
+      val inter = pa & pb
+      val (ov, ix) = joined(f._1)
+      assert(ov == inter.nonEmpty, s"overlap mismatch for $f")
+      if (ov) {
+        val ixPts = points(ix.getLong(0), ix.getLong(1), ix.getBoolean(2), ix.getBoolean(3))
+        assert(ixPts == inter, s"intersection mismatch for $f: $ixPts vs $inter")
+      }
+    }
+  }
+}

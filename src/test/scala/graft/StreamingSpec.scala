@@ -71,6 +71,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: gap-split sessions emit once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)] // (user, epochSec)
+    val events = in.toDF()
+      .select(col("_1").as("user"), timestamp_seconds(col("_2")).as("ts"))
+    val sess = StreamingIntervalJoin.sessionize(
+      events, Seq("user"), "ts", gap = "30 seconds", watermarkDelay = "5 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      val base = 1704067200L
+      // u1: two sessions (gap 100s > 30s); u2: one session
+      in.addData(("u1", base), ("u1", base + 10), ("u1", base + 150),
+        ("u2", base + 20))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past every session above
+      in.addData(("u3", base + 100000))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, span.start, span.stop, n_events FROM sess")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+      assert(rows == Set(
+        ("u1", base, base + 10, 2L),
+        ("u1", base + 150, base + 150, 1L),
+        ("u2", base + 20, base + 20, 1L)))
+    } finally q.stop()
+  }
+
+  test("batch session_window membership agrees with the batch sessionize operator") {
+    import graft.operators.IntervalOps
+    val ns = 1000000000L
+    val base = 1704067200L * ns
+    val ev = Seq(
+      ("a", base), ("a", base + 10 * ns), ("a", base + 100 * ns),
+      ("b", base + 5 * ns), ("b", base + 200 * ns), ("b", base + 210 * ns))
+      .toDF("user", "t")
+    // batch operator on long-ns ticks, gap 30 s
+    val batch = IntervalOps.sessionize(ev, Seq("user"), "t", gapNs = 30L * ns)
+      .select(col("user"), col("span.start").as("s"), col("n_events"))
+    // native session_window on the same events as timestamps
+    val sw = ev.select(col("user"), timestamp_micros(expr("t div 1000")).as("ts"))
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"), expr("unix_micros(session_window.start) * 1000").as("s"),
+        col("n_events"))
+    assertSameRows(batch, sw)
+  }
+
   test("stream-stream interval join with watermarks matches overlapping pairs") {
     implicit val sqlCtx = spark.sqlContext
     val leftIn = MemoryStream[(Long, Long, Long)]
