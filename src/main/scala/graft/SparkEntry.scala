@@ -240,6 +240,16 @@ object SparkEntry {
           col("span.stop").as("mstop"), col("n_merged"))
     }),
 
+    // Interval-set measure: covered duration per customer (overlaps once)
+    "q33_covered_duration" -> ((sp, dir) => {
+      val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+      val os = table(sp, dir, "orders").select(
+        col("o_custkey"),
+        IntervalCols.interval(startNs,
+          startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L) * lit(86400000000000L)).as("span"))
+      graft.operators.IntervalOps.coveredDuration(os, Seq("o_custkey"), "span")
+    }),
+
     // Sessionization: gap-based event sessions per user (30 min gap)
     "q29_sessionize" -> ((sp, dir) => {
       val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
@@ -516,6 +526,25 @@ object SparkEntry {
         |SELECT o_custkey, min(s) AS mstart, max(e) AS mstop,
         |       count(*) AS n_merged
         |FROM g GROUP BY o_custkey, grp""".stripMargin,
+
+    "q33_covered_duration" ->
+      """WITH os AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate)*1000 AS s,
+        |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |      FROM os),
+        |g AS (SELECT o_custkey, s, e,
+        |             sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                     ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m),
+        |mg AS (SELECT o_custkey, min(s) AS ms, max(e) AS me
+        |       FROM g GROUP BY o_custkey, grp)
+        |SELECT o_custkey, CAST(sum(me - ms) AS BIGINT) AS covered
+        |FROM mg GROUP BY o_custkey""".stripMargin,
 
     "q29_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),

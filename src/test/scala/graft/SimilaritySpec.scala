@@ -131,4 +131,30 @@ class SimilaritySpec extends SparkSuite {
     assert(f(0).getLong(3) == 'A' + 'B' + 'C')
     assert(f(1).getLong(1) == 0L && f(1).getInt(2) == -1 && f(1).getLong(3) == 0L)
   }
+
+  test("multimodal frame sampling: every stride-th chunk up to maxFrames, offsets exact") {
+    val payload = ("x" * 2000).getBytes // 8 chunks of 256 (last partial)
+    val df = Seq((7L, payload)).toDF("id", "data")
+    val frames = Multimodal.frameSample(df, "id", "data",
+      chunkBytes = 256, stride = 3, maxFrames = 2).orderBy("frame_idx").collect()
+    assert(frames.length == 2) // chunks 0, 3 (6 would be third but maxFrames=2)
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 768L))
+    assert(frames(0).getAs[Array[Byte]](3).length == 256)
+    // empty payload -> no frames, row disappears (flatMap shape)
+    val none = Multimodal.frameSample(
+      Seq((8L, Array.empty[Byte])).toDF("id", "data"), "id", "data")
+    assert(none.count() == 0)
+  }
+
+  test("multimodal resize composes with cosine near-dup: identical payloads are exact dups") {
+    val a = ("abcd" * 300).getBytes
+    val b = ("abcd" * 300).getBytes            // identical content, different id
+    val c = ("zzzz" * 150 + "abcd" * 150).getBytes
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "data")
+    val vecs = Multimodal.resizeToVector(df, "id", "data", dim = 16)
+    assert(vecs.head.getSeq[Float](1).length == 16)
+    val dups = Similarity.cosineNearDupPairs(vecs, 0.9999, idCol = "id")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)))
+  }
 }
