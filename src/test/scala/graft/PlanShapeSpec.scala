@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scale guards over every SparkEntry query plan: the properties that keep
+  * a plan viable at 100 TB — no cartesian product ever, nested-loop joins
+  * only where a broadcast-small side makes them the intended strategy,
+  * column pruning reaching the parquet scan, filters pushed down. These are
+  * assertions on the PLAN, not the result, so a future "simplification"
+  * that silently degrades the strategy fails CI rather than the cluster. */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** queries whose plan legitimately contains a BroadcastNestedLoopJoin at
+    * this SF: interval joins against a tiny window frame (Auto strategy
+    * broadcasts; flips to the binned equi-join when both sides are big —
+    * pinned by IntervalJoinSpec's Auto test) and the two deliberate
+    * all-pairs brute-force baselines. */
+  private val bnljOk = Set(
+    "q02_interval_join_inner", "q03_interval_join_left", "q04_interval_join_right",
+    "q05_interval_join_full", "q07_grouped_interval_join", "q32_interval_join_ts",
+    "q15_ann_brute", "q30_embed_neardup")
+
+  test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljOk(name))
+        assert(!plan.contains("NestedLoop"), s"$name unexpectedly plans a nested-loop join")
+    }
+  }
+
+  private def scanSchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val plan = df.queryExecution.executedPlan
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    inner.collect { case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSeq }
+  }
+
+  test("column pruning reaches the parquet scan (narrow ReadSchema)") {
+    // q10 computes five text features: the documents scan must read ONLY
+    // (doc_id, text), however many columns the table carries
+    val q10 = SparkEntry.queries("q10_text_stats")(spark, dir)
+    val s10 = scanSchemas(q10)
+    assert(s10.nonEmpty && s10.forall(_.toSet.subsetOf(Set("doc_id", "text"))), s10.toString)
+    // q21 (top order per customer): three columns of orders, nothing else
+    val q21 = SparkEntry.queries("q21_delegated_window")(spark, dir)
+    val s21 = scanSchemas(q21)
+    assert(s21.nonEmpty &&
+      s21.forall(_.toSet.subsetOf(Set("o_custkey", "o_orderkey", "o_totalprice"))), s21.toString)
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val q19 = SparkEntry.queries("q19_asof")(spark, dir)
+    val plan = q19.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      "expected the event_type filter pushed into the events scan")
+  }
+}
