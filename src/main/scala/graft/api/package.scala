@@ -49,5 +49,22 @@ package object api {
       operators.IntervalJoin.intervalJoin(df, right, on, opts)
     def quantileWindows(n: Long, spancol: String = "span", label: String = "index"): DataFrame =
       operators.QuantileWindows.quantileWindows(n, df, spancol, label)
+
+    /** Backward as-of join (latest right row at or before each left ts, per key). */
+    def asofJoin(right: DataFrame, leftTs: String, rightTs: String,
+        by: Seq[(String, String)], tolerance: Option[Long] = None): DataFrame =
+      operators.AsofJoin.asofJoin(df, right, leftTs, rightTs, by, tolerance)
+
+    /** Coalesce overlapping/touching intervals per key (interval-set union). */
+    def mergeIntervals(keys: Seq[String], spancol: String = "span"): DataFrame =
+      operators.IntervalOps.mergeIntervals(df, keys, spancol)
+
+    /** Interval-set measure per key: total covered duration, overlaps counted once. */
+    def coveredDuration(keys: Seq[String], spancol: String = "span"): DataFrame =
+      operators.IntervalOps.coveredDuration(df, keys, spancol)
+
+    /** Gap-split point events into interval sessions per key. */
+    def sessionize(keys: Seq[String], tsCol: String, gapNs: Long): DataFrame =
+      operators.IntervalOps.sessionize(df, keys, tsCol, gapNs)
   }
 }

@@ -61,6 +61,46 @@ class IntervalJoinPropertySpec extends SparkSuite {
     }
   }
 
+  private val genMaybeDegenerate: Gen[(Long, Long)] = Gen.frequency(
+    8 -> genInterval,
+    1 -> Gen.chooseNum(0L, 100000L).map(s => (s, s)),          // empty [s,s)
+    1 -> genInterval.map { case (s, e) => (e, s) })            // reversed (corrupt)
+
+  test("outer joins: both strategies match the brute-force oracle incl. degenerate intervals") {
+    (200 to 212).foreach { seed =>
+      val g = for {
+        a <- Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, genMaybeDegenerate))
+        b <- Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, genMaybeDegenerate))
+      } yield (a, b)
+      val (ls, rs) = g.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      // brute oracle: degenerate intervals (start >= stop) are empty sets —
+      // they match nothing but survive outer joins as unmatched rows
+      val matched = (for {
+        (a, i) <- ls.zipWithIndex
+        (b, j) <- rs.zipWithIndex
+        if a._1 < b._2 && b._1 < a._2 && a._1 < a._2 && b._1 < b._2
+      } yield (i.toLong, j.toLong)).toSet
+      val lUnmatched = ls.indices.map(_.toLong).toSet -- matched.map(_._1)
+      val rUnmatched = rs.indices.map(_.toLong).toSet -- matched.map(_._2)
+      val lDF = toDF(ls, "l")
+      val rDF = toDF(rs, "r")
+      for {
+        (kl, kr) <- Seq((true, false), (false, true), (true, true))
+        strat <- Seq(Strategy.Range, Strategy.Binned)
+      } {
+        val expected = matched ++
+          (if (kl) lUnmatched.map(_ -> -1L) else Set.empty) ++
+          (if (kr) rUnmatched.map(-1L -> _) else Set.empty)
+        val got = IntervalJoin.intervalJoin(lDF, rDF, "span",
+            Options(strategy = strat, keepleft = kl, keepright = kr))
+          .select("id_l", "id_r").collect()
+          .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+            if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+        assert(got == expected, s"seed=$seed strat=$strat kl=$kl kr=$kr")
+      }
+    }
+  }
+
   test("intersection is exactly [max(starts), min(stops)) for every matched pair") {
     (100 to 104).foreach { seed =>
       val (ls, rs) = sample(seed.toLong)
