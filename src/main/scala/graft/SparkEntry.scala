@@ -179,11 +179,13 @@ object SparkEntry {
         count(lit(1)).as("n"))
     }),
 
-    // I1 via the Binned strategy: big×big self overlap join, aggregated
+    // I1 big×big self overlap join via the scale path (the v3 range-
+    // partitioned plane sweep — what Auto picks for big-big inner joins;
+    // the query key keeps its historical name for artifact continuity)
     "q08_interval_join_binned" -> ((sp, dir) => {
       val os = orderSpans(sp, dir).where(pmod(col("o_orderkey"), lit(3L)) === 0L)
       val j = IntervalJoin.intervalJoin(os, os, "span", Options(
-        renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Binned))
+        renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Sweep))
       // exact integer division — epoch-ns magnitudes exceed Double's mantissa;
       // per-pair overlap in whole seconds so the sum fits int64 at any SF
       j.groupBy(expr("span_left.start div 2592000000000000").as("bucket"))

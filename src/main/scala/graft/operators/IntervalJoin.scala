@@ -57,6 +57,10 @@ object IntervalJoin {
     case object Auto   extends Strategy
     case object Range  extends Strategy
     case object Binned extends Strategy
+    /** v3: range-partitioned per-partition plane sweep ([[SweepJoin]]) —
+      * quantile-balanced partitions, stop-ordered active lists, streamed
+      * output. Inner joins only; outer variants fall back to Binned. */
+    case object Sweep  extends Strategy
   }
 
   /** Reference-style suffix renaming (`renamecols = "_l" => "_r"`). */
@@ -160,6 +164,10 @@ object IntervalJoin {
         val lSize = l2.queryExecution.optimizedPlan.stats.sizeInBytes
         val rSize = r2.queryExecution.optimizedPlan.stats.sizeInBytes
         if (thresh > 0 && (lSize <= thresh || rSize <= thresh)) Strategy.Range
+        // big-big: the per-partition sweep beats the binned equi-join on
+        // inner joins (measured 1.4x at 29 M pairs, 2.8x at 500 M — and the
+        // gap WIDENS with scale); outer variants run on the binned path
+        else if (joinType == "inner") Strategy.Sweep
         else Strategy.Binned
       case s => s
     }
@@ -167,7 +175,9 @@ object IntervalJoin {
     val joined = strategy match {
       case Strategy.Binned if joinType == "inner" =>
         binnedInner(l2, r2, lOnT, rOnT, opts)
-      case Strategy.Binned =>
+      case Strategy.Sweep if joinType == "inner" =>
+        SweepJoin.sweepInner(l2, r2, lOnT, rOnT)
+      case Strategy.Binned | Strategy.Sweep =>
         binnedOuter(l2, r2, lOnT, rOnT, opts)
       case _ =>
         // Theta join; Catalyst broadcasts the small side (BNLJ) — right for

@@ -58,6 +58,7 @@ class IntervalJoinPropertySpec extends SparkSuite {
       assert(pairs(Strategy.Range) == expected, s"range strategy, seed=$seed")
       assert(pairs(Strategy.Binned) == expected, s"binned auto width, seed=$seed")
       assert(pairs(Strategy.Binned, binWidth = Some(7L)) == expected, s"binned w=7, seed=$seed")
+      assert(pairs(Strategy.Sweep) == expected, s"sweep strategy, seed=$seed")
     }
   }
 

@@ -57,7 +57,7 @@ class IntervalJoinSpec extends SparkSuite {
     assert(IntervalJoin.intervalJoin(a, b, "span", Options(makeunique = true)).count() == 0)
   }
 
-  test("binned strategy result set == range strategy result set") {
+  test("binned and sweep strategy result sets == range strategy result set") {
     val jr = IntervalJoin.intervalJoin(df, quarters, "span", Options(strategy = Strategy.Range))
     val jb = IntervalJoin.intervalJoin(df, quarters, "span", Options(strategy = Strategy.Binned))
     assertSameRows(jr, jb)
@@ -65,6 +65,8 @@ class IntervalJoinSpec extends SparkSuite {
     val jb2 = IntervalJoin.intervalJoin(df, quarters, "span",
       Options(strategy = Strategy.Binned, binWidth = Some(1000000L)))
     assertSameRows(jr, jb2)
+    val js = IntervalJoin.intervalJoin(df, quarters, "span", Options(strategy = Strategy.Sweep))
+    assertSameRows(jr, js)
   }
 
   test("keepleft: unmatched left rows survive with NULL right/intersection") {
@@ -165,7 +167,7 @@ class IntervalJoinSpec extends SparkSuite {
     assert(e.getMessage.contains("must be a struct<start,stop>"))
   }
 
-  test("Auto strategy: small side -> theta/broadcast plan; big-big -> binned plan") {
+  test("Auto strategy: small side -> theta/broadcast; big-big -> sweep (inner) / binned (outer)") {
     val small = IntervalJoin.intervalJoin(df, quarters, "span")
     assert(small.queryExecution.executedPlan.toString.contains("NestedLoop"))
     // force tiny broadcast threshold so both sides count as big
@@ -175,8 +177,13 @@ class IntervalJoinSpec extends SparkSuite {
       val big = IntervalJoin.intervalJoin(df, df, "span",
         Options(renamecols = (_ + "_a", _ + "_b")))
       val plan = big.queryExecution.executedPlan.toString
-      assert(plan.contains("sequence("), s"expected binned plan:\n${plan.take(500)}")
+      assert(plan.contains("MapPartitions"), s"expected sweep plan:\n${plan.take(500)}")
       assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+      val bigOuter = IntervalJoin.intervalJoin(df, df, "span",
+        Options(renamecols = (_ + "_a", _ + "_b"), keepleft = true))
+      val planO = bigOuter.queryExecution.executedPlan.toString
+      assert(planO.contains("sequence("), s"expected binned outer plan:\n${planO.take(500)}")
+      assert(!planO.contains("NestedLoop") && !planO.contains("Cartesian"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
