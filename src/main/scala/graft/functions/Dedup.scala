@@ -177,20 +177,48 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 5,
       threshold: Double = 0.5): DataFrame = {
-    // ONE banded frame self-joined via aliases (not two renamed projections):
-    // both join children canonicalize closer together, measured ~1.7x faster
-    // end-to-end; renames happen after the join instead of before the shuffle
-    val wb = signatures(df, textCol, idCol, k, bands, shingleN)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // Bucket-grouped pair generation instead of a self-join: the signature
+    // pass runs ONCE (a self-join evaluates it per side — Spark does not
+    // reuse the exchange), and there is ONE shuffle (groupBy band+hash)
+    // instead of two join children. Buckets are small by construction —
+    // only genuine dup clusters grow, and those are output-bound anyway.
+    // Empty shingle sets are dropped up front: their Jaccard against
+    // anything is 0 (or NaN vs another empty) — never >= a positive
+    // threshold, same visible output as the join formulation.
+    require(threshold > 0.0, "nearDupPairs requires a positive threshold")
+    val sigs = signatures(df, textCol, idCol, k, bands, shingleN)
+      .where(size(col("hs")) > 0)
+    val buckets = sigs
       .select(col("id"), col("hs"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))
-    // first agreeing band (1-based) == band+1  <=>  this is the first match
-    val firstAgree = array_position(
-      zip_with(col("a.bhs"), col("b.bhs"), (x, y) => x === y), true)
-    wb.as("a").join(wb.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .where(col("a.id") < col("b.id") && firstAgree === col("a.band") + 1L)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(hashJaccard(col("a.hs"), col("b.hs")), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("hs"), col("bhs"))).as("g"))
+      .where(size(col("g")) >= 2)
+      .select(col("band"), col("g"))
+    val outSchema = StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("jaccard", DoubleType, nullable = false)))
+    buckets.flatMap { row =>
+      val band = row.getInt(0)
+      val g = row.getSeq[Row](1).sortBy(_.getLong(0))
+      for {
+        i <- g.indices.iterator
+        j <- (i + 1 until g.length).iterator
+        a = g(i); b = g(j)
+        // keep the pair only in its FIRST agreeing band (no distinct)
+        bhsA = a.getSeq[Long](2); bhsB = b.getSeq[Long](2)
+        if bhsA.zip(bhsB).indexWhere { case (x, y) => x == y } == band
+        jac = {
+          val sa = a.getSeq[Long](1).toSet
+          val sb = b.getSeq[Long](1).toSet
+          val inter = (sa & sb).size.toDouble / (sa | sb).size
+          BigDecimal(inter).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        if jac >= threshold
+      } yield Row(a.getLong(0), b.getLong(0), jac)
+    }(Encoders.row(outSchema)).toDF()
   }
 }
