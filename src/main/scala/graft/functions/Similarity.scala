@@ -192,20 +192,44 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
       nTables: Int = 4, planesPerTable: Int = 4, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val codes = array((0 until nTables).map(t =>
       lshCode(col(vecCol), randomPlanes(planesPerTable, dim, seed + t))): _*)
-    val wt = withNorm(df.select(col(idCol).as("id"), col(vecCol), codes.as("codes")),
+    // bucket-grouped pair generation (same rewrite as Dedup.nearDupPairs):
+    // codes+norms computed once, ONE shuffle, pairs verified in the bucket
+    val buckets = withNorm(df.select(col(idCol).as("id"), col(vecCol), codes.as("codes")),
         vecCol, "vd", "n")
       .select(col("id"), col("vd"), col("n"), col("codes"),
         posexplode(col("codes")).as(Seq("tbl", "code")))
-    val firstAgree = array_position(
-      zip_with(col("a.codes"), col("b.codes"), (x, y) => x === y), true)
-    wt.as("a").join(wt.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code"))
-      .where(col("a.id") < col("b.id") && firstAgree === col("a.tbl") + 1L)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        pairSim(col("a.vd"), col("a.n"), col("b.vd"), col("b.n")).as("sim"))
-      .where(col("sim") >= threshold)
+      .groupBy("tbl", "code")
+      .agg(collect_list(struct(col("id"), col("vd"), col("n"), col("codes"))).as("g"))
+      .where(size(col("g")) >= 2)
+      .select(col("tbl"), col("g"))
+    val outSchema = StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    buckets.flatMap { row =>
+      val tbl = row.getInt(0)
+      val g = row.getSeq[Row](1).sortBy(_.getLong(0))
+      for {
+        i <- g.indices.iterator
+        j <- (i + 1 until g.length).iterator
+        a = g(i); b = g(j)
+        // keep the pair only in its FIRST shared table (no distinct)
+        if a.getSeq[Long](3).zip(b.getSeq[Long](3))
+          .indexWhere { case (x, y) => x == y } == tbl
+        sim = {
+          val va = a.getSeq[Double](1); val vb = b.getSeq[Double](1)
+          var d = 0.0; var x = 0
+          while (x < va.length) { d += va(x) * vb(x); x += 1 }
+          BigDecimal(d / (a.getDouble(2) * b.getDouble(2)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        if sim >= threshold
+      } yield Row(a.getLong(0), b.getLong(0), sim)
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
