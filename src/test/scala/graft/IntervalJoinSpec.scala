@@ -201,6 +201,19 @@ class IntervalJoinSpec extends SparkSuite {
     val got = IntervalJoin.intervalJoin(d, d, "span",
       Options(renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Binned)).count()
     assert(got == expected)
+    // the sweep handles the same hot region (identical starts collapse the
+    // sampled bounds; a degenerate single range is still correct)
+    val gotSweep = IntervalJoin.intervalJoin(d, d, "span",
+      Options(renamecols = (_ + "_a", _ + "_b"), strategy = Strategy.Sweep)).count()
+    assert(gotSweep == expected)
+  }
+
+  test("sweep strategy: empty inputs and empty-one-side") {
+    val opts = Options(strategy = Strategy.Sweep)
+    assert(IntervalJoin.intervalJoin(df.limit(0), quarters, "span", opts).count() == 0)
+    assert(IntervalJoin.intervalJoin(df, quarters.limit(0), "span",
+      Options(strategy = Strategy.Sweep, makeunique = true)).count() == 0)
+    assert(IntervalJoin.intervalJoin(df.limit(0), quarters.limit(0), "span", opts).count() == 0)
   }
 
   test("reversed/empty intervals match nothing in every strategy, survive outer") {
