@@ -46,6 +46,7 @@ object SweepJoin {
       nParts: Int, perPartition: Int = 64): Array[Long] = {
     if (nParts <= 1) return Array.empty
     val sampled = df.select(col(startCol))
+      .where(col(startCol).isNotNull) // NULLs possible with checkMissing=false
       .as(Encoders.scalaLong)
       .mapPartitions { it =>
         val rng = new scala.util.Random(org.apache.spark.TaskContext.getPartitionId().toLong)
@@ -106,6 +107,10 @@ object SweepJoin {
         lit(side).as("side"),
         (if (side == 0) self else lit(null).cast(lSchema)).as("lrow"),
         (if (side == 1) self else lit(null).cast(rSchema)).as("rrow"))
+        // NULL endpoints (possible only with checkMissing = false) match
+        // nothing in an inner join — drop them BEFORE the typed flatMap,
+        // which reads s/e as primitive longs
+        .where(col("s").isNotNull && col("e").isNotNull)
     }
 
     val tagged = pack(l2, lOnT, 0).unionAll(pack(r2, rOnT, 1))

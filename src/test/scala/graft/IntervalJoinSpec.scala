@@ -208,6 +208,18 @@ class IntervalJoinSpec extends SparkSuite {
     assert(gotSweep == expected)
   }
 
+  test("checkMissing=false: NULL intervals drop from inner joins in every strategy") {
+    val withNull = df.select(col("label"), col("x"),
+      when(col("x") < lit(0.2), lit(null)).otherwise(col("span")).as("span"))
+    val expected = IntervalJoin.intervalJoin(withNull.where(col("span").isNotNull),
+      quarters, "span").count()
+    for (strat <- Seq(Strategy.Range, Strategy.Binned, Strategy.Sweep)) {
+      val n = IntervalJoin.intervalJoin(withNull, quarters, "span",
+        Options(strategy = strat, checkMissing = false)).count()
+      assert(n == expected, s"$strat")
+    }
+  }
+
   test("sweep strategy: empty inputs and empty-one-side") {
     val opts = Options(strategy = Strategy.Sweep)
     assert(IntervalJoin.intervalJoin(df.limit(0), quarters, "span", opts).count() == 0)
