@@ -293,6 +293,22 @@ object SparkEntry {
     "q09_dedup_exact" -> ((sp, dir) =>
       Dedup.exactDupGroups(table(sp, dir, "documents"), "text", "doc_id")),
 
+    // Sampling: deterministic hash-based train/val/test split by doc key
+    "q34_split_assign" -> ((sp, dir) =>
+      graft.functions.Sampling.splitByHash(
+          table(sp, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"),
+          graft.functions.Sampling.hashBucket(col("doc_id"), "split").as("bucket"),
+          col("split"))),
+
+    // Text quality: within-document repetition signals
+    "q35_repetition" -> ((sp, dir) =>
+      table(sp, dir, "documents").select(
+        col("doc_id"),
+        TF.dupTokenRatio(col("text")).as("dup_tok"),
+        TF.dupBigramRatio(col("text")).as("dup_bigram"))),
+
     // Text analysis: token counts, quality, language ID, rolling fingerprint
     "q10_text_stats" -> ((sp, dir) => {
       table(sp, dir, "documents").select(
@@ -510,6 +526,33 @@ object SparkEntry {
     "q09_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q34_split_assign" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |          % ${TF.HashMod}) % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "q35_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, tk,
+         |             list_transform(range(1, greatest(len(tk), 1)),
+         |                            i -> tk[i] || ' ' || tk[i+1]) AS bg
+         |      FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(tk) > 0
+         |       THEN round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk), 6)
+         |       ELSE 0.0 END AS dup_tok,
+         |  CASE WHEN len(bg) > 0
+         |       THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg), 6)
+         |       ELSE 0.0 END AS dup_bigram
+         |FROM g""".stripMargin,
 
     "q28_merge_intervals" ->
       """WITH os AS (

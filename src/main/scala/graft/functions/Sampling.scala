@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextFunctions.tokenHashMod
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * Everything keys off a salted md5 hash of the row's key column, so:
+  *  - assignment is REPRODUCIBLE across runs, engines, and cluster sizes
+  *    (no RNG state, no partition dependence — unlike `df.sample`);
+  *  - it is STABLE under appends: adding rows never reassigns existing keys;
+  *  - related rows can share a fate by sharing a key (e.g. split by
+  *    document id so all chunks of a document land in the same split —
+  *    the standard guard against train/test leakage).
+  * Pure codegen'd Column expressions; the hash is engine-reproducible
+  * ([[TextFunctions.tokenHashMod]]), so a SQL oracle can verify splits.
+  */
+object Sampling {
+
+  /** Number of hash buckets assignments are quantized to. */
+  val Buckets = 1000L
+
+  /** The salted per-key bucket in [0, Buckets). */
+  def hashBucket(key: Column, salt: String): Column =
+    tokenHashMod(concat(lit(s"$salt:"), key.cast("string"))) % Buckets
+
+  /** Split-name column from cumulative fraction bounds, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` (fractions must sum
+    * to ~1; the last split absorbs rounding). */
+  def splitAssign(key: Column, fractions: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bucket = hashBucket(key, salt)
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * Buckets))
+    fractions.init.zip(bounds).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** `df` plus a `split` column assigned deterministically by `keyCol`. */
+  def splitByHash(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame =
+    df.withColumn("split", splitAssign(col(keyCol), fractions, salt))
+
+  /** Deterministic subsample: keeps `fraction` of keys (exact per-key
+    * reproducibility, approximate fraction). Works identically on batch and
+    * streams — it is a stateless filter. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.where(hashBucket(col(keyCol), salt) < math.round(fraction * Buckets))
+  }
+
+  /** Stratified deterministic subsample: a (possibly different) fraction
+    * per stratum value; strata absent from the map keep `defaultFraction`. */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "sample"): DataFrame = {
+    val frac = fractions.foldRight(lit(defaultFraction): Column) {
+      case ((value, f), acc) => when(col(strataCol) === value, lit(f)).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol), salt).cast("double") < frac * Buckets)
+  }
+}

@@ -92,6 +92,33 @@ object TextFunctions {
       6)
   }
 
+  /** Fraction of repeated whitespace tokens: `1 - distinct/total` (0 for
+    * empty text) — the classic within-document repetition quality signal. */
+  def dupTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Word bigrams ("a b") of the whitespace tokens; empty below 2 tokens. */
+  def wordBigrams(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of repeated word bigrams (boilerplate detector — repeated
+    * phrases score high where repeated single words may not). */
+  def dupBigramRatio(c: Column): Column = {
+    val b = wordBigrams(c)
+    when(size(b) > 0,
+      round(lit(1.0) - size(array_distinct(b)).cast("double") / size(b), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Rolling polynomial fingerprint over token hashes:
     * fp = fold(0, (acc, h) -> (acc*31 + h) mod HashMod). Matches DuckDB's
     * `list_reduce` over the same pre-modded token hashes. */

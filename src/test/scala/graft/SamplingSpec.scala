@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Sampling, TextFunctions => TF}
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val keys = (0L until 2000L).toDF("id")
+
+  test("splitByHash: total assignment, determinism, and sane proportions") {
+    val s = Sampling.splitByHash(keys, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.count() == 2000)
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 140 && counts("val") < 260, counts.toString)
+    // deterministic: the same call yields the same assignment
+    val s2 = Sampling.splitByHash(keys, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.except(s2).count() == 0 && s2.except(s).count() == 0)
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(keys, "id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("same key always lands in the same split regardless of other columns (leakage guard)") {
+    val chunks = keys.withColumn("chunk", explode(array(lit(1), lit(2), lit(3))))
+    val s = Sampling.splitByHash(chunks, "id", Seq("train" -> 0.9, "test" -> 0.1))
+    val perKey = s.groupBy("id").agg(countDistinct("split").as("n"))
+    assert(perKey.where(col("n") =!= 1).count() == 0)
+  }
+
+  test("sampleByHash: deterministic subset at roughly the requested fraction") {
+    val a = Sampling.sampleByHash(keys, "id", 0.2)
+    val b = Sampling.sampleByHash(keys, "id", 0.2)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    val n = a.count()
+    assert(n > 300 && n < 500, s"n=$n")
+    // a smaller fraction with the same salt is a SUBSET (nested samples)
+    val small = Sampling.sampleByHash(keys, "id", 0.05)
+    assert(small.except(a).count() == 0)
+  }
+
+  test("stratifiedSampleByHash: per-stratum fractions") {
+    val df = keys.withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
+    val s = Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") > 380 && counts("en") < 620, counts.toString)
+    assert(counts("de") > 50 && counts("de") < 150, counts.toString)
+    // default fraction 0: unknown strata dropped entirely
+    val s2 = Sampling.stratifiedSampleByHash(df, "id", "lang", Map("en" -> 0.5))
+    assert(s2.where(col("lang") === "de").count() == 0)
+  }
+
+  test("repetition ratios: exact values on known inputs") {
+    val d = Seq(
+      (1L, "a a b"),          // 3 tokens, 2 distinct
+      (2L, "a b a b"),        // bigrams: [a b, b a, a b] -> 2/3 distinct
+      (3L, "x y z"),          // no repetition
+      (4L, "")                // empty
+    ).toDF("id", "text")
+    val r = d.select(col("id"), TF.dupTokenRatio(col("text")).as("t"),
+        TF.dupBigramRatio(col("text")).as("b"))
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((0.333333, 0.0)))
+    assert(r(2L) == ((0.5, 0.333333)))
+    assert(r(3L) == ((0.0, 0.0)))
+    assert(r(4L) == ((0.0, 0.0)))
+  }
+}
