@@ -252,6 +252,28 @@ object SparkEntry {
       graft.operators.IntervalOps.coveredDuration(os, Seq("o_custkey"), "span")
     }),
 
+    // Interval-set complement: uncovered gaps between merged order spans
+    "q36_interval_gaps" -> ((sp, dir) => {
+      val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+      val os = table(sp, dir, "orders").select(
+        col("o_custkey"),
+        IntervalCols.interval(startNs,
+          startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L) * lit(86400000000000L)).as("span"))
+      graft.operators.IntervalOps.gaps(os, Seq("o_custkey"), "span")
+        .select(col("o_custkey"), col("span.start").as("gstart"),
+          col("span.stop").as("gstop"))
+    }),
+
+    // Delegated: JSON scalar extraction + aggregate over the events payload
+    "q37_delegated_json" -> ((sp, dir) => {
+      table(sp, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // Sessionization: gap-based event sessions per user (30 min gap)
     "q29_sessionize" -> ((sp, dir) => {
       val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
@@ -590,6 +612,35 @@ object SparkEntry {
         |       FROM g GROUP BY o_custkey, grp)
         |SELECT o_custkey, CAST(sum(me - ms) AS BIGINT) AS covered
         |FROM mg GROUP BY o_custkey""".stripMargin,
+
+    "q36_interval_gaps" ->
+      """WITH os AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate)*1000 AS s,
+        |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |      FROM os),
+        |g AS (SELECT o_custkey, s, e,
+        |             sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                     ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m),
+        |mg AS (SELECT o_custkey, min(s) AS ms, max(e) AS me
+        |       FROM g GROUP BY o_custkey, grp),
+        |lg AS (SELECT o_custkey, ms, me,
+        |              lag(me) OVER (PARTITION BY o_custkey ORDER BY ms) AS pe
+        |       FROM mg)
+        |SELECT o_custkey, pe AS gstart, ms AS gstop
+        |FROM lg WHERE pe IS NOT NULL AND pe < ms""".stripMargin,
+
+    "q37_delegated_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q29_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),

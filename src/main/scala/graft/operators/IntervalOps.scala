@@ -41,6 +41,20 @@ object IntervalOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(s"$spancol.stop") - col(s"$spancol.start")).as("covered"))
 
+  /** Gaps (interval-set complement between covered regions) per key: one
+    * row per maximal uncovered interval strictly between two merged
+    * intervals — downtime/silence detection. Same single sort-based pass
+    * as the merge; no self-join. */
+  def gaps(df: DataFrame, keys: Seq[String], spancol: String): DataFrame = {
+    val merged = mergeIntervals(df, keys, spancol)
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(s"$spancol.start"))
+    merged
+      .withColumn("__pe", lag(col(s"$spancol.stop"), 1).over(byKey))
+      .where(col("__pe").isNotNull && col("__pe") < col(s"$spancol.start"))
+      .select(keys.map(col) :+
+        struct(col("__pe").as("start"), col(s"$spancol.start").as("stop")).as(spancol): _*)
+  }
+
   /** Gap-based sessionization: point events (`tsCol`, long ns) split into
     * sessions per key wherever the gap to the previous event exceeds
     * `gapNs`. Output: keys, session `struct<start,stop>` (stop = last event

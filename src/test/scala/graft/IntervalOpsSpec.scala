@@ -31,6 +31,23 @@ class IntervalOpsSpec extends SparkSuite {
     assert(c.getLong(1) == 20L) // [0,15) + [20,25)
   }
 
+  test("gaps: complement between merged runs; none within a covered run or across keys") {
+    val d = spans(("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L), // run [0,30)
+      ("a", 40L, 50L), ("a", 70L, 80L),                            // gaps [30,40), [50,70)
+      ("b", 0L, 5L))                                               // single run, no gap
+    val g = IntervalOps.gaps(d, Seq("k"), "span")
+      .select(col("k"), col("span.start"), col("span.stop"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set(("a", 30L, 40L), ("a", 50L, 70L)))
+    // gaps ∪ merged tile the covering span exactly: covered + gap durations
+    // == span width
+    val Some((lo, hi)) = graft.intervals.IntervalCols.coveringSpan(d.where(col("k") === "a"), "span")
+    val covered = IntervalOps.coveredDuration(d.where(col("k") === "a"), Seq("k"), "span")
+      .head.getLong(1)
+    val gapSum = g.filter(_._1 == "a").map(x => x._3 - x._2).sum
+    assert(covered + gapSum == hi - lo)
+  }
+
   test("sessionize splits on gap, pads stop, counts events") {
     val ev = Seq(("u1", 0L), ("u1", 10L), ("u1", 100L), ("u2", 5L))
       .toDF("user", "ts")
