@@ -133,6 +133,8 @@ object SweepJoin {
       .repartition(math.max(bounds.length + 1, 1), col("pid"))
       .sortWithinPartitions(col("pid"), col("s"))
 
+    val nL = lSchema.length
+    val nR = rSchema.length
     val swept = sorted.mapPartitions { it =>
       new Iterator[Row] {
         // (stop, payload) actives per side, evicted by ascending stop
@@ -144,8 +146,14 @@ object SweepJoin {
         var pidLow = Long.MinValue
         val lAct = new PriorityQueue[Active](ord)
         val rAct = new PriorityQueue[Active](ord)
-        val pending = new ArrayBuffer[Row]()
+        // pending pairs hold the two payload refs; the output Row is ONE
+        // reused buffer — SerializeFromObject copies each row to unsafe
+        // storage before pulling the next, so reuse is safe and saves two
+        // allocations per emitted pair (measured GC-sensitive at 29M pairs)
+        val pending = new ArrayBuffer[(Row, Row)]()
         var pendingIdx = 0
+        val buf = new Array[Any](nL + nR)
+        val out = new org.apache.spark.sql.catalyst.expressions.GenericRow(buf)
 
         private def refill(): Unit = {
           pending.clear(); pendingIdx = 0
@@ -170,8 +178,7 @@ object SweepJoin {
               val oi = opp.iterator()
               while (oi.hasNext) {
                 val o = oi.next()
-                pending += (if (side == 0) Row.merge(mine, o.payload)
-                            else Row.merge(o.payload, mine))
+                pending += (if (side == 0) (mine, o.payload) else (o.payload, mine))
               }
             }
             (if (side == 0) lAct else rAct).add(new Active(e, s, mine))
@@ -182,7 +189,15 @@ object SweepJoin {
           if (pendingIdx < pending.length) true
           else { refill(); pendingIdx < pending.length }
         }
-        def next(): Row = { val r = pending(pendingIdx); pendingIdx += 1; r }
+        def next(): Row = {
+          val (l, r) = pending(pendingIdx)
+          pendingIdx += 1
+          var i = 0
+          while (i < nL) { buf(i) = l.get(i); i += 1 }
+          var j = 0
+          while (j < nR) { buf(nL + j) = r.get(j); j += 1 }
+          out
+        }
       }
     }(Encoders.row(outSchema))
 
