@@ -118,6 +118,37 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(batch, sw)
   }
 
+  test("streaming as-of join: flatMapGroupsWithState carries the latest right row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Long)]  // (sym, t_ts, trade_id)
+    val quotes = MemoryStream[(String, Long, Double)] // (sym, q_ts, px)
+    val joined = graft.streaming.StreamingAsof.asofJoinStream(
+      trades.toDF().toDF("sym", "t_ts", "trade_id"),
+      quotes.toDF().toDF("sym", "q_ts", "px"),
+      "t_ts", "q_ts", Seq("sym" -> "sym"))
+    val q = joined.writeStream.format("memory").queryName("sasof").outputMode("append").start()
+    try {
+      // batch 1: quote then trade in the same batch (intra-batch ordering:
+      // right visible at equal or earlier ts), plus a trade with no quote
+      quotes.addData(("A", 100L, 1.5))
+      trades.addData(("A", 150L, 1L), ("B", 50L, 2L))
+      q.processAllAvailable()
+      // batch 2: newer quote arrives, then a later trade matches IT
+      quotes.addData(("A", 200L, 2.0))
+      q.processAllAvailable()
+      trades.addData(("A", 250L, 3L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT sym, trade_id, px, q_ts FROM sasof").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(rows == Set(
+        ("A", 1L, Some(1.5), Some(100L)),  // batch-1 quote visible
+        ("B", 2L, None, None),             // no quote for B
+        ("A", 3L, Some(2.0), Some(200L)))) // state updated across batches
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches overlapping pairs") {
     implicit val sqlCtx = spark.sqlContext
     val leftIn = MemoryStream[(Long, Long, Long)]
