@@ -67,6 +67,43 @@ class IntervalJoinPropertySpec extends SparkSuite {
     1 -> Gen.chooseNum(0L, 100000L).map(s => (s, s)),          // empty [s,s)
     1 -> genInterval.map { case (s, e) => (e, s) })            // reversed (corrupt)
 
+  /** nasty shapes: exact duplicates, shared endpoints, all-spanning giants
+    * (replicate to every sweep partition), dense point-ish intervals */
+  private val genNasty: Gen[List[(Long, Long)]] = for {
+    base <- Gen.chooseNum(0L, 1000L)
+    nDup <- Gen.chooseNum(0, 15)
+    nTie <- Gen.chooseNum(0, 15)
+    nGiant <- Gen.chooseNum(0, 4)
+    nTiny <- Gen.chooseNum(0, 20)
+    tiny <- Gen.listOfN(nTiny, Gen.chooseNum(0L, 2000L).map(s => (s, s + 1)))
+  } yield List.fill(nDup)((base, base + 100L)) ++
+    (0 until nTie).map(i => (base, base + 10L + i)) ++
+    List.fill(nGiant)((0L, 1000000L)) ++ tiny
+
+  test("nasty shapes (dups, ties, all-spanning giants): all strategies agree with brute force") {
+    (300 to 309).foreach { seed =>
+      val g = for { a <- genNasty; b <- genNasty } yield (a, b)
+      val (ls, rs) = g.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val expected = brute(ls, rs)
+      val lDF = toDF(ls, "l")
+      val rDF = toDF(rs, "r")
+      for (strat <- Seq(Strategy.Range, Strategy.Binned, Strategy.Sweep)) {
+        val got = IntervalJoin.intervalJoin(lDF, rDF, "span",
+            Options(strategy = strat))
+          .select("id_l", "id_r").collect()
+          .map(x => (x.getLong(0).toInt, x.getLong(1).toInt))
+        // with exact duplicate intervals the JOIN YIELDS duplicate pairs —
+        // compare as multisets, not sets
+        val gotM = got.groupBy(identity).view.mapValues(_.length).toMap
+        val expM = (for {
+          (a, i) <- ls.zipWithIndex; (b, j) <- rs.zipWithIndex
+          if a._1 < b._2 && b._1 < a._2 && a._1 < a._2 && b._1 < b._2
+        } yield (i, j)).groupBy(identity).view.mapValues(_.length).toMap
+        assert(gotM == expM, s"seed=$seed strat=$strat")
+      }
+    }
+  }
+
   test("outer joins: both strategies match the brute-force oracle incl. degenerate intervals") {
     (200 to 212).foreach { seed =>
       val g = for {
