@@ -223,6 +223,14 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Delegated: ordered-set aggregates (exact interpolated percentiles)
+    "q38_delegated_percentile" -> ((sp, dir) => {
+      table(sp, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25e"))
+    }),
+
     // Delegated: anti join (customers without orders)
     "q23_delegated_anti" -> ((sp, dir) => {
       val c = table(sp, dir, "customer")
@@ -544,6 +552,13 @@ object SparkEntry {
     "q23_delegated_anti" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q38_delegated_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25e
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q09_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
