@@ -58,6 +58,46 @@ class AsofJoinSpec extends SparkSuite {
     assert(mt(1L) == Some(100L))
   }
 
+  test("property: random inputs with ties and NULL payloads match a brute-force oracle") {
+    val rng = new scala.util.Random(17L)
+    (1 to 8).foreach { round =>
+      val syms = Seq("A", "B", "C")
+      val ls = (1L to 40L).map(i =>
+        (syms(rng.nextInt(3)), rng.nextInt(50).toLong, i))
+      // right side deduped on (sym, q_ts): the carried row at an exact
+      // right-ts tie is unordered in the window sort, so the operator is
+      // only deterministic for unique right timestamps per key
+      val rs = (1L to 30L).map(i =>
+        (syms(rng.nextInt(3)), rng.nextInt(50).toLong,
+          if (rng.nextBoolean()) Some(rng.nextInt(100).toDouble) else None, i))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val lDF = ls.toDF("sym", "t_ts", "trade_id")
+      val rDF = rs.toDF("sym", "q_ts", "px", "q_id")
+      val tol = if (round % 2 == 0) Some(7L) else None
+      val got = AsofJoin.asofJoin(lDF, rDF, "t_ts", "q_ts", Seq("sym" -> "sym"), tol)
+        .select("trade_id", "px", "q_ts")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      ls.foreach { case (sym, ts, id) =>
+        // brute force: the matched ROW is the one with max q_ts <= ts
+        // (within tolerance), tie broken by latest (q_ts, q_id) arrival
+        // order of the window (q_ts, side) sort — at equal q_ts the LAST
+        // right row in (ts, side) order wins, which for the union sort is
+        // the max q_id among the tied rows
+        val cands = rs.filter(r => r._1 == sym && r._2 <= ts &&
+          tol.forall(t => r._2 >= ts - t))
+        val expected =
+          if (cands.isEmpty) (None, None)
+          else {
+            val best = cands.maxBy(_._2)
+            (best._3, Some(best._2))
+          }
+        assert(got(id) == expected, s"round=$round id=$id sym=$sym ts=$ts tol=$tol")
+      }
+    }
+  }
+
   test("plan is one shuffle + window, no nested-loop join") {
     val plan = AsofJoin.asofJoin(trades, quotes, "t_ts", "q_ts", Seq("sym" -> "sym"))
       .queryExecution.executedPlan.toString
