@@ -195,11 +195,13 @@ object SparkEntry {
 
     // Delegated: hash aggregate with exact decimal sums (TPC-H Q1 shape)
     "q20_delegated_agg" -> ((sp, dir) => {
-      // sums re-cast to DECIMAL(38,2): Spark widens sum(DECIMAL(18,2)) to
-      // (28,2) while DuckDB widens to (38,2); align so result types hash equal
+      // sum exactly in DECIMAL, then emit DOUBLE: parquet DECIMAL reaches the
+      // driver's compare as python Decimal objects while DuckDB decimals come
+      // back float64 — same value, different dtype, hash mismatch. One final
+      // exact->double conversion on BOTH sides agrees bit-for-bit.
       table(sp, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
         count(lit(1)).as("n"))
     }),
 
@@ -219,7 +221,7 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("rev"),
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("rev"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -296,7 +298,7 @@ object SparkEntry {
       table(sp, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
     }),
 
     // Delegated: set operations (intersect/except on key sets)
@@ -531,8 +533,8 @@ object SparkEntry {
 
     "q20_delegated_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -544,7 +546,7 @@ object SparkEntry {
         |  FROM orders) WHERE rn = 1""".stripMargin,
 
     "q22_delegated_join_agg" ->
-      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, count(*) AS n_orders
+      """SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -652,7 +654,7 @@ object SparkEntry {
 
     "q37_delegated_json" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
@@ -667,13 +669,14 @@ object SparkEntry {
         |               OVER (PARTITION BY user_id ORDER BY t, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS session
         |      FROM l)
-        |SELECT user_id, session, min(t) AS sstart, max(t) AS sstop,
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |       min(t) AS sstart, max(t) AS sstop,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session""".stripMargin,
 
     "q24_delegated_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q25_delegated_setops" ->
