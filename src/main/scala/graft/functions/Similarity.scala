@@ -198,7 +198,11 @@ object Similarity {
       lshCode(col(vecCol), randomPlanes(planesPerTable, dim, seed + t))): _*)
     // bucket-grouped pair generation (same rewrite as Dedup.nearDupPairs):
     // codes+norms computed once, ONE shuffle, pairs verified in the bucket
-    val buckets = withNorm(df.select(col(idCol).as("id"), col(vecCol), codes.as("codes")),
+    // id cast to long up front (as Dedup.signatures does): the imperative
+    // pair loop reads getLong — an int/string id column would otherwise
+    // ClassCastException at runtime
+    val buckets = withNorm(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol), codes.as("codes")),
         vecCol, "vd", "n")
       .select(col("id"), col("vd"), col("n"), col("codes"),
         posexplode(col("codes")).as(Seq("tbl", "code")))

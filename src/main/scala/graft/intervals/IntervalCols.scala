@@ -38,39 +38,84 @@ object IntervalCols {
   def intervalFromTimestamps(startTs: Column, stopTs: Column): Column =
     interval(unix_micros(startTs) * 1000L, unix_micros(stopTs) * 1000L)
 
-  /** True when `df(name)` is a struct interval whose endpoints are
-    * timestamps (µs precision) rather than long ns — the second interval
-    * representation the engine accepts natively (reference `backto`
-    * semantics: operator outputs keep the input's representation,
-    * `src/DataFrameIntervals.jl:32-35,44-46`). */
-  def isTimestampInterval(df: DataFrame, name: String): Boolean =
+  /** The common timestamp type of `df(name)`'s `start`/`stop` endpoints:
+    * `Some(TimestampType)` (µs instants), `Some(TimestampNTZType)` (µs wall
+    * clock), or None for long/other endpoints — the representations the
+    * engine accepts natively (reference `backto` semantics: operator outputs
+    * keep the input's representation, `src/DataFrameIntervals.jl:32-35,44-46`).
+    * Mixed TZ/NTZ endpoints inside one struct are ambiguous → error. */
+  def timestampEndpointType(df: DataFrame, name: String)
+      : Option[org.apache.spark.sql.types.DataType] =
     df.schema(name).dataType match {
-      case s: org.apache.spark.sql.types.StructType =>
-        Seq("start", "stop").forall(f =>
-          s.fieldNames.contains(f) && (s(f).dataType match {
-            case org.apache.spark.sql.types.TimestampType    => true
-            case org.apache.spark.sql.types.TimestampNTZType => true
-            case _                                           => false
-          }))
-      case _ => false
+      case s: org.apache.spark.sql.types.StructType
+          if Seq("start", "stop").forall(s.fieldNames.contains) =>
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        val ts = Seq("start", "stop").map(f => s(f).dataType).filter(t =>
+          t == TimestampType || t == TimestampNTZType)
+        ts match {
+          case Seq(a, b) if a == b => Some(a)
+          case Seq(_, _) => throw new IllegalArgumentException(
+            s"interval column `$name` mixes TIMESTAMP and TIMESTAMP_NTZ endpoints; " +
+              "use one timestamp type for both start and stop")
+          case _ => None
+        }
+      case _ => None
     }
+
+  def isTimestampInterval(df: DataFrame, name: String): Boolean =
+    timestampEndpointType(df, name).isDefined
 
   /** µs-timestamp struct → long-µs tick struct (NULL-preserving). The
     * interval algebra is unit-agnostic, so timestamp intervals flow through
     * every operator as exact µs ticks — no ns multiplication/division that
-    * would round-trip through lossy arithmetic. */
+    * would round-trip through lossy arithmetic. For NTZ endpoints the tick is
+    * wall-clock µs since 1970-01-01 00:00 via `timestampdiff` — exact and
+    * session-timezone-independent (a cast through TimestampType would shift
+    * with the session zone). */
   def microsFromTimestampStruct(c: Column): Column =
+    microsFromTimestampStruct(c, ntz = false)
+
+  def microsFromTimestampStruct(c: Column, ntz: Boolean): Column = {
+    def ticks(f: Column): Column =
+      if (ntz) ntzDiffMicros(f)
+      else unix_micros(f.cast("timestamp"))
     when(c.isNull, lit(null)).otherwise(
-      interval(unix_micros(c.getField("start").cast("timestamp")),
-        unix_micros(c.getField("stop").cast("timestamp"))))
+      interval(ticks(c.getField("start")), ticks(c.getField("stop"))))
+  }
 
   /** Long-µs tick struct → µs-timestamp struct (`backto` for timestamp
-    * inputs). NULL-preserving: a NULL interval (e.g. an unmatched
-    * outer-join row) stays NULL rather than becoming struct(NULL, NULL). */
+    * inputs; NTZ ticks go back to NTZ via `timestampadd`, preserving the
+    * input representation). NULL-preserving: a NULL interval (e.g. an
+    * unmatched outer-join row) stays NULL rather than becoming
+    * struct(NULL, NULL). */
   def timestampStructFromMicros(c: Column): Column =
+    timestampStructFromMicros(c, ntz = false)
+
+  def timestampStructFromMicros(c: Column, ntz: Boolean): Column = {
+    def back(f: Column): Column =
+      if (ntz) ntzAddMicros(f)
+      else timestamp_micros(f)
     when(c.isNull, lit(null)).otherwise(
-      struct(timestamp_micros(c.getField("start")).as("start"),
-        timestamp_micros(c.getField("stop")).as("stop")))
+      struct(back(c.getField("start")).as("start"),
+        back(c.getField("stop")).as("stop")))
+  }
+
+  private def epochNtz: Column =
+    lit("1970-01-01 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType)
+
+  // timestampdiff/timestampadd have no Scala-functions API (the unit is a
+  // parser keyword) — build the Catalyst expressions via the bridge shim
+  private def ntzDiffMicros(f: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.TimestampDiff("MICROSECOND",
+        org.apache.spark.sql.graftbridge.Bridge.expression(epochNtz),
+        org.apache.spark.sql.graftbridge.Bridge.expression(f)))
+
+  private def ntzAddMicros(t: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.TimestampAdd("MICROSECOND",
+        org.apache.spark.sql.graftbridge.Bridge.expression(t),
+        org.apache.spark.sql.graftbridge.Bridge.expression(epochNtz)))
 
   /** Half-open overlap: `[a,b) ∩ [c,d) ≠ ∅  ⇔  a < d && c < b && a < b && c < d`.
     * Touching intervals (`a.stop == b.start`) do NOT overlap — bound-sensitive

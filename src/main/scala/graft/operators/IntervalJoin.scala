@@ -99,14 +99,16 @@ object IntervalJoin {
     // long-µs ticks for the join, converted back on output (the reference's
     // `backto` contract — results keep the input representation). Mixed
     // long/timestamp sides are ambiguous (whose unit is the long?) → error.
-    val lTs = isTimestampInterval(left, lOnName)
-    val rTs = isTimestampInterval(right, rOnName)
-    if (lTs != rTs)
+    val lTsType = timestampEndpointType(left, lOnName)
+    val rTsType = timestampEndpointType(right, rOnName)
+    if (lTsType != rTsType)
       throw new IllegalArgumentException(
         "interval_join requires both `on` columns in the same representation: " +
-          s"left `$lOnName` is ${if (lTs) "timestamp" else "long"}-based but right " +
-          s"`$rOnName` is ${if (rTs) "timestamp" else "long"}-based; convert one side " +
+          s"left `$lOnName` is ${lTsType.map(_.simpleString).getOrElse("long")}-based but right " +
+          s"`$rOnName` is ${rTsType.map(_.simpleString).getOrElse("long")}-based; convert one side " +
           "(IntervalCols.microsFromTimestampStruct / timestampStructFromMicros).")
+    val lTs = lTsType.isDefined
+    val ntz = lTsType.contains(org.apache.spark.sql.types.TimestampNTZType)
 
     // Output intersection column keeps the LEFT frame's `on` name (ref :76).
     val joinedOn = lOnName
@@ -143,7 +145,7 @@ object IntervalJoin {
       df.select(df.columns.zip(tmp).map { case (c, t) =>
         if (t == onT) {
           val norm = if (opts.checkMissing) rejectNull(col(c), side) else normalize(col(c))
-          val ticks = if (lTs) microsFromTimestampStruct(norm) else norm
+          val ticks = if (lTs) microsFromTimestampStruct(norm, ntz) else norm
           ticks.as(t)
         } else col(c).as(t)
       }: _*)
@@ -185,7 +187,7 @@ object IntervalJoin {
         l2.join(r2, overlaps(col(lOnT), col(rOnT)), joinType)
     }
 
-    def backto(c: Column): Column = if (lTs) timestampStructFromMicros(c) else c
+    def backto(c: Column): Column = if (lTs) timestampStructFromMicros(c, ntz) else c
     val outCols = (lTmp ++ rTmp).zip(finalNames).map { case (t, f) =>
       if (t == lOnT || t == rOnT) backto(col(t)).as(f) else col(t).as(f)
     } :+ backto(intersection(col(lOnT), col(rOnT))).as(joinedOn)

@@ -60,9 +60,12 @@ object QuantileWindows {
       minDuration: Option[Long]): DataFrame =
     if (IntervalCols.isTimestampInterval(df, spancol)) {
       // timestamp-struct span: window in exact long-µs ticks, convert the
-      // output back to timestamps (the reference's `backto` contract)
+      // output back to timestamps (the reference's `backto` contract —
+      // NTZ spans come back as NTZ, TZ spans as TZ)
+      val ntz = IntervalCols.timestampEndpointType(df, spancol)
+        .contains(org.apache.spark.sql.types.TimestampNTZType)
       val ticks = df.select(
-        IntervalCols.microsFromTimestampStruct(col(spancol)).as(spancol))
+        IntervalCols.microsFromTimestampStruct(col(spancol), ntz).as(spancol))
       val wins = IntervalCols.coveringSpan(ticks, spancol) match {
         case Some((lo, hi)) =>
           quantileWindows(df.sparkSession, n, lo, hi, spancol, label, minDuration)
@@ -70,7 +73,7 @@ object QuantileWindows {
           quantileWindows(df.sparkSession, n, 0L, 0L, spancol, label).limit(0)
       }
       wins.select(col(label),
-        IntervalCols.timestampStructFromMicros(col(spancol)).as(spancol))
+        IntervalCols.timestampStructFromMicros(col(spancol), ntz).as(spancol))
     } else IntervalCols.coveringSpan(df, spancol) match {
       case Some((lo, hi)) =>
         quantileWindows(df.sparkSession, n, lo, hi, spancol, label, minDuration)

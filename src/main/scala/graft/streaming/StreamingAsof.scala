@@ -41,8 +41,15 @@ object StreamingAsof {
     val rSchema = StructType(rPayload.map(right.schema(_)) :+
       right.schema(rightTs).copy(name = "__rts"))
 
+    // Collision-free composite key: each field is tagged (N for NULL, else
+    // V<len>:<value>) so ("ab","c") never collides with ("a","bc") and
+    // ("a",NULL) never collides with (NULL,"a") - a raw separator-concat
+    // collides on both (and concat_ws silently skips NULL fields).
     def keyExpr(cols: Seq[String], df: DataFrame) =
-      concat_ws("", cols.map(c => df(c).cast("string")): _*)
+      concat(cols.map { c =>
+        val s = df(c).cast("string")
+        when(s.isNull, lit("N")).otherwise(concat(lit("V"), length(s), lit(":"), s))
+      }: _*)
 
     val lTagged = left.select(
       keyExpr(by.map(_._1), left).as("key"),
@@ -86,7 +93,7 @@ object StreamingAsof {
             if (cur == null || ts >= cur._1) cur = (ts, r.getStruct(4))
           } else {
             val ts = r.getLong(1)
-            val matched = cur != null &&
+            val matched = cur != null && cur._2 != null &&
               tol.forall(t => cur._1 >= ts - t)
             val buf = new Array[Any](nBy + 1 + nL + nR + 1)
             val keys = r.getStruct(5)
@@ -105,7 +112,11 @@ object StreamingAsof {
             acc += new GenericRow(buf)
           }
         }
-        state.update(if (cur == null) (Long.MinValue, null) else cur)
+        // No placeholder state when this batch had only left rows: a
+        // (MinValue, null) sentinel would make a later batch's `matched`
+        // check pass and then NPE dereferencing the null row. NoTimeout
+        // state needs no keep-alive update.
+        if (cur != null) state.update(cur)
         acc.iterator
     }(Encoders.kryo[(Long, Row)], Encoders.row(outSchema))
 

@@ -122,6 +122,15 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("lshNearDupPairs accepts a non-bigint id column (cast up front, no runtime CCE)") {
+    val intIds = vecs.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val lshInt = Similarity.lshNearDupPairs(intIds, 0.95, dim = 16, nTables = 6, planesPerTable = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshLong = Similarity.lshNearDupPairs(vecs, 0.95, dim = 16, nTables = 6, planesPerTable = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshInt == lshLong && lshInt.contains((0L, 1L)))
+  }
+
   test("multimodal stub decode: features match the payload bytes") {
     val df = Seq((1L, "ABC"), (2L, "")).toDF("id", "text")
       .select(col("id"), col("text").cast("binary").as("data"))

@@ -149,6 +149,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join: a key seen with only left rows does not poison state") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Long)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    val joined = graft.streaming.StreamingAsof.asofJoinStream(
+      trades.toDF().toDF("sym", "t_ts", "trade_id"),
+      quotes.toDF().toDF("sym", "q_ts", "px"),
+      "t_ts", "q_ts", Seq("sym" -> "sym"))
+    val q = joined.writeStream.format("memory").queryName("sasof_poison")
+      .outputMode("append").start()
+    try {
+      // batch 1: key B gets ONLY a left row — no right state may be written
+      trades.addData(("B", 50L, 1L))
+      q.processAllAvailable()
+      // batch 2: another left-only trade for B — with a (MinValue, null)
+      // placeholder this NPE'd inside flatMapGroupsWithState
+      trades.addData(("B", 60L, 2L))
+      q.processAllAvailable()
+      // batch 3: a quote finally arrives, then a trade matches it
+      quotes.addData(("B", 70L, 9.5))
+      q.processAllAvailable()
+      trades.addData(("B", 80L, 3L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT trade_id, px FROM sasof_poison").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+      assert(rows == Set((1L, None), (2L, None), (3L, Some(9.5))))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: multi-column keys do not collide on concatenation") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, String, Long, Long)]  // (venue, sym, ts, id)
+    val quotes = MemoryStream[(String, String, Long, Double)]
+    val joined = graft.streaming.StreamingAsof.asofJoinStream(
+      trades.toDF().toDF("venue", "sym", "t_ts", "trade_id"),
+      quotes.toDF().toDF("venue", "sym", "q_ts", "px"),
+      "t_ts", "q_ts", Seq("venue" -> "venue", "sym" -> "sym"))
+    val q = joined.writeStream.format("memory").queryName("sasof_key")
+      .outputMode("append").start()
+    try {
+      // ("ab","c") vs ("a","bc"): a naive concat gives both the key "abc";
+      // the quote belongs ONLY to ("ab","c")
+      quotes.addData(("ab", "c", 100L, 1.5))
+      q.processAllAvailable()
+      trades.addData(("ab", "c", 150L, 1L), ("a", "bc", 150L, 2L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT venue, trade_id, px FROM sasof_key").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(rows == Set(("ab", 1L, Some(1.5)), ("a", 2L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches overlapping pairs") {
     implicit val sqlCtx = spark.sqlContext
     val leftIn = MemoryStream[(Long, Long, Long)]

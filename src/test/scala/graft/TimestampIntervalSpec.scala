@@ -81,4 +81,59 @@ class TimestampIntervalSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("same representation"))
   }
+
+  /** NTZ fixture: same µs ticks as tsDf but wall-clock timestamps. */
+  lazy val ntzDf = tsDf.select(col("label"), col("x"),
+    struct(col("span.start").cast(TimestampNTZType).as("start"),
+      col("span.stop").cast(TimestampNTZType).as("stop")).as("span"))
+
+  test("NTZ intervals come back as NTZ, with values independent of the session timezone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      def runJoin() = {
+        val w = QuantileWindows.quantileWindows(4, ntzDf, "span", "q")
+        val t = w.schema("span").dataType.asInstanceOf[StructType]
+        assert(t("start").dataType == TimestampNTZType && t("stop").dataType == TimestampNTZType)
+        val j = IntervalJoin.intervalJoin(ntzDf, w, "span")
+        for (c <- Seq("span_left", "span_right", "span")) {
+          val ct = j.schema(c).dataType.asInstanceOf[StructType]
+          assert(ct("start").dataType == TimestampNTZType, s"$c keeps NTZ (backto)")
+        }
+        j.select(col("label"), col("q"), col("span.start").cast("string"),
+            col("span.stop").cast("string"))
+          .collect().map(_.toSeq).toSet
+      }
+      val inUtc = runJoin()
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val inTokyo = runJoin()
+      // wall-clock semantics: identical results regardless of session zone
+      assert(inUtc == inTokyo && inUtc.nonEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("NTZ join results equal the TZ join results on the same ticks (UTC session)") {
+    val w = QuantileWindows.quantileWindows(4, tsDf, "span", "q")
+    val wN = QuantileWindows.quantileWindows(4, ntzDf, "span", "q")
+    val jTs = IntervalJoin.intervalJoin(tsDf, w, "span")
+      .select(col("label"), col("x"), col("q"),
+        unix_micros(col("span.start")).as("is"), unix_micros(col("span.stop")).as("ie"))
+    val jNtz = IntervalJoin.intervalJoin(ntzDf, wN, "span")
+      .select(col("label"), col("x"), col("q"),
+        expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', span.start)").as("is"),
+        expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', span.stop)").as("ie"))
+    assertSameRows(jTs, jNtz)
+  }
+
+  test("NTZ/TZ mixed sides and mixed endpoints are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(ntzDf, tsDf.select(col("span")), "span")
+    }
+    assert(e.getMessage.contains("same representation"))
+    val mixed = tsDf.select(struct(col("span.start"),
+      col("span.stop").cast(TimestampNTZType).as("stop")).as("span"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(mixed, mixed, "span")
+    }
+    assert(e2.getMessage.contains("mixes TIMESTAMP and TIMESTAMP_NTZ"))
+  }
 }
