@@ -87,6 +87,57 @@ object SparkEntry {
        |               lo + (i+1)*((hi-lo)//$n) + ((i+1)*((hi-lo)%$n))//$n AS we
        |        FROM sp, range($n) t(i))""".stripMargin
 
+  /** Two deterministic per-custkey interval sets for the set-algebra queries:
+    * A = order spans (as q28), B = the same orders shifted +10 days with a
+    * (o_orderkey % 45)+1 day width. */
+  private def setOpFixtures(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+    val day = 86400000000000L
+    val o = table(spark, dir, "orders")
+    val a = o.select(col("o_custkey"),
+      IntervalCols.interval(startNs,
+        startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L) * lit(day)).as("span"))
+    val b = o.select(col("o_custkey"),
+      IntervalCols.interval(startNs + lit(10L * day),
+        startNs + lit(10L * day) +
+          (pmod(col("o_orderkey"), lit(45L)) + 1L) * lit(day)).as("span"))
+    (a, b)
+  }
+
+  /** DuckDB replica of the set-algebra boundary sweep (same fixtures). */
+  private def setOpSql(pred: String, sCol: String, eCol: String) =
+    s"""WITH A AS (
+       |  SELECT o_custkey AS k, epoch_us(o_orderdate)*1000 AS s,
+       |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+       |  FROM orders),
+       |B AS (
+       |  SELECT o_custkey AS k, epoch_us(o_orderdate)*1000 + 10*86400000000000 AS s,
+       |         epoch_us(o_orderdate)*1000 + 10*86400000000000
+       |           + ((o_orderkey % 45)+1)*86400000000000 AS e
+       |  FROM orders),
+       |ev AS (
+       |  SELECT k, s AS pos, 1 AS da, 0 AS db FROM A WHERE s < e
+       |  UNION ALL SELECT k, e, -1, 0 FROM A WHERE s < e
+       |  UNION ALL SELECT k, s, 0, 1 FROM B WHERE s < e
+       |  UNION ALL SELECT k, e, 0, -1 FROM B WHERE s < e),
+       |g AS (SELECT k, pos, sum(da) AS da, sum(db) AS db FROM ev GROUP BY k, pos),
+       |c AS (SELECT k, pos,
+       |             sum(da) OVER w AS ca, sum(db) OVER w AS cb,
+       |             lead(pos) OVER (PARTITION BY k ORDER BY pos) AS nxt
+       |      FROM g WINDOW w AS (PARTITION BY k ORDER BY pos ROWS UNBOUNDED PRECEDING)),
+       |seg AS (SELECT k, pos AS s, nxt AS e FROM c
+       |        WHERE nxt IS NOT NULL AND pos < nxt AND $pred),
+       |m AS (SELECT k, s, e,
+       |             max(e) OVER (PARTITION BY k ORDER BY s, e
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+       |      FROM seg),
+       |gg AS (SELECT k, s, e,
+       |              sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+       |                OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+       |       FROM m)
+       |SELECT k AS o_custkey, min(s) AS $sCol, max(e) AS $eCol
+       |FROM gg GROUP BY k, grp""".stripMargin
+
   private def windowsOver(df: DataFrame, n: Int, label: String): DataFrame =
     QuantileWindows.quantileWindows(n, df, "span", label)
 
@@ -274,6 +325,22 @@ object SparkEntry {
           col("span.stop").as("gstop"))
     }),
 
+    // Interval-set algebra between two tables: A = order spans, B = the same
+    // orders shifted +10 days with a different width — coverage ∩ / \ per key
+    "q39_interval_set_intersect" -> ((sp, dir) => {
+      val (a, b) = setOpFixtures(sp, dir)
+      graft.operators.IntervalOps.setIntersect(a, b, Seq("o_custkey"), "span")
+        .select(col("o_custkey"), col("span.start").as("istart"),
+          col("span.stop").as("istop"))
+    }),
+
+    "q40_interval_set_subtract" -> ((sp, dir) => {
+      val (a, b) = setOpFixtures(sp, dir)
+      graft.operators.IntervalOps.setSubtract(a, b, Seq("o_custkey"), "span")
+        .select(col("o_custkey"), col("span.start").as("dstart"),
+          col("span.stop").as("dstop"))
+    }),
+
     // Delegated: JSON scalar extraction + aggregate over the events payload
     "q37_delegated_json" -> ((sp, dir) => {
       table(sp, dir, "events")
@@ -380,6 +447,13 @@ object SparkEntry {
           round(TF.ngramJaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
     }),
 
+    // Text: corpus TF-IDF, top-5 terms per document (inverted-index shape)
+    "q42_tfidf_top" -> ((sp, dir) => {
+      graft.functions.TfIdf.topTerms(table(sp, dir, "documents"), "doc_id", "text", 5)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // Dedup: 32-bit SimHash per document
     "q14_simhash" -> ((sp, dir) =>
       table(sp, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))),
@@ -432,6 +506,19 @@ object SparkEntry {
           col("value").as("purchase_value"))
       graft.operators.AsofJoin.asofJoin(clicks, purchases, "ts", "pts",
         Seq("user_id" -> "user_id"))
+    }),
+
+    // Forward as-of: for each click, the FIRST purchase at/after it per user
+    "q41_asof_forward" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tsq").as("ts"), col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsq").as("pts"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin.asofJoin(clicks, purchases, "ts", "pts",
+        Seq("user_id" -> "user_id"),
+        direction = graft.operators.AsofJoin.Direction.Forward)
     }),
 
     // Multimodal: binary payload -> partition-parallel stub decode
@@ -652,6 +739,12 @@ object SparkEntry {
         |SELECT o_custkey, pe AS gstart, ms AS gstop
         |FROM lg WHERE pe IS NOT NULL AND pe < ms""".stripMargin,
 
+    "q39_interval_set_intersect" ->
+      setOpSql("ca > 0 AND cb > 0", "istart", "istop"),
+
+    "q40_interval_set_subtract" ->
+      setOpSql("ca > 0 AND cb = 0", "dstart", "dstop"),
+
     "q37_delegated_json" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -747,6 +840,24 @@ object SparkEntry {
          |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
+    "q42_tfidf_top" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |             tf * (ln((nd + 1.0)/(df + 1.0)) + 1.0) AS score
+        |      FROM tf JOIN dfr USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, term, tf, df, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
     "q14_simhash" -> {
       val hsSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t),1,15))::BIGINT)"
       val bitTerms = (0 until 32).map { j =>
@@ -782,6 +893,14 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q41_asof_forward" ->
+      """SELECT l.user_id, epoch_ns(l.ts) AS ts, l.event_id AS click_id,
+        |       r.event_id AS purchase_id, r.value AS purchase_value,
+        |       epoch_ns(r.ts) AS pts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

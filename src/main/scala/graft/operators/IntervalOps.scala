@@ -55,6 +55,62 @@ object IntervalOps {
         struct(col("__pe").as("start"), col(s"$spancol.start").as("stop")).as(spancol): _*)
   }
 
+  /** Interval-set algebra BETWEEN two tables, per key: regions covered by
+    * both sets (`setIntersect`) or by `a` but not `b` (`setSubtract`).
+    * Generalizes the reference's single-set `IntervalSet` union
+    * (`src/DataFrameIntervals.jl:385`) to two operands — coverage windows
+    * vs artifact/noise windows is the canonical biosignal use.
+    *
+    * Shape: a boundary sweep expressed relationally — every interval emits
+    * a +1/-1 event for its side, events collapse per (key, position), two
+    * running sums give each side's coverage on the segment to the next
+    * boundary, segments passing the predicate are kept and touching runs
+    * merged. One shuffle to (key, pos), one window sort per key, no join,
+    * no explode; per-key work is linear in boundary count, so the plan
+    * scales like the merge/gaps pass. Degenerate inputs (start >= stop =
+    * empty set) are dropped up front. */
+  def setIntersect(a: DataFrame, b: DataFrame, keys: Seq[String], spancol: String): DataFrame =
+    setCombine(a, b, keys, spancol, (ca, cb) => ca > 0 && cb > 0)
+
+  def setSubtract(a: DataFrame, b: DataFrame, keys: Seq[String], spancol: String): DataFrame =
+    setCombine(a, b, keys, spancol, (ca, cb) => ca > 0 && cb === 0)
+
+  /** Union of two interval sets = merge of the concatenation. */
+  def setUnion(a: DataFrame, b: DataFrame, keys: Seq[String], spancol: String): DataFrame = {
+    val cols = keys.map(col) :+ col(spancol)
+    mergeIntervals(a.select(cols: _*).unionAll(b.select(cols: _*)), keys, spancol)
+      .drop("n_merged")
+  }
+
+  private def setCombine(a: DataFrame, b: DataFrame, keys: Seq[String],
+      spancol: String, keep: (Column, Column) => Column): DataFrame = {
+    def events(df: DataFrame, da: Int, db: Int) = {
+      val s = col(s"$spancol.start")
+      val e = col(s"$spancol.stop")
+      val nonEmpty = df.where(s < e)
+      nonEmpty.select(keys.map(col) :+ s.as("__pos") :+
+          lit(da.toLong).as("__da") :+ lit(db.toLong).as("__db"): _*)
+        .unionAll(nonEmpty.select(keys.map(col) :+ e.as("__pos") :+
+          lit(-da.toLong).as("__da") :+ lit(-db.toLong).as("__db"): _*))
+    }
+    // collapse events per boundary so lead(pos) is the next DISTINCT position
+    val ev = events(a, 1, 0).unionAll(events(b, 0, 1))
+      .groupBy(keys.map(col) :+ col("__pos"): _*)
+      .agg(sum("__da").as("__da"), sum("__db").as("__db"))
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("__pos"))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    val seg = ev.select(keys.map(col) :+ col("__pos") :+
+        sum(col("__da")).over(run).as("__ca") :+
+        sum(col("__db")).over(run).as("__cb") :+
+        lead(col("__pos"), 1).over(byKey).as("__nxt"): _*)
+      .where(col("__nxt").isNotNull && col("__pos") < col("__nxt") &&
+        keep(col("__ca"), col("__cb")))
+      .select(keys.map(col) :+
+        struct(col("__pos").as("start"), col("__nxt").as("stop")).as(spancol): _*)
+    // adjacent kept segments share a boundary — merge touching runs
+    mergeIntervals(seg, keys, spancol).drop("n_merged")
+  }
+
   /** Gap-based sessionization: point events (`tsCol`, long ns) split into
     * sessions per key wherever the gap to the previous event exceeds
     * `gapNs`. Output: keys, session `struct<start,stop>` (stop = last event

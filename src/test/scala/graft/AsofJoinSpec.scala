@@ -98,6 +98,68 @@ class AsofJoinSpec extends SparkSuite {
     }
   }
 
+  test("forward as-of picks smallest right ts >= left ts; nearest picks the closer side") {
+    import AsofJoin.Direction
+    def runDir(d: AsofJoin.Direction, tol: Option[Long] = None) =
+      AsofJoin.asofJoin(trades, quotes, "t_ts", "q_ts", Seq("sym" -> "sym"), tol, d)
+        .collect().map(r => r.getLong(2) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    val f = runDir(Direction.Forward)
+    assert(f(1L) == ((Some(1.5), Some(100L))))   // equal ts visible forward too
+    assert(f(2L) == ((None, None)))              // nothing at/after 205 for A
+    assert(f(3L) == ((Some(9.0), Some(60L))))    // first at/after 50
+    assert(f(5L) == ((None, None)))
+    val n = runDir(Direction.Nearest)
+    assert(n(1L) == ((Some(1.5), Some(100L))))   // exact match, dist 0
+    assert(n(2L) == ((Some(2.0), Some(200L))))   // only backward exists
+    assert(n(3L) == ((Some(9.0), Some(60L))))    // only forward exists
+    // tolerance applies per side: forward match at dist 10 dropped at tol 5
+    val ft = runDir(Direction.Forward, Some(5L))
+    assert(ft(3L) == ((None, None)))             // 60 - 50 = 10 > 5
+  }
+
+  test("nearest tie prefers backward; equidistant quotes resolve deterministically") {
+    val q = Seq(("A", 95L, 1.0), ("A", 105L, 2.0)).toDF("sym", "q_ts", "px")
+    val l = Seq(("A", 100L, 1L)).toDF("sym", "t_ts", "trade_id")
+    val m = AsofJoin.asofJoin(l, q, "t_ts", "q_ts", Seq("sym" -> "sym"),
+        None, AsofJoin.Direction.Nearest)
+      .collect().map(r => (r.get(3), r.get(4))).head
+    assert(m == ((1.0, 95L)))                    // dist 5 both ways -> backward
+  }
+
+  test("property: forward and nearest match a brute-force oracle") {
+    val rng = new scala.util.Random(23L)
+    (1 to 6).foreach { round =>
+      val syms = Seq("A", "B")
+      val ls = (1L to 30L).map(i => (syms(rng.nextInt(2)), rng.nextInt(50).toLong, i))
+      val rs = (1L to 25L).map(i =>
+        (syms(rng.nextInt(2)), rng.nextInt(50).toLong, rng.nextInt(100).toDouble, i))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val lDF = ls.toDF("sym", "t_ts", "trade_id")
+      val rDF = rs.toDF("sym", "q_ts", "px", "q_id")
+      val tol = if (round % 2 == 0) Some(6L) else None
+      def collectDir(d: AsofJoin.Direction) =
+        AsofJoin.asofJoin(lDF, rDF, "t_ts", "q_ts", Seq("sym" -> "sym"), tol, d)
+          .select("trade_id", "q_ts")
+          .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val fGot = collectDir(AsofJoin.Direction.Forward)
+      val nGot = collectDir(AsofJoin.Direction.Nearest)
+      ls.foreach { case (sym, ts, id) =>
+        val back = rs.filter(r => r._1 == sym && r._2 <= ts && tol.forall(t => r._2 >= ts - t))
+          .sortBy(_._2).lastOption.map(_._2)
+        val fwd = rs.filter(r => r._1 == sym && r._2 >= ts && tol.forall(t => r._2 <= ts + t))
+          .sortBy(_._2).headOption.map(_._2)
+        assert(fGot(id) == fwd, s"forward round=$round id=$id")
+        val nearest = (back, fwd) match {
+          case (Some(b), Some(f)) => if (ts - b <= f - ts) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        assert(nGot(id) == nearest, s"nearest round=$round id=$id")
+      }
+    }
+  }
+
   test("plan is one shuffle + window, no nested-loop join") {
     val plan = AsofJoin.asofJoin(trades, quotes, "t_ts", "q_ts", Seq("sym" -> "sym"))
       .queryExecution.executedPlan.toString

@@ -109,6 +109,86 @@ class IntervalOpsSpec extends SparkSuite {
     }
   }
 
+  test("setIntersect/setSubtract/setUnion on hand-built sets") {
+    val a = spans(("k1", 0L, 10L), ("k1", 20L, 30L), ("k2", 0L, 5L))
+    val b = spans(("k1", 5L, 25L), ("k2", 10L, 15L))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("span.start"), col("span.stop"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // A∩B: [5,10) and [20,25) for k1; nothing for k2 (disjoint)
+    assert(collect(IntervalOps.setIntersect(a, b, Seq("k"), "span")) ==
+      Set(("k1", 5L, 10L), ("k1", 20L, 25L)))
+    // A\B: [0,5) and [25,30) for k1; all of k2's A
+    assert(collect(IntervalOps.setSubtract(a, b, Seq("k"), "span")) ==
+      Set(("k1", 0L, 5L), ("k1", 25L, 30L), ("k2", 0L, 5L)))
+    // A∪B merges the touching/overlapping chain [0,10)∪[5,25)∪[20,30) = [0,30)
+    assert(collect(IntervalOps.setUnion(a, b, Seq("k"), "span")) ==
+      Set(("k1", 0L, 30L), ("k2", 0L, 5L), ("k2", 10L, 15L)))
+  }
+
+  test("set ops: adjacent segments merge; empty operands and degenerate intervals behave") {
+    // B splits exactly at an internal boundary: intersect segments [0,4),[4,10)
+    // must come back merged as [0,10)
+    val a = spans(("k", 0L, 10L))
+    val b = spans(("k", 0L, 4L), ("k", 4L, 10L))
+    val i = IntervalOps.setIntersect(a, b, Seq("k"), "span")
+      .select(col("span.start"), col("span.stop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(i == Set((0L, 10L)))
+    // degenerate (start >= stop) rows are empty sets: no effect on either side
+    val aDeg = spans(("k", 0L, 10L), ("k", 7L, 7L), ("k", 9L, 3L))
+    val bDeg = spans(("k", 2L, 2L))
+    assert(IntervalOps.setIntersect(aDeg, bDeg, Seq("k"), "span").count() == 0)
+    val s = IntervalOps.setSubtract(aDeg, bDeg, Seq("k"), "span")
+      .select(col("span.start"), col("span.stop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s == Set((0L, 10L)))
+    // empty B: subtract = merged A, intersect = empty
+    val empty = spans().where(lit(false))
+    assert(IntervalOps.setIntersect(a, empty, Seq("k"), "span").count() == 0)
+    assert(IntervalOps.setSubtract(a, empty, Seq("k"), "span")
+      .select(col("span.start"), col("span.stop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 10L)))
+  }
+
+  test("property: set ops equal dense-point simulation on random sets") {
+    (1 to 10).foreach { seed =>
+      val rng = new scala.util.Random(4000L + seed)
+      def mk(n: Int) = List.fill(n) {
+        val s = rng.nextInt(300).toLong; ("k", s, s + 1L + rng.nextInt(40))
+      }
+      val xs = mk(1 + rng.nextInt(25))
+      val ys = mk(rng.nextInt(25))
+      val aCov = (0L until 400L).filter(p => xs.exists(x => x._2 <= p && p < x._3)).toSet
+      val bCov = (0L until 400L).filter(p => ys.exists(y => y._2 <= p && p < y._3)).toSet
+      def toIntervals(pts: Set[Long]): Set[(Long, Long)] =
+        if (pts.isEmpty) Set.empty
+        else pts.toSeq.sorted.foldLeft(List.empty[(Long, Long)]) {
+          case (Nil, p) => List((p, p + 1))
+          case ((s, e) :: t, p) => if (p == e) (s, p + 1) :: t else (p, p + 1) :: (s, e) :: t
+        }.toSet
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("span.start"), col("span.stop"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val aDf = spans(xs: _*)
+      val bDf = if (ys.isEmpty) spans(xs: _*).where(lit(false)) else spans(ys: _*)
+      assert(run(IntervalOps.setIntersect(aDf, bDf, Seq("k"), "span")) ==
+        toIntervals(aCov intersect bCov), s"intersect seed=$seed")
+      assert(run(IntervalOps.setSubtract(aDf, bDf, Seq("k"), "span")) ==
+        toIntervals(aCov diff bCov), s"subtract seed=$seed")
+      assert(run(IntervalOps.setUnion(aDf, bDf, Seq("k"), "span")) ==
+        toIntervals(aCov union bCov), s"union seed=$seed")
+    }
+  }
+
+  test("set ops plan: no join, no explode — boundary sweep is window-only") {
+    val a = spans(("k", 0L, 10L))
+    val b = spans(("k", 5L, 15L))
+    val plan = IntervalOps.setIntersect(a, b, Seq("k"), "span")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Generate"))
+  }
+
   test("single shuffle: plan has one Exchange for window + reuses it for the aggregate") {
     val d = spans(("a", 0L, 10L))
     val plan = IntervalOps.mergeIntervals(d, Seq("k"), "span").queryExecution.executedPlan.toString

@@ -89,6 +89,35 @@ class TextDedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("tfidf: exact tf/df counts; rare terms outrank stopwords; top-k bounded") {
+    import graft.functions.TfIdf
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "the zebra ran")).toDF("doc_id", "text")
+    val s = TfIdf.docTermScores(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byKey = s.map(x => (x._1, x._2) -> x).toMap
+    // tf: "the" twice in doc 1; df: "the" in all 3 docs, "sat" in 2, "zebra" in 1
+    assert(byKey((1L, "the"))._3 == 2L && byKey((1L, "the"))._4 == 3L)
+    assert(byKey((2L, "sat"))._4 == 2L && byKey((3L, "zebra"))._4 == 1L)
+    // smoothed idf: score = tf * (ln((N+1)/(df+1)) + 1), N = 3
+    val exp = 1.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert(math.abs(byKey((3L, "zebra"))._5 - exp) < 1e-12)
+    // rare term outranks the ubiquitous one within its doc
+    assert(byKey((3L, "zebra"))._5 > byKey((3L, "the"))._5)
+    // top-k bounded per doc, ranked by score then term: doc 1's "the" wins on
+    // tf=2 (score exactly 2.0); doc 3 has a 3-way tie at tf=1,df=1 broken by
+    // term order -> "ran" first
+    val top = TfIdf.topTerms(corpus, "doc_id", "text", 2)
+    assert(top.groupBy("id").count().collect().forall(_.getLong(1) <= 2L))
+    val top1 = top.where(col("id") === 1L && col("rank") === 1L).head()
+    assert(top1.getString(top1.fieldIndex("term")) == "the" &&
+      top1.getDouble(top1.fieldIndex("score")) == 2.0)
+    val top3 = top.where(col("id") === 3L && col("rank") === 1L).head()
+    assert(top3.getString(top3.fieldIndex("term")) == "ran")
+  }
+
   test("no UDFs: text ops stay codegen expressions (plan contains no BatchEvalPython/ScalaUDF)") {
     val plan = docs.select(TF.fingerprint(col("text")), Dedup.simhash32(col("text")))
       .queryExecution.executedPlan.toString
