@@ -54,4 +54,40 @@ class ApiAndIOSpec extends SparkSuite {
     assert(back.intervalJoin(quarters, "span").count() ==
       df.intervalJoin(quarters, "span").count())
   }
+
+  test("interval layout sink: bucket partition pruning is lossless and actually prunes") {
+    import graft.sources.IntervalLayout
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = Files.createTempDirectory("graft_layout").toString + "/spans"
+    val binWidth = 20000000000L // 20 s buckets over the ~600 s fixture
+    IntervalLayout.write(df, dir, "span", binWidth)
+    val (w, maxLen) = IntervalLayout.readMeta(spark, dir)
+    assert(w == binWidth)
+    assert(maxLen == df.select(max(expr("span.stop - span.start"))).head().getLong(0))
+
+    // probe a narrow mid-corpus window
+    val Some((lo, hi)) = graft.intervals.IntervalCols.coveringSpan(df, "span")
+    val qlo = lo + (hi - lo) / 2
+    val qhi = qlo + 30000000000L
+    val pruned = IntervalLayout.readOverlapping(spark, dir, "span", qlo, qhi)
+    // lossless: equals the brute-force overlap filter over the raw frame
+    val expected = df.where(graft.intervals.IntervalCols.overlaps(col("span"),
+      graft.intervals.IntervalCols.interval(lit(qlo), lit(qhi))))
+    assertSameRows(pruned.select("label", "x", "span"), expected)
+
+    // and it PRUNES: the scan's partition filters select a strict subset
+    val plan = pruned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, "bucket predicate must hit the partition index")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    val total = spark.read.parquet(dir).select("__bucket").distinct().count()
+    assert(selected < total, s"selected=$selected of $total buckets — no pruning happened")
+    // widened range really is needed: a long interval starting before qlo
+    // but overlapping it is still found
+    assert(pruned.count() == expected.count())
+  }
 }
