@@ -291,6 +291,33 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
     }),
 
+    // Delegated: semi join (customers WITH at least one order)
+    "q43_delegated_semi" -> ((sp, dir) => {
+      val c = table(sp, dir, "customer")
+      val o = table(sp, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_nationkey")
+    }),
+
+    // Delegated: deterministic top-k (total order via the unique key tiebreak)
+    "q44_delegated_topk" -> ((sp, dir) =>
+      table(sp, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // Delegated: pivot — one column per order status, exact decimal sums
+    // emitted as DOUBLE (same dtype rule as q20)
+    "q45_delegated_pivot" -> ((sp, dir) =>
+      table(sp, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))))
+        .select(col("o_orderpriority"),
+          col("F").cast("double").as("f_total"),
+          col("O").cast("double").as("o_total"),
+          col("P").cast("double").as("p_total"))),
+
     // Interval-set union: coalesce overlapping order spans per customer
     "q28_merge_intervals" -> ((sp, dir) => {
       val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
@@ -641,6 +668,24 @@ object SparkEntry {
     "q23_delegated_anti" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q43_delegated_semi" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q44_delegated_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q45_delegated_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q38_delegated_percentile" ->
       """SELECT l_returnflag,
