@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** One row per (doc, term): `id, term, tf, df, score`. */
+  /** One row per (doc, term): `id, term, tf, df, score`. Document frequency
+    * comes from a count-over-term window on the already-unique (doc, term)
+    * rows — one term-keyed sort instead of a groupBy + self-join (the tf
+    * frame would otherwise be computed once per join side). */
   def docTermScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    tf.join(dft, "term")
+    val wTerm = Window.partitionBy("term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"), col("df"),
         (col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0)).as("score"))

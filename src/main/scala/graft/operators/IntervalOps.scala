@@ -93,12 +93,15 @@ object IntervalOps {
         .unionAll(nonEmpty.select(keys.map(col) :+ e.as("__pos") :+
           lit(-da.toLong).as("__da") :+ lit(-db.toLong).as("__db"): _*))
     }
-    // collapse events per boundary so lead(pos) is the next DISTINCT position
+    // ONE shuffle: the RANGE frame makes the running sum peer-inclusive (all
+    // deltas at the same position count), so no separate per-(key, pos)
+    // collapse pass is needed. Rows that are not the last of their position's
+    // peer group see lead(pos) == pos and are filtered by `pos < nxt`; the
+    // last peer row carries the full coverage at that boundary. Peer order
+    // within a position is arbitrary but cannot affect the output.
     val ev = events(a, 1, 0).unionAll(events(b, 0, 1))
-      .groupBy(keys.map(col) :+ col("__pos"): _*)
-      .agg(sum("__da").as("__da"), sum("__db").as("__db"))
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("__pos"))
-    val run = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    val run = byKey.rangeBetween(Window.unboundedPreceding, 0)
     val seg = ev.select(keys.map(col) :+ col("__pos") :+
         sum(col("__da")).over(run).as("__ca") :+
         sum(col("__db")).over(run).as("__cb") :+
