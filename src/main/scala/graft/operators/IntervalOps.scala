@@ -34,26 +34,46 @@ object IntervalOps {
         col("n_merged"): _*)
   }
 
+  /** Per-key coverage segments from a single boundary sweep: one row per
+    * (key, boundary) with the coverage count on `[__pos, __nxt)`. Shared by
+    * [[coveredDuration]] and [[gaps]] — ONE shuffle + one in-partition sort,
+    * no merge pre-pass. The RANGE frame makes the running sum peer-inclusive
+    * (all deltas at one position count); non-last peer rows see
+    * `lead(pos) == pos` and drop out via the `__pos < __nxt` filters
+    * downstream. */
+  private def coverageSegments(df: DataFrame, keys: Seq[String], spancol: String): DataFrame = {
+    val s = col(s"$spancol.start")
+    val e = col(s"$spancol.stop")
+    val nonEmpty = df.where(s < e)
+    val ev = nonEmpty.select(keys.map(col) :+ s.as("__pos") :+ lit(1L).as("__d"): _*)
+      .unionAll(nonEmpty.select(keys.map(col) :+ e.as("__pos") :+ lit(-1L).as("__d"): _*))
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("__pos"))
+    ev.select(keys.map(col) :+ col("__pos") :+
+      sum(col("__d")).over(byKey.rangeBetween(Window.unboundedPreceding, 0)).as("__ca") :+
+      lead(col("__pos"), 1).over(byKey).as("__nxt"): _*)
+  }
+
   /** Total covered duration per key after merging (interval-set measure —
-    * overlap counted once). */
+    * overlap counted once). Stays on the merge pass rather than the coverage
+    * sweep: the sweep doubles the row count (two boundary events per
+    * interval) and scans the source twice for a scalar-per-key answer —
+    * measured 3× slower warm than merge + sum at sf0.1. */
   def coveredDuration(df: DataFrame, keys: Seq[String], spancol: String): DataFrame =
     mergeIntervals(df, keys, spancol)
       .groupBy(keys.map(col): _*)
       .agg(sum(col(s"$spancol.stop") - col(s"$spancol.start")).as("covered"))
 
   /** Gaps (interval-set complement between covered regions) per key: one
-    * row per maximal uncovered interval strictly between two merged
-    * intervals — downtime/silence detection. Same single sort-based pass
-    * as the merge; no self-join. */
-  def gaps(df: DataFrame, keys: Seq[String], spancol: String): DataFrame = {
-    val merged = mergeIntervals(df, keys, spancol)
-    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(s"$spancol.start"))
-    merged
-      .withColumn("__pe", lag(col(s"$spancol.stop"), 1).over(byKey))
-      .where(col("__pe").isNotNull && col("__pe") < col(s"$spancol.start"))
+    * row per maximal uncovered interval strictly between two covered runs —
+    * downtime/silence detection. Zero-coverage segments are maximal by
+    * construction (the next boundary after coverage hits 0 is always a
+    * start), so the sweep output needs no re-merge; the trailing
+    * zero-coverage region has no next boundary and is filtered. */
+  def gaps(df: DataFrame, keys: Seq[String], spancol: String): DataFrame =
+    coverageSegments(df, keys, spancol)
+      .where(col("__nxt").isNotNull && col("__pos") < col("__nxt") && col("__ca") === 0)
       .select(keys.map(col) :+
-        struct(col("__pe").as("start"), col(s"$spancol.start").as("stop")).as(spancol): _*)
-  }
+        struct(col("__pos").as("start"), col("__nxt").as("stop")).as(spancol): _*)
 
   /** Interval-set algebra BETWEEN two tables, per key: regions covered by
     * both sets (`setIntersect`) or by `a` but not `b` (`setSubtract`).
