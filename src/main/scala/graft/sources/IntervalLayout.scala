@@ -67,6 +67,64 @@ object IntervalLayout {
       .drop("__bucket")
   }
 
+  /** Pre-binned bucketed table: each row exploded to the fixed-origin bins
+    * `floor(start/binWidth) .. floor((stop-1)/binWidth)` and saved bucketed
+    * AND sorted by `__bin`. Two tables written with the same `binWidth` and
+    * `nBuckets` then join on `__bin` with NO exchange and NO sort — the
+    * repeated-join pattern (a static reference set probed by every pipeline
+    * run) pays the shuffle once at write time instead of per query.
+    *
+    * The bin origin is fixed at epoch 0 (not the corpus minimum, which would
+    * differ between independently-written tables). Degenerate intervals
+    * (`start >= stop`, the empty set) get no bins and drop out, matching the
+    * join operators. */
+  def writeBinnedTable(df: DataFrame, tableName: String, spancol: String,
+      binWidth: Long, nBuckets: Int, mode: String = "overwrite"): Unit = {
+    require(binWidth > 0 && nBuckets > 0, "binWidth and nBuckets must be positive")
+    val bins = expr(
+      s"case when ($spancol.start) < ($spancol.stop) " +
+        s"then sequence(${floorDivSql(s"$spancol.start", binWidth)}, " +
+        s"${floorDivSql(s"$spancol.stop - 1", binWidth)}) " +
+        "else cast(array() as array<bigint>) end")
+    df.withColumn("__bin", explode(bins))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "__bin").sortBy("__bin")
+      .mode(mode).saveAsTable(tableName)
+  }
+
+  /** Join two pre-binned tables written with the SAME `binWidth`/`nBuckets`:
+    * bin equality + overlap residual + first-overlap-bin dedup (each pair
+    * survives only in the bin containing `greatest(a.start, b.start)`, so no
+    * distinct pass). Non-span column names must not collide across the two
+    * tables. Output mirrors `intervalJoin`'s default contract: a's span as
+    * `<spancolA>_left`, b's as `<spancolB>_right`, the intersection interval
+    * under a's span name, payload columns unchanged. */
+  def joinBinnedTables(spark: SparkSession, tableA: String, tableB: String,
+      spancolA: String, spancolB: String, binWidth: Long): DataFrame = {
+    val a = spark.table(tableA)
+    val b = spark.table(tableB)
+    val clash = a.columns.filterNot(c => c == "__bin" || c == spancolA)
+      .intersect(b.columns.filterNot(c => c == "__bin" || c == spancolB))
+    require(clash.isEmpty, s"ambiguous payload columns: ${clash.mkString(", ")}")
+    val sA = s"__a.$spancolA"
+    val sB = s"__b.$spancolB"
+    val cond = col("__a.__bin") === col("__b.__bin") &&
+      col(s"$sA.start") < col(s"$sB.stop") && col(s"$sB.start") < col(s"$sA.stop") &&
+      col("__a.__bin") === expr(floorDivSql(s"greatest($sA.start, $sB.start)", binWidth))
+    val aPayload = a.columns.filterNot(c => c == "__bin" || c == spancolA)
+    val bPayload = b.columns.filterNot(c => c == "__bin" || c == spancolB)
+    a.as("__a").join(b.as("__b"), cond, "inner")
+      .select(
+        aPayload.map(c => col(s"__a.$c")) ++
+          Seq(col(sA).as(s"${spancolA}_left")) ++
+          bPayload.map(c => col(s"__b.$c")) ++
+          Seq(col(sB).as(s"${spancolB}_right")) :+
+          IntervalCols.intersection(col(sA), col(sB)).as(spancolA): _*)
+  }
+
+  private def floorDivSql(xSql: String, w: Long): String =
+    s"((($xSql) - pmod(($xSql), ${w}L)) div ${w}L)"
+
   def readMeta(spark: SparkSession, path: String): (Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -90,4 +90,42 @@ class ApiAndIOSpec extends SparkSuite {
     // but overlapping it is still found
     assert(pruned.count() == expected.count())
   }
+
+  test("pre-binned bucketed tables: interval join with NO exchange, same pairs as intervalJoin") {
+    import graft.sources.IntervalLayout
+    val left = df.select(col("x").as("lx"), col("span"))
+    val right = fixture(seed = 777L, n = 60)
+      .select(col("x").as("rx"), col("span").as("rspan"))
+    val w = 10000000000L // 10 s bins over the ~600 s fixture
+    IntervalLayout.writeBinnedTable(left, "graft_binned_l", "span", w, nBuckets = 4)
+    IntervalLayout.writeBinnedTable(right, "graft_binned_r", "rspan", w, nBuckets = 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // pair parity target computed first (the range join broadcasts)
+      val expectedRows = collectSorted(graft.operators.IntervalJoin.intervalJoin(
+        left, right, "span" -> "rspan",
+        graft.operators.IntervalJoin.Options(
+          strategy = graft.operators.IntervalJoin.Strategy.Range))
+        .select(col("lx"), col("rx"), col("span.start"), col("span.stop")))
+      // at test size Catalyst would broadcast (its own no-shuffle answer);
+      // force the big-big path the bucketing exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = IntervalLayout.joinBinnedTables(spark, "graft_binned_l", "graft_binned_r",
+        "span", "rspan", w)
+      assert(j.columns.toSeq ==
+        Seq("lx", "span_left", "rx", "rspan_right", "span"))
+      assert(collectSorted(
+        j.select(col("lx"), col("rx"), col("span.start"), col("span.stop"))) == expectedRows)
+      // the whole point: both sides bucket-read, joined with NO Exchange
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // bucket metadata honored: selected buckets appear in the scan
+      assert(plan.contains("Bucketed: true"), "scan must read bucket layout")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_binned_l")
+      spark.sql("DROP TABLE IF EXISTS graft_binned_r")
+    }
+  }
 }
