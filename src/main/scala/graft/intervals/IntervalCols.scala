@@ -153,7 +153,8 @@ object IntervalCols {
   def coveringSpan(df: DataFrame, spancol: String): Option[(Long, Long)] = {
     val row = df.agg(min(start(col(spancol))), max(stop(col(spancol)))).head()
     if (row.isNullAt(0) || row.isNullAt(1)) None
-    else Some((row.getLong(0), row.getLong(1)))
+    // getAs[Number]: integral endpoint types narrower than long also work
+    else Some((row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
   }
 
   /** Runtime NULL guard: fails the job with the reference's error message the

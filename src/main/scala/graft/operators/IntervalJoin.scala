@@ -109,6 +109,12 @@ object IntervalJoin {
           "(IntervalCols.microsFromTimestampStruct / timestampStructFromMicros).")
     val lTs = lTsType.isDefined
     val ntz = lTsType.contains(org.apache.spark.sql.types.TimestampNTZType)
+    // non-timestamp endpoints must be integral; narrower ones widen to long
+    // ticks internally and are restored on output (`backto`)
+    val (lIntType, rIntType) =
+      if (lTs) (None, None)
+      else (Some(integralEndpointType(left, lOnName, "left")),
+        Some(integralEndpointType(right, rOnName, "right")))
 
     // Output intersection column keeps the LEFT frame's `on` name (ref :76).
     val joinedOn = lOnName
@@ -141,16 +147,23 @@ object IntervalJoin {
     val rTmp = right.columns.indices.map(i => s"__r$i")
     val lOnT = s"__l${left.columns.indexOf(lOnName)}"
     val rOnT = s"__r${right.columns.indexOf(rOnName)}"
-    def project(df: DataFrame, tmp: Seq[String], onName: String, onT: String, side: String) =
+    def project(df: DataFrame, tmp: Seq[String], onName: String, onT: String,
+        side: String, intType: Option[org.apache.spark.sql.types.DataType]) =
       df.select(df.columns.zip(tmp).map { case (c, t) =>
         if (t == onT) {
           val norm = if (opts.checkMissing) rejectNull(col(c), side) else normalize(col(c))
-          val ticks = if (lTs) microsFromTimestampStruct(norm, ntz) else norm
+          val ticks =
+            if (lTs) microsFromTimestampStruct(norm, ntz)
+            else if (intType.exists(_ != org.apache.spark.sql.types.LongType))
+              when(norm.isNull, lit(null)).otherwise(
+                interval(norm.getField("start").cast("long"),
+                  norm.getField("stop").cast("long")))
+            else norm
           ticks.as(t)
         } else col(c).as(t)
       }: _*)
-    val l2 = project(left, lTmp, lOnName, lOnT, "left")
-    val r2 = project(right, rTmp, rOnName, rOnT, "right")
+    val l2 = project(left, lTmp, lOnName, lOnT, "left", lIntType)
+    val r2 = project(right, rTmp, rOnName, rOnT, "right", rIntType)
 
     val joinType = (opts.keepleft, opts.keepright) match {
       case (false, false) => "inner"
@@ -187,10 +200,24 @@ object IntervalJoin {
         l2.join(r2, overlaps(col(lOnT), col(rOnT)), joinType)
     }
 
-    def backto(c: Column): Column = if (lTs) timestampStructFromMicros(c, ntz) else c
+    def backto(c: Column, intType: Option[org.apache.spark.sql.types.DataType]): Column =
+      if (lTs) timestampStructFromMicros(c, ntz)
+      else intType match {
+        case Some(dt) if dt != org.apache.spark.sql.types.LongType =>
+          when(c.isNull, lit(null)).otherwise(
+            struct(c.getField("start").cast(dt).as("start"),
+              c.getField("stop").cast(dt).as("stop")))
+        case _ => c
+      }
+    // the intersection mixes both sides' values -> the wider integral type
+    def width(dt: org.apache.spark.sql.types.DataType): Int = dt.defaultSize
+    val isectType = for (a <- lIntType; b <- rIntType)
+      yield if (width(a) >= width(b)) a else b
     val outCols = (lTmp ++ rTmp).zip(finalNames).map { case (t, f) =>
-      if (t == lOnT || t == rOnT) backto(col(t)).as(f) else col(t).as(f)
-    } :+ backto(intersection(col(lOnT), col(rOnT))).as(joinedOn)
+      if (t == lOnT) backto(col(t), lIntType).as(f)
+      else if (t == rOnT) backto(col(t), rIntType).as(f)
+      else col(t).as(f)
+    } :+ backto(intersection(col(lOnT), col(rOnT)), isectType).as(joinedOn)
     joined.select(outCols: _*)
   }
 
@@ -329,6 +356,26 @@ object IntervalJoin {
           s"(use graft.intervals.IntervalCols.interval/intervalFromTimestamps to build one); " +
           s"got ${other.simpleString}")
     }
+
+  /** Endpoint type of a non-timestamp interval column: integral types are
+    * accepted (narrower ones widen to long ticks internally and come back in
+    * their own type — `backto`); anything else has no exact tick space for
+    * the binned/sweep integer math and is rejected up front rather than
+    * failing inside a stats pass. */
+  private def integralEndpointType(df: DataFrame, name: String, side: String)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val s = df.schema(name).dataType.asInstanceOf[StructType]
+    val ts = Seq("start", "stop").map(f => s(f).dataType)
+    ts match {
+      case Seq(a, b) if a == b && Seq[DataType](ByteType, ShortType,
+        IntegerType, LongType).contains(a) => a
+      case other => throw new IllegalArgumentException(
+        s"the $side frame's `on` column `$name` must have integral or timestamp " +
+          s"endpoints (long ticks are the canonical representation); got " +
+          s"struct<start:${other.head.simpleString}, stop:${other.last.simpleString}>")
+    }
+  }
 
   /** DataFrames.jl-style `makeunique`: duplicate names get `_1`, `_2`, ...
     * suffixes; without the flag duplicates are an error

@@ -124,6 +124,43 @@ class TimestampIntervalSpec extends SparkSuite {
     assertSameRows(jTs, jNtz)
   }
 
+  test("integer-endpoint intervals widen to long ticks and come back as int (backto)") {
+    import graft.operators.IntervalJoin.{Options, Strategy}
+    val intDf = Seq((1, 0, 10), (2, 5, 20), (3, 30, 40)).toDF("id", "s", "e")
+      .select(col("id"), struct(col("s").cast("int").as("start"),
+        col("e").cast("int").as("stop")).as("span"))
+    val longDf = intDf.select(col("id").as("rid"),
+      struct(col("span.start").cast("long").as("start"),
+        col("span.stop").cast("long").as("stop")).as("span"))
+    for (strat <- Seq(Strategy.Range, Strategy.Binned, Strategy.Sweep)) {
+      // int x int self-join: on columns AND intersection keep IntegerType
+      val j = IntervalJoin.intervalJoin(intDf, intDf, "span",
+        Options(strategy = strat, makeunique = true))
+      val t = j.schema("span").dataType.asInstanceOf[StructType]
+      assert(t("start").dataType == IntegerType, s"isect int/$strat")
+      assert(j.schema("span_left").dataType.asInstanceOf[StructType]("start")
+        .dataType == IntegerType)
+      // pairs: the 3 self-pairs + 1-2 and 2-1
+      assert(j.count() == 5, s"$strat")
+      // mixed int x long: each side keeps its own type, intersection widens
+      val m = IntervalJoin.intervalJoin(intDf, longDf, "span" -> "span")
+      val mt = m.schema("span").dataType.asInstanceOf[StructType]
+      assert(mt("start").dataType == LongType, "intersection widens to long")
+      assert(m.schema("span_left").dataType.asInstanceOf[StructType]("start")
+        .dataType == IntegerType)
+      assert(m.schema("span_right").dataType.asInstanceOf[StructType]("start")
+        .dataType == LongType)
+    }
+    // fractional endpoints rejected with a clear error
+    val dblDf = intDf.select(col("id"),
+      struct(col("span.start").cast("double").as("start"),
+        col("span.stop").cast("double").as("stop")).as("span"))
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(dblDf, dblDf, "span", Options(makeunique = true))
+    }
+    assert(e.getMessage.contains("integral or timestamp"))
+  }
+
   test("NTZ/TZ mixed sides and mixed endpoints are rejected") {
     val e = intercept[IllegalArgumentException] {
       IntervalJoin.intervalJoin(ntzDf, tsDf.select(col("span")), "span")
