@@ -50,10 +50,12 @@ package object api {
     def quantileWindows(n: Long, spancol: String = "span", label: String = "index"): DataFrame =
       operators.QuantileWindows.quantileWindows(n, df, spancol, label)
 
-    /** Backward as-of join (latest right row at or before each left ts, per key). */
+    /** As-of join (default backward: latest right row at or before each left
+      * ts, per key; pass `direction` for Forward/Nearest). */
     def asofJoin(right: DataFrame, leftTs: String, rightTs: String,
-        by: Seq[(String, String)], tolerance: Option[Long] = None): DataFrame =
-      operators.AsofJoin.asofJoin(df, right, leftTs, rightTs, by, tolerance)
+        by: Seq[(String, String)], tolerance: Option[Long] = None,
+        direction: operators.AsofJoin.Direction = operators.AsofJoin.Direction.Backward): DataFrame =
+      operators.AsofJoin.asofJoin(df, right, leftTs, rightTs, by, tolerance, direction)
 
     /** Coalesce overlapping/touching intervals per key (interval-set union). */
     def mergeIntervals(keys: Seq[String], spancol: String = "span"): DataFrame =
@@ -62,6 +64,20 @@ package object api {
     /** Interval-set measure per key: total covered duration, overlaps counted once. */
     def coveredDuration(keys: Seq[String], spancol: String = "span"): DataFrame =
       operators.IntervalOps.coveredDuration(df, keys, spancol)
+
+    /** Maximal uncovered intervals between covered runs, per key. */
+    def intervalGaps(keys: Seq[String], spancol: String = "span"): DataFrame =
+      operators.IntervalOps.gaps(df, keys, spancol)
+
+    /** Regions covered by BOTH this frame's and `other`'s interval sets. */
+    def intervalSetIntersect(other: DataFrame, keys: Seq[String],
+        spancol: String = "span"): DataFrame =
+      operators.IntervalOps.setIntersect(df, other, keys, spancol)
+
+    /** Regions covered by this frame's set but not `other`'s. */
+    def intervalSetSubtract(other: DataFrame, keys: Seq[String],
+        spancol: String = "span"): DataFrame =
+      operators.IntervalOps.setSubtract(df, other, keys, spancol)
 
     /** Gap-split point events into interval sessions per key. */
     def sessionize(keys: Seq[String], tsCol: String, gapNs: Long): DataFrame =

@@ -18,6 +18,11 @@ class ApiAndIOSpec extends SparkSuite {
     assert(j.columns.contains("quarter"))
     val g = groupbyIntervalJoin(df, quarters, Seq(Selector.Name("quarter")), "span" -> "span")
     assert(g.agg(count(lit(1)).as("n")).count() == 4)
+    // round-3 facade methods resolve and run
+    val keyed = df.select(lit("k").as("k"), col("span"))
+    assert(keyed.intervalGaps(Seq("k")).count() == 0)          // contiguous fixture: no gaps
+    assert(keyed.intervalSetIntersect(keyed, Seq("k")).count() == 1) // self ∩ self = 1 merged run
+    assert(keyed.intervalSetSubtract(keyed, Seq("k")).count() == 0)  // self \ self = ∅
   }
 
   test("parquet roundtrip preserves interval structs and join results") {
