@@ -474,6 +474,29 @@ object SparkEntry {
           round(TF.ngramJaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
     }),
 
+    // Dedup clusters: connected components over the simhash near-dup graph
+    // (hamming <= 2), one representative (min doc_id) per component. Pair
+    // generation here is the exact all-pairs baseline so the oracle can
+    // replicate it; production uses the LSH candidate path + the same CC.
+    "q46_dedup_clusters" -> ((sp, dir) => {
+      // one-pass imperative simhash (bit-identical to the Column path),
+      // materialized before the self-join so nothing re-inlines into the
+      // join predicate
+      val sh = Dedup.simhashFast(table(sp, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("sh"))
+        .localCheckpoint(true)
+      // broadcast build side + repartitioned stream side: the all-pairs
+      // predicate then runs on every core instead of one task per source
+      // file (the single-file BNLJ pitfall, cf. q30)
+      val pairs = sh.repartition(sh.sparkSession.sessionState.conf.numShufflePartitions)
+        .as("x").join(broadcast(sh.as("y")),
+          col("x.doc_id") < col("y.doc_id") &&
+            expr("bit_count(x.sh ^ y.sh)") <= 2)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      Dedup.connectedComponents(pairs, sh.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("rep"))
+    }),
+
     // Text: corpus TF-IDF, top-5 terms per document (inverted-index shape)
     "q42_tfidf_top" -> ((sp, dir) => {
       graft.functions.TfIdf.topTerms(table(sp, dir, "documents"), "doc_id", "text", 5)
@@ -483,7 +506,8 @@ object SparkEntry {
 
     // Dedup: 32-bit SimHash per document
     "q14_simhash" -> ((sp, dir) =>
-      table(sp, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))),
+      Dedup.simhashFast(table(sp, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("sh"))),
 
     // Similarity: exact brute-force cosine top-10 for query vectors
     "q15_ann_brute" -> ((sp, dir) => {
@@ -910,6 +934,27 @@ object SparkEntry {
       }.mkString("\n  + ")
       s"""WITH t AS (SELECT doc_id, $hsSql AS hs FROM documents)
          |SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t""".stripMargin
+    },
+
+    "q46_dedup_clusters" -> {
+      val hsSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t),1,15))::BIGINT)"
+      val bitTerms = (0 until 32).map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n  + ")
+      // transitive closure by recursive min-reachability; rep = min id
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $hsSql AS hs FROM documents),
+         |sh AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t),
+         |e0 AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |       FROM sh x JOIN sh y
+         |         ON x.doc_id < y.doc_id AND bit_count(xor(x.sh, y.sh)) <= 2),
+         |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
+         |FROM reach GROUP BY id""".stripMargin
     },
 
     "q15_ann_brute" ->

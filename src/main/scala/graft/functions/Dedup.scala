@@ -77,6 +77,52 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Fast path for [[simhash32]]: one imperative pass computing each token's
+    * md5 hash ONCE and voting all 32 bits from it. Bit-identical to the
+    * Column path (pinned by DedupParitySpec) — the pure-Column expression
+    * references the token-hash array in 32 aggregate terms and Catalyst
+    * re-inlines it, paying 32 md5 passes per document (measured 14 s for
+    * 5 k docs at sf0.1 vs ~0.3 s here). Output: (id, sh). */
+  def simhashFast(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    val out = in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(s: String): Long = {
+        // md5 hex, first 15 chars as 60-bit int — identical to
+        // TextFunctions.tokenHash (conv(substr(md5(t),1,15),16,10))
+        val d = md.digest(s.getBytes("UTF-8"))
+        var v = 0L
+        var i = 0
+        while (i < 8) {
+          val b = d(i) & 0xff
+          v = if (i < 7) (v << 8) | b else (v << 4) | (b >>> 4)
+          i += 1
+        }
+        v
+      }
+      it.map { case (id, text) =>
+        val votes = new Array[Int](32)
+        text.split("\\s+").foreach { t =>
+          if (t.nonEmpty) {
+            val h = h60(t)
+            var j = 0
+            while (j < 32) {
+              votes(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt
+              j += 1
+            }
+          }
+        }
+        var sh = 0L
+        var j = 0
+        while (j < 32) { if (votes(j) > 0) sh |= 1L << j; j += 1 }
+        (id, sh)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    out.toDF("id", "sh")
+  }
+
   /** Exact-duplicate groups: one row per distinct text, with occurrence
     * count and the keeper (min id). Map-side partial aggregation makes this
     * a single shuffle of distinct hashes. */
@@ -220,5 +266,85 @@ object Dedup {
         if jac >= threshold
       } yield Row(a.getLong(0), b.getLong(0), jac)
     }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Connected components over a near-dup pair graph: assigns every node the
+    * MINIMUM reachable id as its cluster representative — pairs alone don't
+    * dedupe a corpus; the pipeline keeps one document per component.
+    *
+    * The edge set of a dedup graph is sparse relative to the corpus (one
+    * edge per near-dup pair), so up to `localEdgeLimit` edges the components
+    * are solved with a driver-side union-find (milliseconds, zero extra
+    * jobs) and joined back as a broadcast map — the same bounded-collect
+    * trade the sweep join makes for its partition bounds. Above the limit
+    * it falls back to distributed min-label propagation with pointer
+    * jumping (`rep := rep(rep)` halves label paths, so O(log n) rounds even
+    * on a chain), each round a pair of small joins with lineage cut by an
+    * eager localCheckpoint.
+    *
+    * `pairs` needs `a`/`b` long columns (one row per undirected edge);
+    * `nodes` one `id` long column. Output: (id, rep). */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      maxIter: Int = 30, localEdgeLimit: Long = 5000000L): DataFrame = {
+    // Materialize the (possibly expensive) pair join exactly ONCE on the
+    // executors; count and collect then read the checkpoint. A limit+collect
+    // probe would re-run the join per CollectLimit scale-up round, and a
+    // count+collect pair would run it twice.
+    val edgesDf = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint(true)
+    if (edgesDf.count() <= localEdgeLimit)
+      return componentsViaUnionFind(edgesDf.collect(), nodes)
+    componentsDistributed(edgesDf, nodes, maxIter)
+  }
+
+  private def componentsViaUnionFind(
+      edges: Array[org.apache.spark.sql.Row], nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mapping = parent.keys.toSeq.map(k => (k, find(k)))
+    import spark.implicits._
+    val mapDf = mapping.toDF("id", "__rep")
+    nodes.select(col("id"))
+      .join(org.apache.spark.sql.functions.broadcast(mapDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+  }
+
+  private def componentsDistributed(pairs: DataFrame, nodes: DataFrame,
+      maxIter: Int): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min("rep").as("nrep"))
+      val lowered = labels.join(nbr, labels("id") === nbr("nid"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val m = lowered.select(col("id").as("mid"), col("rep").as("mrep"))
+      val jumped = lowered.join(m, lowered("rep") === m("mid"), "left")
+        .select(col("id"), coalesce(col("mrep"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = jumped.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .where(col("rep") =!= col("prev")).count()
+      labels = jumped
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
   }
 }

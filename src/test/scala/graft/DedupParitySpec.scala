@@ -26,6 +26,20 @@ class DedupParitySpec extends SparkSuite {
     }
   }
 
+  test("simhashFast == simhash32 Column path on real docs (incl. empty/odd tokens)") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+      (9004L, "a  b\t c\nd"), (9005L, "ünïcødé tökens £§"))
+      .toDF("doc_id", "text")
+    val docs = real.select(col("doc_id"), col("text")).unionAll(edge)
+    val fast = Dedup.simhashFast(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cols = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == cols)
+  }
+
   test("shingle hash set parity (as sets — order differs by construction)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val fast = Dedup.signatures(docs, "text", "doc_id")

@@ -118,6 +118,51 @@ class TextDedupSpec extends SparkSuite {
     assert(top3.getString(top3.fieldIndex("term")) == "ran")
   }
 
+  test("connectedComponents: chains, cycles, isolated nodes, and empty edge sets") {
+    // chain 1-2-3-4 (diameter forces propagation), triangle 10-11-12,
+    // isolated 20
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val cc = graft.functions.Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    // no edges at all: every node is its own cluster
+    val lone = graft.functions.Dedup.connectedComponents(
+      pairs.where(lit(false)), nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone.forall { case (k, v) => k == v } && lone.size == 8)
+  }
+
+  test("property: connectedComponents equals union-find on random graphs") {
+    (1 to 6).foreach { seed =>
+      val rng = new scala.util.Random(900L + seed)
+      val n = 40 + rng.nextInt(60)
+      val ids = (0L until n.toLong).toSeq
+      val edges = Seq.fill(rng.nextInt(n))((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver union-find oracle
+      val parent = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> find(i.toInt).toLong).toMap
+      // union-find fast path (default) AND the distributed pointer-jumping
+      // loop (forced with localEdgeLimit = 0) must both match
+      val gotLocal = graft.functions.Dedup.connectedComponents(
+        edges.toDF("a", "b"), ids.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLocal == expected, s"local seed=$seed n=$n edges=${edges.size}")
+      val gotDist = graft.functions.Dedup.connectedComponents(
+        edges.toDF("a", "b"), ids.toDF("id"), localEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, s"dist seed=$seed n=$n edges=${edges.size}")
+    }
+  }
+
   test("no UDFs: text ops stay codegen expressions (plan contains no BatchEvalPython/ScalaUDF)") {
     val plan = docs.select(TF.fingerprint(col("text")), Dedup.simhash32(col("text")))
       .queryExecution.executedPlan.toString
