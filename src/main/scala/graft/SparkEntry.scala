@@ -430,10 +430,9 @@ object SparkEntry {
 
     // Text quality: within-document repetition signals
     "q35_repetition" -> ((sp, dir) =>
-      table(sp, dir, "documents").select(
-        col("doc_id"),
-        TF.dupTokenRatio(col("text")).as("dup_tok"),
-        TF.dupBigramRatio(col("text")).as("dup_bigram"))),
+      // one-pass imperative ratios (bit-identical to the Column path)
+      TF.repetitionFast(table(sp, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("dup_tok"), col("dup_bigram"))),
 
     // Text analysis: token counts, quality, language ID, rolling fingerprint
     "q10_text_stats" -> ((sp, dir) => {
@@ -466,12 +465,20 @@ object SparkEntry {
 
     // Dedup: 3-gram Jaccard over consecutive-doc pairs
     "q13_ngram_jaccard" -> ((sp, dir) => {
-      val d = table(sp, dir, "documents").select("doc_id", "text")
-      val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-      val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      // shingle sets computed BELOW the join so the jaccard reads join
+      // attributes — ngramJaccard over raw text would re-inline the
+      // interpreted shingle transform at each of its four references.
+      // repartition first: documents is a single file, and the interpreted
+      // transform would otherwise run on one core
+      val g = table(sp, dir, "documents")
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      val a = g.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      val b = g.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
       a.join(b, col("doc_b") === col("doc_a") + 1L)
         .select(col("doc_a"), col("doc_b"),
-          round(TF.ngramJaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
     }),
 
     // Dedup clusters: connected components over the simhash near-dup graph

@@ -125,4 +125,36 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     aggregate(transform(tokens(c), tokenHashMod(_)), lit(0L),
       (acc, x) => pmod(acc * 31L + x, lit(HashMod)))
+
+  /** One-pass imperative fast path for BOTH repetition ratios. Bit-identical
+    * to `dupTokenRatio`/`dupBigramRatio` (pinned by DedupParitySpec): the
+    * Column path re-evaluates the interpreted `tokens` filter at every
+    * reference (3x in each ratio, and the bigram transform again references
+    * tokens per element), measured 17 s for 5 k docs at sf0.1 vs ~0.3 s
+    * here. Output: (id, dup_tok, dup_bigram). */
+  def repetitionFast(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Encoders
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.map { case (id, text) =>
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val dupTok =
+        if (tk.length > 0) round6(1.0 - tk.distinct.length.toDouble / tk.length)
+        else 0.0
+      val nb = tk.length - 1
+      val dupBig =
+        if (nb > 0) {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < nb) { seen.add(tk(i) + " " + tk(i + 1)); i += 1 }
+          round6(1.0 - seen.size.toDouble / nb)
+        } else 0.0
+      (id, dupTok, dupBig)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
+      .toDF("id", "dup_tok", "dup_bigram")
+  }
 }

@@ -40,6 +40,22 @@ class DedupParitySpec extends SparkSuite {
     assert(fast == cols)
   }
 
+  test("repetitionFast == dupTokenRatio/dupBigramRatio Column path") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val edge = Seq((9001L, ""), (9002L, "only"), (9003L, "a a a a"),
+      (9004L, "x y x y x y"), (9005L, " spaced   out\ttabs\nlines "))
+      .toDF("doc_id", "text")
+    val docs = real.select(col("doc_id"), col("text")).unionAll(edge)
+    val fast = TF.repetitionFast(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val cols = docs.select(col("doc_id"),
+        TF.dupTokenRatio(col("text")).as("a"), TF.dupBigramRatio(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(fast == cols)
+  }
+
   test("shingle hash set parity (as sets — order differs by construction)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val fast = Dedup.signatures(docs, "text", "doc_id")
