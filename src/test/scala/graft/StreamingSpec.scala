@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash + repetition fast paths run on a stream, matching batch values") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // stateless projections: each runs on the stream as its own sink
+    val q1 = graft.functions.Dedup.simhashFast(docs, "text", "doc_id")
+      .writeStream.format("memory").queryName("ssh").outputMode("append").start()
+    val q2 = graft.functions.TextFunctions.repetitionFast(docs, "text", "doc_id")
+      .writeStream.format("memory").queryName("srep").outputMode("append").start()
+    try {
+      in.addData((1L, "a a a b"), (2L, "unique tokens only here"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batchSh = graft.functions.Dedup.simhashFast(
+        Seq((1L, "a a a b"), (2L, "unique tokens only here")).toDF("doc_id", "text"),
+        "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotSh = spark.sql("SELECT id, sh FROM ssh").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotSh == batchSh)
+      val gotRep = spark.sql("SELECT id, dup_tok FROM srep").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(gotRep(1L) == 0.5 && gotRep(2L) == 0.0)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming sessionize: gap-split sessions emit once the watermark closes them") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)] // (user, epochSec)
