@@ -89,24 +89,13 @@ object Dedup {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     val out = in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      def h60(s: String): Long = {
-        // md5 hex, first 15 chars as 60-bit int — identical to
-        // TextFunctions.tokenHash (conv(substr(md5(t),1,15),16,10))
-        val d = md.digest(s.getBytes("UTF-8"))
-        var v = 0L
-        var i = 0
-        while (i < 8) {
-          val b = d(i) & 0xff
-          v = if (i < 7) (v << 8) | b else (v << 4) | (b >>> 4)
-          i += 1
-        }
-        v
-      }
       it.map { case (id, text) =>
         val votes = new Array[Int](32)
-        text.split("\\s+").foreach { t =>
+        // NULL text = no tokens (the Column path's when(...) yields sh 0)
+        val safe = if (text == null) "" else text
+        safe.split("\\s+").foreach { t =>
           if (t.nonEmpty) {
-            val h = h60(t)
+            val h = md5H60(md, t)
             var j = 0
             while (j < 32) {
               votes(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt
@@ -121,6 +110,22 @@ object Dedup {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     out.toDF("id", "sh")
+  }
+
+  /** md5 hex, first 15 chars as a 60-bit int — the JVM replica of
+    * TextFunctions.tokenHash (`conv(substr(md5(t),1,15),16,10)`), shared by
+    * every imperative fast path so the parity-critical bit packing lives in
+    * one place. */
+  private def md5H60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { // 7.5 bytes = 15 hex chars
+      val b = d(i) & 0xff
+      v = if (i < 7) (v << 8) | b else (v << 4) | (b >>> 4)
+      i += 1
+    }
+    v
   }
 
   /** Exact-duplicate groups: one row per distinct text, with occurrence
@@ -158,21 +163,11 @@ object Dedup {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      def h60(s: String): Long = {
-        // md5 hex, first 15 chars as 60-bit int, mod P — identical to
-        // TextFunctions.tokenHashMod and DuckDB's ('0x'||substr(md5,1,15))::BIGINT % P
-        val d = md.digest(s.getBytes("UTF-8"))
-        var v = 0L
-        var i = 0
-        while (i < 8) { // 7.5 bytes = 15 hex chars
-          val b = d(i) & 0xff
-          v = if (i < 7) (v << 8) | b else (v << 4) | (b >>> 4)
-          i += 1
-        }
-        v % P
-      }
+      // mod P on the shared 60-bit hash — identical to
+      // TextFunctions.tokenHashMod and DuckDB's ('0x'||substr(md5,1,15))::BIGINT % P
+      def h60(s: String): Long = md5H60(md, s) % P
       it.map { case (id, text) =>
-        val lowered = text.toLowerCase
+        val lowered = (if (text == null) "" else text).toLowerCase
         val seen = new java.util.HashSet[String]()
         val hsBuf = new scala.collection.mutable.ArrayBuffer[Long]()
         var i = 0

@@ -141,7 +141,8 @@ object TextFunctions {
     val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     in.map { case (id, text) =>
-      val tk = text.split("\\s+").filter(_.nonEmpty)
+      // NULL text = no tokens (the Column path's when(...) yields 0.0/0.0)
+      val tk = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
       val dupTok =
         if (tk.length > 0) round6(1.0 - tk.distinct.length.toDouble / tk.length)
         else 0.0

@@ -95,11 +95,14 @@ object IntervalOps {
   def setSubtract(a: DataFrame, b: DataFrame, keys: Seq[String], spancol: String): DataFrame =
     setCombine(a, b, keys, spancol, (ca, cb) => ca > 0 && cb === 0)
 
-  /** Union of two interval sets = merge of the concatenation. */
+  /** Union of two interval sets = merge of the concatenation. Degenerate
+    * intervals (start >= stop, the empty set) are dropped like the other
+    * set ops — mergeIntervals alone would emit them back. */
   def setUnion(a: DataFrame, b: DataFrame, keys: Seq[String], spancol: String): DataFrame = {
     val cols = keys.map(col) :+ col(spancol)
-    mergeIntervals(a.select(cols: _*).unionAll(b.select(cols: _*)), keys, spancol)
-      .drop("n_merged")
+    val nonEmpty = a.select(cols: _*).unionAll(b.select(cols: _*))
+      .where(col(s"$spancol.start") < col(s"$spancol.stop"))
+    mergeIntervals(nonEmpty, keys, spancol).drop("n_merged")
   }
 
   private def setCombine(a: DataFrame, b: DataFrame, keys: Seq[String],

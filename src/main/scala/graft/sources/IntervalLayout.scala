@@ -29,9 +29,13 @@ object IntervalLayout {
   private val MetaFile = "_graft_layout.json"
 
   /** Exact floor division for long ticks (negative-safe; `div` truncates
-    * toward zero which would off-by-one the negative buckets). */
+    * toward zero which would off-by-one the negative buckets). Integer math
+    * all the way — the numerator is an exact multiple of `w`, and dividing
+    * it as DECIMAL keeps quotients exact where a double `/` loses ulps past
+    * 2^53 and silently misbuckets (breaking lossless pruning). */
   private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
-    (c - pmod(c, lit(w))) / w
+    ((c - pmod(c, lit(w))).cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(w))
+      .cast("long")
 
   def write(df: DataFrame, path: String, spancol: String, binWidth: Long,
       mode: String = "overwrite"): Unit = {
@@ -39,8 +43,21 @@ object IntervalLayout {
     val s = col(s"$spancol.start")
     val e = col(s"$spancol.stop")
     val maxLenRow = df.agg(max(e - s)).head()
-    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
-    df.withColumn("__bucket", floorDiv(s, binWidth).cast("long"))
+    // getAs[Number]: integral endpoint types narrower than long also work
+    val batchMaxLen =
+      if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getAs[Number](0).longValue()
+    // append must keep the WIDEST maxLen ever written (and one binWidth):
+    // a narrower new batch would otherwise shrink the reader's widening
+    // bound and silently prune earlier long intervals
+    val maxLen =
+      if (mode == "append") readMetaIfPresent(df.sparkSession, path) match {
+        case Some((w0, m0)) =>
+          require(w0 == binWidth,
+            s"append binWidth $binWidth != existing layout binWidth $w0")
+          math.max(m0, batchMaxLen)
+        case None => batchMaxLen
+      } else batchMaxLen
+    df.withColumn("__bucket", floorDiv(s, binWidth))
       .repartition(col("__bucket"))
       .sortWithinPartitions(s)
       .write.partitionBy("__bucket").mode(mode).parquet(path)
@@ -51,6 +68,14 @@ object IntervalLayout {
     val out = fs.create(new org.apache.hadoop.fs.Path(path, MetaFile), true)
     out.write(s"""{"binWidth":$binWidth,"maxLen":$maxLen}""".getBytes("UTF-8"))
     out.close()
+  }
+
+  private def readMetaIfPresent(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, MetaFile)))
+      Some(readMeta(spark, path))
+    else None
   }
 
   /** Read rows overlapping `[qlo, qhi)`: bucket-range partition pruning
@@ -103,9 +128,16 @@ object IntervalLayout {
       spancolA: String, spancolB: String, binWidth: Long): DataFrame = {
     val a = spark.table(tableA)
     val b = spark.table(tableB)
-    val clash = a.columns.filterNot(c => c == "__bin" || c == spancolA)
-      .intersect(b.columns.filterNot(c => c == "__bin" || c == spancolB))
-    require(clash.isEmpty, s"ambiguous payload columns: ${clash.mkString(", ")}")
+    // uniqueness over the FULL output name set — a payload column named like
+    // the other table's span (or like a suffixed span) would silently
+    // duplicate an output name and break later column references
+    val outNames = a.columns.filterNot(c => c == "__bin" || c == spancolA) ++
+      Seq(s"${spancolA}_left") ++
+      b.columns.filterNot(c => c == "__bin" || c == spancolB) ++
+      Seq(s"${spancolB}_right", spancolA)
+    val dups = outNames.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+    require(dups.isEmpty,
+      s"ambiguous output columns: ${dups.mkString(", ")} — rename the clashing payload columns")
     val sA = s"__a.$spancolA"
     val sB = s"__b.$spancolB"
     val cond = col("__a.__bin") === col("__b.__bin") &&

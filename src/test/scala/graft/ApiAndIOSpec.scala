@@ -96,6 +96,36 @@ class ApiAndIOSpec extends SparkSuite {
     assert(pruned.count() == expected.count())
   }
 
+  test("interval layout: append keeps the widest maxLen; huge ticks bucket exactly") {
+    import graft.sources.IntervalLayout
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_layout_app").toString + "/spans"
+    val w = 1000000000L
+    def mk(rows: (Long, Long)*) = rows.toSeq.toDF("s", "e")
+      .select(struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    // batch 1 has a LONG interval; batch 2 is short — the sidecar must keep
+    // the widest bound or batch-1 rows get pruned away later
+    IntervalLayout.write(mk((0L, 50L * w)), dir, "span", w)
+    IntervalLayout.write(mk((100L * w, 100L * w + 10L)), dir, "span", w, mode = "append")
+    assert(IntervalLayout.readMeta(spark, dir) == ((w, 50L * w)))
+    // probing late still finds the early long interval (needs the wide bound)
+    val hit = IntervalLayout.readOverlapping(spark, dir, "span", 49L * w, 49L * w + 10L)
+    assert(hit.count() == 1)
+    // mismatched binWidth on append is rejected
+    val e = intercept[IllegalArgumentException] {
+      IntervalLayout.write(mk((0L, 1L)), dir, "span", w * 2, mode = "append")
+    }
+    assert(e.getMessage.contains("binWidth"))
+    // bucket arithmetic stays exact past double's 2^53 mantissa: a start
+    // whose quotient would round under double division
+    val big = 4762308809719080237L
+    val dir2 = Files.createTempDirectory("graft_layout_big").toString + "/spans"
+    IntervalLayout.write(mk((big, big + 10L)), dir2, "span", w)
+    val bucket = spark.read.parquet(dir2).select(col("__bucket")).head().getLong(0)
+    assert(bucket == Math.floorDiv(big, w), s"got $bucket")
+    assert(IntervalLayout.readOverlapping(spark, dir2, "span", big, big + 5L).count() == 1)
+  }
+
   test("pre-binned bucketed tables: interval join with NO exchange, same pairs as intervalJoin") {
     import graft.sources.IntervalLayout
     val left = df.select(col("x").as("lx"), col("span"))

@@ -30,7 +30,8 @@ class DedupParitySpec extends SparkSuite {
     import spark.implicits._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
-      (9004L, "a  b\t c\nd"), (9005L, "ünïcødé tökens £§"))
+      (9004L, "a  b\t c\nd"), (9005L, "ünïcødé tökens £§"),
+      (9006L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val docs = real.select(col("doc_id"), col("text")).unionAll(edge)
     val fast = Dedup.simhashFast(docs, "text", "doc_id")
@@ -45,7 +46,8 @@ class DedupParitySpec extends SparkSuite {
     import graft.functions.{TextFunctions => TF}
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val edge = Seq((9001L, ""), (9002L, "only"), (9003L, "a a a a"),
-      (9004L, "x y x y x y"), (9005L, " spaced   out\ttabs\nlines "))
+      (9004L, "x y x y x y"), (9005L, " spaced   out\ttabs\nlines "),
+      (9006L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val docs = real.select(col("doc_id"), col("text")).unionAll(edge)
     val fast = TF.repetitionFast(docs, "text", "doc_id")

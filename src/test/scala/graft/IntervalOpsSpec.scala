@@ -149,6 +149,11 @@ class IntervalOpsSpec extends SparkSuite {
     assert(IntervalOps.setSubtract(a, empty, Seq("k"), "span")
       .select(col("span.start"), col("span.stop"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 10L)))
+    // union drops degenerate rows too (merge alone would emit them back)
+    val u = IntervalOps.setUnion(aDeg, bDeg, Seq("k"), "span")
+      .select(col("span.start"), col("span.stop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u == Set((0L, 10L)))
   }
 
   test("property: set ops equal dense-point simulation on random sets") {
