@@ -395,6 +395,32 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
     }),
 
+    // Delegated: cube (all grouping combinations); grouping_id disambiguates
+    // a rolled-up NULL from NULL data, and both engines agree on the bitmask
+    // convention (first grouping column = most significant bit)
+    "q47_delegated_cube" -> ((sp, dir) =>
+      table(sp, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))),
+
+    // Delegated: explicit grouping sets (status-only, priority-only, grand
+    // total — a set ROLLUP/CUBE can't express)
+    "q48_delegated_grouping_sets" -> ((sp, dir) =>
+      table(sp, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))),
+
+    // Delegated: distinct aggregates (Catalyst plans the multi-distinct via
+    // Expand + two-phase partial aggregation — one shuffle per distinct set)
+    "q49_delegated_distinct" -> ((sp, dir) =>
+      table(sp, dir, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))),
+
     // Delegated: set operations (intersect/except on key sets)
     "q25_delegated_setops" -> ((sp, dir) => {
       val c = table(sp, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
@@ -849,6 +875,25 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q47_delegated_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q48_delegated_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q49_delegated_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q25_delegated_setops" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS k FROM customer),
