@@ -252,4 +252,37 @@ class StreamingSpec extends SparkSuite {
       assert(pairs == Set((1L, 7L))) // only [0,3)x[2,4) overlap
     } finally q.stop()
   }
+
+  test("streaming near-dup vs static corpus: LSH match, once per pair, across batches") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (200L, "completely different reference material about spark planning"))
+      .toDF("doc_id", "text")
+    val bandTable = StreamingDedup.prepareCorpus(corpus, "text", "doc_id")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupAgainstCorpus(
+      in.toDF().toDF("doc_id", "text"), bandTable, "text", "doc_id", threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      // batch 1: an exact copy of corpus 100 (agrees on ALL bands — must
+      // emit exactly once), one unrelated doc, one too-short doc (no shingles)
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "unrelated text with no overlap whatsoever in its shingles"),
+        (3L, "abc"))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT id, corpus_id, jaccard FROM nd").collect()
+      assert(b1.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L)))
+      assert(b1.head.getDouble(2) == 1.0)
+      // batch 2: a near (not exact) copy of corpus 200 still matches —
+      // the stream-static join re-runs per micro-batch with no state
+      in.addData((4L, "completely different reference material about spark planning!"))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT id, corpus_id FROM nd").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 100L), (4L, 200L)))
+    } finally q.stop()
+  }
 }
