@@ -421,6 +421,28 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_part"),
         count(lit(1)).as("n"))),
 
+    // Delegated: correlated scalar subquery (per-customer max order price;
+    // NULL for order-less customers) — exercises Catalyst's subquery
+    // decorrelation into an aggregate + left outer join
+    "q50_delegated_scalar_subquery" -> ((sp, dir) => {
+      table(sp, dir, "customer").createOrReplaceTempView("g50_customer")
+      table(sp, dir, "orders").createOrReplaceTempView("g50_orders")
+      sp.sql("""SELECT c_custkey,
+                |  (SELECT max(o_totalprice) FROM g50_orders o
+                |   WHERE o.o_custkey = c.c_custkey
+                |     AND o.o_orderstatus = 'P') AS max_p_price
+                |FROM g50_customer c""".stripMargin)
+    }),
+
+    // Delegated: array aggregation + array functions (per-nation ordered
+    // supplier list, serialized — the compare gate hashes scalars, and a
+    // joined string pins both engines to one canonical rendering)
+    "q51_delegated_arrayagg" -> ((sp, dir) =>
+      table(sp, dir, "supplier")
+        .groupBy(col("s_nationkey").cast("long").as("nk"))
+        .agg(count(lit(1)).as("n_supp"),
+          array_join(sort_array(collect_list(col("s_suppkey"))), ",").as("supps"))),
+
     // Delegated: set operations (intersect/except on key sets)
     "q25_delegated_setops" -> ((sp, dir) => {
       val c = table(sp, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
@@ -894,6 +916,18 @@ object SparkEntry {
         |       count(DISTINCT l_partkey) AS n_part,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q50_delegated_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderstatus = 'P') AS max_p_price
+        |FROM customer c""".stripMargin,
+
+    "q51_delegated_arrayagg" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nk, count(*) AS n_supp,
+        |       array_to_string(list_sort(list(s_suppkey)), ',') AS supps
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     "q25_delegated_setops" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS k FROM customer),
