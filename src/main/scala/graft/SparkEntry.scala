@@ -427,11 +427,16 @@ object SparkEntry {
     "q50_delegated_scalar_subquery" -> ((sp, dir) => {
       table(sp, dir, "customer").createOrReplaceTempView("g50_customer")
       table(sp, dir, "orders").createOrReplaceTempView("g50_orders")
-      sp.sql("""SELECT c_custkey,
+      val out = sp.sql("""SELECT c_custkey,
                 |  (SELECT max(o_totalprice) FROM g50_orders o
                 |   WHERE o.o_custkey = c.c_custkey
                 |     AND o.o_orderstatus = 'P') AS max_p_price
                 |FROM g50_customer c""".stripMargin)
+      // analysis is eager, so the resolved plan survives dropping the views —
+      // don't leave sfDir-bound names registered on the shared session
+      sp.catalog.dropTempView("g50_customer")
+      sp.catalog.dropTempView("g50_orders")
+      out
     }),
 
     // Delegated: array aggregation + array functions (per-nation ordered

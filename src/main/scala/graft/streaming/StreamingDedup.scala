@@ -26,14 +26,25 @@ object StreamingDedup {
 
   /** Corpus side, computed once per corpus version: one row per
     * (band, bh) with the document's hashed shingle set and full band-hash
-    * array carried for verification and cross-band dedup. */
+    * array carried for verification and cross-band dedup. The result is
+    * `persist()`ed — a stream-static join re-evaluates an un-cached static
+    * side on EVERY micro-batch, which would recompute the corpus signatures
+    * per trigger; the caller owns `unpersist()` on corpus rotation (or
+    * writes the table out bucketed by (band, bh) at scale). The signature
+    * parameters are recorded in the `corpus_bhs` column metadata so the
+    * join side can reject a mismatched configuration. */
   def prepareCorpus(corpus: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 5): DataFrame =
+      k: Int = 16, bands: Int = 4, shingleN: Int = 5): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.k", k).putLong("graft.bands", bands)
+      .putLong("graft.shingleN", shingleN).build()
     Dedup.signatures(corpus, textCol, idCol, k, bands, shingleN)
       .where(size(col("hs")) > 0)
       .select(col("id").as("corpus_id"), col("hs").as("corpus_hs"),
-        col("bhs").as("corpus_bhs"),
+        col("bhs").as("corpus_bhs", meta),
         posexplode(col("bhs")).as(Seq("band", "bh")))
+      .persist()
+  }
 
   /** Streaming query fragment: emits one row
     * `(id, corpus_id, jaccard)` per stream document whose verified Jaccard
@@ -46,6 +57,16 @@ object StreamingDedup {
       k: Int = 16, bands: Int = 4, shingleN: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "nearDupAgainstCorpus requires a positive threshold")
+    // a corpus prepared with different signature parameters would silently
+    // join to (almost) nothing — reject the mismatch at plan time
+    val cm = corpusBands.schema("corpus_bhs").metadata
+    if (cm.contains("graft.k")) {
+      val (ck, cb, cs) = (cm.getLong("graft.k"), cm.getLong("graft.bands"),
+        cm.getLong("graft.shingleN"))
+      require(ck == k && cb == bands && cs == shingleN,
+        s"corpus prepared with (k=$ck, bands=$cb, shingleN=$cs) but stream " +
+          s"uses (k=$k, bands=$bands, shingleN=$shingleN)")
+    }
     val s = Dedup.signatures(stream, textCol, idCol, k, bands, shingleN)
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), col("bhs"),

@@ -283,6 +283,16 @@ class StreamingSpec extends SparkSuite {
       val all = spark.sql("SELECT id, corpus_id FROM nd").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(all == Set((1L, 100L), (4L, 200L)))
-    } finally q.stop()
+      // a corpus prepared under different signature parameters is rejected
+      // at plan time (a silent band mismatch would just emit nothing)
+      val e = intercept[IllegalArgumentException] {
+        StreamingDedup.nearDupAgainstCorpus(
+          in.toDF().toDF("doc_id", "text"), bandTable, "text", "doc_id", bands = 8)
+      }
+      assert(e.getMessage.contains("bands=8"))
+    } finally {
+      q.stop()
+      bandTable.unpersist()
+    }
   }
 }
