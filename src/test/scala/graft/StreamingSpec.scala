@@ -295,4 +295,48 @@ class StreamingSpec extends SparkSuite {
       bandTable.unpersist()
     }
   }
+
+  test("streaming interval merge: cross-batch touching runs close on watermark, match batch") {
+    import graft.streaming.StreamingIntervalOps
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)] // (key, startNs, stopNs)
+    val ns = 1000000000L
+    val base = 1704067200L * ns // 2024-01-01; epoch-0 would clamp the watermark
+    def mk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("k"),
+        struct(col("_2").as("start"), col("_3").as("stop")).as("span"),
+        timestamp_micros((col("_2") / 1000L).cast("long")).as("ts"))
+    val out = StreamingIntervalOps.mergeIntervalsStream(
+      mk(in.toDF()), Seq("k"), "span", "ts", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("mrg").outputMode("append").start()
+    try {
+      // batch 1: overlapping pair for a, isolated run for b
+      in.addData(("a", base, base + 10L * ns), ("a", base + 5L * ns, base + 20L * ns),
+        ("b", base + 2L * ns, base + 4L * ns))
+      q.processAllAvailable()
+      // batch 2: TOUCHING continuation of a's run (state must extend it),
+      // plus a far-future row driving the watermark past everything earlier
+      in.addData(("a", base + 20L * ns, base + 25L * ns),
+        ("a", base + 1000L * ns, base + 1001L * ns))
+      q.processAllAvailable()
+      in.addData(("a", base + 5000L * ns, base + 5001L * ns)) // advance wm again
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, span.start, span.stop, n_merged FROM mrg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // [0,10)+[5,20)+[20,25) merge into ONE run of 3 (touching merges)
+      assert(got.contains(("a", base, base + 25L * ns, 3L)))
+      assert(got.contains(("a", base + 1000L * ns, base + 1001L * ns, 1L)))
+      assert(got.contains(("b", base + 2L * ns, base + 4L * ns, 1L)))
+      // batch equivalence on the closed runs: same merge as IntervalOps
+      import spark.implicits._
+      val batchIn = Seq(("a", base, base + 10L * ns), ("a", base + 5L * ns, base + 20L * ns),
+        ("b", base + 2L * ns, base + 4L * ns), ("a", base + 20L * ns, base + 25L * ns),
+        ("a", base + 1000L * ns, base + 1001L * ns)).toDF("k", "s", "e")
+        .select(col("k"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+      val batch = graft.operators.IntervalOps.mergeIntervals(batchIn, Seq("k"), "span")
+        .select(col("k"), col("span.start"), col("span.stop"), col("n_merged"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.subsetOf(got))
+    } finally q.stop()
+  }
 }
