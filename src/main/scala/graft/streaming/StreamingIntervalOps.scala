@@ -6,10 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** Streaming interval-set operators — the streaming variant of
-  * [[graft.operators.IntervalOps.mergeIntervals]] (the reference's
-  * `IntervalSet` union, `src/DataFrameIntervals.jl:385`, which is
-  * batch-only).
+/** Streaming interval-set operators — the streaming variants of
+  * [[graft.operators.IntervalOps.mergeIntervals]] / `gaps` (the reference's
+  * `IntervalSet` union, `src/DataFrameIntervals.jl:385`, is batch-only).
   *
   * State design: per key, only the OPEN merged runs — runs whose stop the
   * watermark has not yet passed — are kept (`flatMapGroupsWithState` with
@@ -35,13 +34,74 @@ object StreamingIntervalOps {
     */
   def mergeIntervalsStream(df: DataFrame, keys: Seq[String], spancol: String,
       tsCol: String, watermarkDelay: String): DataFrame = {
-    require(df.schema(tsCol).dataType == TimestampType,
-      "mergeIntervalsStream needs a TimestampType event-time column (the interval start)")
     val outSchema = StructType(keys.map(df.schema(_)) :+
-      StructField(spancol, StructType(Seq(
-        StructField("start", LongType, nullable = false),
-        StructField("stop", LongType, nullable = false))), nullable = false) :+
+      StructField(spancol, spanType, nullable = false) :+
       StructField("n_merged", LongType, nullable = false))
+    val nKeys = keys.length
+    runSweep(df, keys, spancol, tsCol, watermarkDelay, outSchema,
+        trackLastStop = false) {
+      (keysRow, closed, _) =>
+        closed.iterator.map { case (s0, e0, n0) =>
+          val buf = new Array[Any](nKeys + 2)
+          var i = 0
+          while (i < nKeys) { buf(i) = keysRow.get(i); i += 1 }
+          buf(nKeys) = new GenericRow(Array[Any](s0, e0))
+          buf(nKeys + 1) = n0
+          new GenericRow(buf)
+        }
+    }.toDF(keys :+ spancol :+ "n_merged": _*)
+  }
+
+  /** Streaming gaps (the complement of [[mergeIntervalsStream]]): one row
+    * per maximal uncovered interval strictly between two consecutive closed
+    * runs of a key — live downtime/silence detection. Emits
+    * `keys..., span struct<start,stop>`; the region after the last run is
+    * open-ended and never emits, matching the batch `gaps` contract. */
+  def gapsStream(df: DataFrame, keys: Seq[String], spancol: String,
+      tsCol: String, watermarkDelay: String): DataFrame = {
+    val outSchema = StructType(keys.map(df.schema(_)) :+
+      StructField(spancol, spanType, nullable = false))
+    val nKeys = keys.length
+    runSweep(df, keys, spancol, tsCol, watermarkDelay, outSchema,
+        trackLastStop = true) {
+      (keysRow, closed, lastStop) =>
+        // closed runs arrive in start order; a gap spans [prev stop, next
+        // start). lastStop is the previous invocation's final closed stop
+        // (MinValue before the first run closes — no leading gap).
+        var prev = lastStop
+        closed.iterator.flatMap { case (s0, e0, _) =>
+          val out =
+            if (prev != Long.MinValue && s0 > prev) {
+              val buf = new Array[Any](nKeys + 1)
+              var i = 0
+              while (i < nKeys) { buf(i) = keysRow.get(i); i += 1 }
+              buf(nKeys) = new GenericRow(Array[Any](prev, s0))
+              Iterator.single[Row](new GenericRow(buf))
+            } else Iterator.empty
+          prev = math.max(prev, e0)
+          out
+        }
+    }.toDF(keys :+ spancol: _*)
+  }
+
+  private val spanType = StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("stop", LongType, nullable = false)))
+
+  /** Shared per-key sweep: merges prior open runs with the batch's
+    * intervals, splits closed/open on the watermark, keeps open runs (and,
+    * when `trackLastStop`, the last closed stop — needed across idle
+    * periods for gap emission, at the cost of one small state row per key;
+    * without it, a fully-closed key's state is removed) in state, and
+    * delegates emission to `emit`. `emit` receives (typed keys row, closed
+    * runs in start order, the last closed stop BEFORE this invocation or
+    * Long.MinValue). */
+  private def runSweep(df: DataFrame, keys: Seq[String], spancol: String,
+      tsCol: String, watermarkDelay: String, outSchema: StructType,
+      trackLastStop: Boolean)(
+      emit: (Row, Seq[(Long, Long, Long)], Long) => Iterator[Row]): DataFrame = {
+    require(df.schema(tsCol).dataType == TimestampType,
+      "streaming interval ops need a TimestampType event-time column (the interval start)")
 
     // collision-free composite grouping key (see StreamingAsof: raw concat
     // collides across field boundaries and concat_ws skips NULLs)
@@ -58,14 +118,15 @@ object StreamingIntervalOps {
         col(s"$spancol.stop").cast("long").as("__e"),
         col(tsCol))
     val keyed = tagged.groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
-    val nKeys = keys.length
 
-    // state: (typed keys row, open runs as (start, stop, n_merged))
-    keyed.flatMapGroupsWithState[(Row, Seq[(Long, Long, Long)]), Row](
+    // state: (typed keys row, last closed stop, open runs (start, stop, n))
+    keyed.flatMapGroupsWithState[(Row, Long, Seq[(Long, Long, Long)]), Row](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (_: String, it: Iterator[Row], state: GroupState[(Row, Seq[(Long, Long, Long)])]) =>
+      (_: String, it: Iterator[Row],
+          state: GroupState[(Row, Long, Seq[(Long, Long, Long)])]) =>
         val incoming = it.toArray
-        val (priorKeys, prior) = state.getOption.getOrElse((null: Row, Seq.empty[(Long, Long, Long)]))
+        val (priorKeys, lastStop, prior) =
+          state.getOption.getOrElse((null: Row, Long.MinValue, Seq.empty[(Long, Long, Long)]))
         val keysRow = if (incoming.nonEmpty) incoming(0).getStruct(1) else priorKeys
         // one sorted sweep over prior open runs + this batch's intervals;
         // touching runs merge (start == stop), matching the batch operator
@@ -80,22 +141,21 @@ object StreamingIntervalOps {
         }
         val wmNs = state.getCurrentWatermarkMs() * 1000000L
         val (closed, open) = merged.partition(_._2 < wmNs)
-        if (open.isEmpty) state.remove()
-        else {
-          state.update((keysRow, open.toSeq))
+        val newLastStop =
+          if (closed.nonEmpty) math.max(lastStop, closed.map(_._2).max) else lastStop
+        if (open.isEmpty && (!trackLastStop || newLastStop == Long.MinValue)) {
+          state.remove()
+        } else if (open.isEmpty) {
+          // keep lastStop for future gap emission, but nothing can close
+          // until new data for this key arrives — no timeout needed
+          state.update((keysRow, newLastStop, Seq.empty))
+        } else {
+          state.update((keysRow, newLastStop, open.toSeq))
           // re-invoke this key once the watermark passes the earliest open
           // stop (stopMs >= wmMs for open runs, so the target is future)
           state.setTimeoutTimestamp(open.map(_._2).min / 1000000L + 1L)
         }
-        closed.iterator.map { case (s0, e0, n0) =>
-          val buf = new Array[Any](nKeys + 2)
-          var i = 0
-          while (i < nKeys) { buf(i) = keysRow.get(i); i += 1 }
-          buf(nKeys) = new GenericRow(Array[Any](s0, e0))
-          buf(nKeys + 1) = n0
-          new GenericRow(buf)
-        }
-    }(Encoders.kryo[(Row, Seq[(Long, Long, Long)])], Encoders.row(outSchema))
-      .toDF(keys :+ spancol :+ "n_merged": _*)
+        emit(keysRow, closed.toSeq, lastStop)
+    }(Encoders.kryo[(Row, Long, Seq[(Long, Long, Long)])], Encoders.row(outSchema))
   }
 }

@@ -339,4 +339,38 @@ class StreamingSpec extends SparkSuite {
       assert(batch.subsetOf(got))
     } finally q.stop()
   }
+
+  test("streaming gaps: uncovered regions emit between closed runs, across idle batches") {
+    import graft.streaming.StreamingIntervalOps
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val ns = 1000000000L
+    val base = 1704067200L * ns
+    def mk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("k"),
+        struct(col("_2").as("start"), col("_3").as("stop")).as("span"),
+        timestamp_micros((col("_2") / 1000L).cast("long")).as("ts"))
+    val out = StreamingIntervalOps.gapsStream(
+      mk(in.toDF()), Seq("k"), "span", "ts", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("gap").outputMode("append").start()
+    try {
+      in.addData(("a", base, base + 10L * ns), ("a", base + 20L * ns, base + 30L * ns))
+      q.processAllAvailable()
+      // watermark driver: both runs close; ONE gap [10,20) emits (no
+      // leading gap before the first run, none after the last)
+      in.addData(("a", base + 1000L * ns, base + 1001L * ns))
+      q.processAllAvailable()
+      val g1 = spark.sql("SELECT k, span.start, span.stop FROM gap").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(g1 == Set(("a", base + 10L * ns, base + 20L * ns)))
+      // the gap between [20,30) and the watermark-driver run [1000,1001)
+      // emits only once THAT run closes — across an idle period for the key
+      in.addData(("a", base + 5000L * ns, base + 5001L * ns))
+      q.processAllAvailable()
+      val g2 = spark.sql("SELECT k, span.start, span.stop FROM gap").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(g2 == Set(("a", base + 10L * ns, base + 20L * ns),
+        ("a", base + 30L * ns, base + 1000L * ns)))
+    } finally q.stop()
+  }
 }
