@@ -373,4 +373,43 @@ class StreamingSpec extends SparkSuite {
         ("a", base + 30L * ns, base + 1000L * ns)))
     } finally q.stop()
   }
+
+  test("property: streaming merge equals batch merge on a random in-order stream") {
+    import graft.streaming.StreamingIntervalOps
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(20260812L)
+    val ns = 1000000000L
+    val base = 1704067200L * ns
+    // random keyed intervals fed in nondecreasing start order (the
+    // operator's exactness precondition), random lengths incl. touching
+    val rows = (0 until 60).map { i =>
+      val k = if (rnd.nextBoolean()) "a" else "b"
+      val s0 = base + i.toLong * 3L * ns + rnd.nextInt(3).toLong * ns
+      (k, s0, s0 + (1L + rnd.nextInt(8).toLong) * ns)
+    }.sortBy(_._2)
+    val driver = ("z", base + 100000L * ns, base + 100001L * ns)
+    val in = MemoryStream[(String, Long, Long)]
+    def mk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("k"),
+        struct(col("_2").as("start"), col("_3").as("stop")).as("span"),
+        timestamp_micros((col("_2") / 1000L).cast("long")).as("ts"))
+    val out = StreamingIntervalOps.mergeIntervalsStream(
+      mk(in.toDF()), Seq("k"), "span", "ts", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("pmrg").outputMode("append").start()
+    try {
+      rows.grouped(20).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      in.addData(driver) // watermark far past every stop: everything closes
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, span.start, span.stop, n_merged FROM pmrg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      import spark.implicits._
+      val batch = graft.operators.IntervalOps.mergeIntervals(
+          rows.toDF("k", "s", "e").select(col("k"),
+            struct(col("s").as("start"), col("e").as("stop")).as("span")),
+          Seq("k"), "span")
+        .select(col("k"), col("span.start"), col("span.stop"), col("n_merged"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch, s"streaming ${got.size} runs vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
