@@ -41,15 +41,8 @@ object StreamingAsof {
     val rSchema = StructType(rPayload.map(right.schema(_)) :+
       right.schema(rightTs).copy(name = "__rts"))
 
-    // Collision-free composite key: each field is tagged (N for NULL, else
-    // V<len>:<value>) so ("ab","c") never collides with ("a","bc") and
-    // ("a",NULL) never collides with (NULL,"a") - a raw separator-concat
-    // collides on both (and concat_ws silently skips NULL fields).
     def keyExpr(cols: Seq[String], df: DataFrame) =
-      concat(cols.map { c =>
-        val s = df(c).cast("string")
-        when(s.isNull, lit("N")).otherwise(concat(lit("V"), length(s), lit(":"), s))
-      }: _*)
+      CompositeKey.of(cols.map(df(_)))
 
     val lTagged = left.select(
       keyExpr(by.map(_._1), left).as("key"),

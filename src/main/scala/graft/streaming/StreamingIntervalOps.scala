@@ -26,7 +26,9 @@ object StreamingIntervalOps {
   /** Merge overlapping/touching intervals per key on a stream; emits
     * `keys..., span struct<start,stop> (long ns), n_merged` — the same
     * observable contract as the batch operator — once a merged run is
-    * provably complete (watermark past its stop).
+    * provably complete (watermark past its stop). One documented
+    * divergence: degenerate inputs (start >= stop, the empty set) are
+    * dropped, where the batch operator would echo an isolated one back.
     *
     * @param tsCol  TimestampType event-time column carrying the interval
     *               START (e.g. `timestamp_micros(span.start div 1000)`);
@@ -49,7 +51,7 @@ object StreamingIntervalOps {
           buf(nKeys + 1) = n0
           new GenericRow(buf)
         }
-    }.toDF(keys :+ spancol :+ "n_merged": _*)
+    }
   }
 
   /** Streaming gaps (the complement of [[mergeIntervalsStream]]): one row
@@ -81,7 +83,7 @@ object StreamingIntervalOps {
           prev = math.max(prev, e0)
           out
         }
-    }.toDF(keys :+ spancol: _*)
+    }
   }
 
   private val spanType = StructType(Seq(
@@ -102,21 +104,25 @@ object StreamingIntervalOps {
       emit: (Row, Seq[(Long, Long, Long)], Long) => Iterator[Row]): DataFrame = {
     require(df.schema(tsCol).dataType == TimestampType,
       "streaming interval ops need a TimestampType event-time column (the interval start)")
-
-    // collision-free composite grouping key (see StreamingAsof: raw concat
-    // collides across field boundaries and concat_ws skips NULLs)
-    def keyExpr(cols: Seq[String]) =
-      concat(cols.map { c =>
-        val s = col(c).cast("string")
-        when(s.isNull, lit("N")).otherwise(concat(lit("V"), length(s), lit(":"), s))
-      }: _*)
+    df.schema(spancol).dataType match {
+      case StructType(fields) if fields.length == 2 &&
+          fields.forall(f => Seq(LongType, IntegerType).contains(f.dataType)) => ()
+      case other => throw new IllegalArgumentException(
+        s"streaming interval ops need $spancol as struct<start,stop> long ns " +
+          s"(timestamp structs would silently cast to SECONDS); got $other")
+    }
 
     val tagged = df.withWatermark(tsCol, watermarkDelay)
-      .select(keyExpr(keys).as("__key"),
+      .select(CompositeKey.of(keys.map(col)).as("__key"),
         struct(keys.map(col): _*).as("__keys"),
         col(s"$spancol.start").cast("long").as("__s"),
         col(s"$spancol.stop").cast("long").as("__e"),
         col(tsCol))
+      // degenerate intervals (start >= stop) denote the empty set: they
+      // contribute no coverage — dropping them keeps gap emission maximal
+      // (batch `gaps` filters them identically; batch merge would echo an
+      // isolated one back, a divergence documented in the scaladoc)
+      .where(col("__s") < col("__e"))
     val keyed = tagged.groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
 
     // state: (typed keys row, last closed stop, open runs (start, stop, n))
@@ -139,7 +145,12 @@ object StreamingIntervalOps {
             merged(merged.length - 1) = (ps, math.max(pe, e0), pn + n0)
           } else merged += ((s0, e0, n0))
         }
-        val wmNs = state.getCurrentWatermarkMs() * 1000000L
+        // watermark 0 ms means "not established yet" (Spark also clamps at
+        // epoch 0): close nothing rather than everything pre-epoch. Runs
+        // over pre-1970 event times therefore never close — data should
+        // use realistic epochs (the watermark itself cannot go negative).
+        val wmMs = state.getCurrentWatermarkMs()
+        val wmNs = if (wmMs == 0L) Long.MinValue else wmMs * 1000000L
         val (closed, open) = merged.partition(_._2 < wmNs)
         val newLastStop =
           if (closed.nonEmpty) math.max(lastStop, closed.map(_._2).max) else lastStop
@@ -152,8 +163,10 @@ object StreamingIntervalOps {
         } else {
           state.update((keysRow, newLastStop, open.toSeq))
           // re-invoke this key once the watermark passes the earliest open
-          // stop (stopMs >= wmMs for open runs, so the target is future)
-          state.setTimeoutTimestamp(open.map(_._2).min / 1000000L + 1L)
+          // stop; clamp to the future — a pre-epoch stop would otherwise
+          // target a timestamp behind the (non-negative) watermark
+          state.setTimeoutTimestamp(
+            math.max(open.map(_._2).min / 1000000L + 1L, wmMs + 1L))
         }
         emit(keysRow, closed.toSeq, lastStop)
     }(Encoders.kryo[(Row, Long, Seq[(Long, Long, Long)])], Encoders.row(outSchema))

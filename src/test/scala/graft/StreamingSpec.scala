@@ -354,7 +354,9 @@ class StreamingSpec extends SparkSuite {
       mk(in.toDF()), Seq("k"), "span", "ts", "5 seconds")
     val q = out.writeStream.format("memory").queryName("gap").outputMode("append").start()
     try {
-      in.addData(("a", base, base + 10L * ns), ("a", base + 20L * ns, base + 30L * ns))
+      // the degenerate [15,15) must NOT split the [10,20) gap (empty set)
+      in.addData(("a", base, base + 10L * ns), ("a", base + 20L * ns, base + 30L * ns),
+        ("a", base + 15L * ns, base + 15L * ns))
       q.processAllAvailable()
       // watermark driver: both runs close; ONE gap [10,20) emits (no
       // leading gap before the first run, none after the last)
