@@ -38,8 +38,16 @@ object GraftExtensions {
   private def startOf(e: Expression) = UnresolvedExtractValue(e, Literal("start"))
   private def stopOf(e: Expression) = UnresolvedExtractValue(e, Literal("stop"))
 
+  /** A Column-composed function lifted into a SQL expression builder via
+    * the Bridge round-trip — the registered function expands to the SAME
+    * expression tree the Scala API builds (codegen status included). */
+  private def lift1(f: Column => Column): Seq[Expression] => Expression =
+    exprs => Bridge.resolvableExpression(f(Bridge.column(exprs(0))))
+
   /** Same functions, resolvable from SQL text. Interval helpers compose
-    * built-ins (already codegen'd); dot_product is the native expression. */
+    * built-ins (already codegen'd); dot_product is the native expression;
+    * the text/dedup scalars expand to their Column-path expression trees,
+    * so SQL users get identical (oracle-parity) values. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> { exprs => DotProduct(exprs(0), exprs(1)) },
     "interval_overlaps" -> { exprs =>
@@ -51,5 +59,13 @@ object GraftExtensions {
       CreateNamedStruct(Seq(
         Literal("start"), Greatest(Seq(startOf(exprs(0)), startOf(exprs(1)))),
         Literal("stop"), Least(Seq(stopOf(exprs(0)), stopOf(exprs(1))))))
-    })
+    },
+    "interval_duration" -> lift1(graft.intervals.IntervalCols.duration),
+    "token_count" -> lift1(graft.functions.TextFunctions.tokenCount),
+    "bpe_token_count" -> lift1(graft.functions.TextFunctions.bpeTokenCount),
+    "token_hash" -> lift1(graft.functions.TextFunctions.tokenHash),
+    "lang_id" -> lift1(graft.functions.TextFunctions.langId),
+    "quality_score" -> lift1(graft.functions.TextFunctions.qualityScore),
+    "doc_fingerprint" -> lift1(graft.functions.TextFunctions.fingerprint),
+    "simhash32" -> lift1(graft.functions.Dedup.simhash32))
 }

@@ -47,6 +47,20 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getBoolean(1))
     assert(r.getLong(2) == 4L)
+    // lifted Column-path functions: SQL values == Scala-API values
+    val txt = "the quick brown fox"
+    val sqlRow = spark.sql(
+      s"""SELECT token_count('$txt') AS tc, lang_id('$txt') AS lg,
+         |       simhash32('$txt') AS sh,
+         |       interval_duration(named_struct('start', 3L, 'stop', 10L)) AS d
+         |""".stripMargin).head
+    import graft.functions.{Dedup, TextFunctions => TF}
+    val apiRow = spark.range(1)
+      .select(TF.tokenCount(lit(txt)), TF.langId(lit(txt)), Dedup.simhash32(lit(txt))).head
+    assert(sqlRow.getInt(0) == apiRow.getInt(0) && sqlRow.getInt(0) == 4)
+    assert(sqlRow.getString(1) == apiRow.getString(1))
+    assert(sqlRow.getLong(2) == apiRow.getLong(2))
+    assert(sqlRow.getLong(3) == 7L)
   }
 
   test("cosine: self=1, opposite=-1") {
