@@ -38,34 +38,45 @@ object GraftExtensions {
   private def startOf(e: Expression) = UnresolvedExtractValue(e, Literal("start"))
   private def stopOf(e: Expression) = UnresolvedExtractValue(e, Literal("stop"))
 
+  /** Wrong-arity SQL calls must fail analysis with a clear message — a raw
+    * `exprs(i)` would ignore extra arguments (silently wrong results) or
+    * throw an opaque IndexOutOfBoundsException on too few. */
+  private def arity(n: Int, name: String)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      b(exprs)
+    }
+
   /** A Column-composed function lifted into a SQL expression builder via
     * the Bridge round-trip — the registered function expands to the SAME
     * expression tree the Scala API builds (codegen status included). */
-  private def lift1(f: Column => Column): Seq[Expression] => Expression =
-    exprs => Bridge.resolvableExpression(f(Bridge.column(exprs(0))))
+  private def lift1(name: String, f: Column => Column): (String, Seq[Expression] => Expression) =
+    name -> arity(1, name)(exprs => Bridge.resolvableExpression(f(Bridge.column(exprs(0)))))
 
   /** Same functions, resolvable from SQL text. Interval helpers compose
     * built-ins (already codegen'd); dot_product is the native expression;
     * the text/dedup scalars expand to their Column-path expression trees,
     * so SQL users get identical (oracle-parity) values. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_product" -> { exprs => DotProduct(exprs(0), exprs(1)) },
-    "interval_overlaps" -> { exprs =>
+    "dot_product" -> arity(2, "dot_product") { exprs => DotProduct(exprs(0), exprs(1)) },
+    "interval_overlaps" -> arity(2, "interval_overlaps") { exprs =>
       And(
         LessThan(startOf(exprs(0)), stopOf(exprs(1))),
         LessThan(startOf(exprs(1)), stopOf(exprs(0))))
     },
-    "interval_intersect" -> { exprs =>
+    "interval_intersect" -> arity(2, "interval_intersect") { exprs =>
       CreateNamedStruct(Seq(
         Literal("start"), Greatest(Seq(startOf(exprs(0)), startOf(exprs(1)))),
         Literal("stop"), Least(Seq(stopOf(exprs(0)), stopOf(exprs(1))))))
     },
-    "interval_duration" -> lift1(graft.intervals.IntervalCols.duration),
-    "token_count" -> lift1(graft.functions.TextFunctions.tokenCount),
-    "bpe_token_count" -> lift1(graft.functions.TextFunctions.bpeTokenCount),
-    "token_hash" -> lift1(graft.functions.TextFunctions.tokenHash),
-    "lang_id" -> lift1(graft.functions.TextFunctions.langId),
-    "quality_score" -> lift1(graft.functions.TextFunctions.qualityScore),
-    "doc_fingerprint" -> lift1(graft.functions.TextFunctions.fingerprint),
-    "simhash32" -> lift1(graft.functions.Dedup.simhash32))
+    lift1("interval_duration", graft.intervals.IntervalCols.duration),
+    lift1("token_count", graft.functions.TextFunctions.tokenCount),
+    lift1("bpe_token_count", graft.functions.TextFunctions.bpeTokenCount),
+    lift1("token_hash", graft.functions.TextFunctions.tokenHash),
+    lift1("lang_id", graft.functions.TextFunctions.langId),
+    lift1("quality_score", graft.functions.TextFunctions.qualityScore),
+    lift1("doc_fingerprint", graft.functions.TextFunctions.fingerprint),
+    lift1("simhash32", graft.functions.Dedup.simhash32))
 }

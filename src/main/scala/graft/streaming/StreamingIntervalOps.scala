@@ -28,7 +28,8 @@ object StreamingIntervalOps {
     * observable contract as the batch operator — once a merged run is
     * provably complete (watermark past its stop). One documented
     * divergence: degenerate inputs (start >= stop, the empty set) are
-    * dropped, where the batch operator would echo an isolated one back.
+    * dropped entirely and never counted — the batch operator would echo an
+    * isolated one back AND count one absorbed by a run into its n_merged.
     *
     * @param tsCol  TimestampType event-time column carrying the interval
     *               START (e.g. `timestamp_micros(span.start div 1000)`);
@@ -120,9 +121,14 @@ object StreamingIntervalOps {
         col(tsCol))
       // degenerate intervals (start >= stop) denote the empty set: they
       // contribute no coverage — dropping them keeps gap emission maximal
-      // (batch `gaps` filters them identically; batch merge would echo an
-      // isolated one back, a divergence documented in the scaladoc)
-      .where(col("__s") < col("__e"))
+      // (batch `gaps` filters them identically; batch merge counts them,
+      // a divergence documented in the scaladoc). The isNotNull conjunct
+      // references the event-time column so the optimizer CANNOT push this
+      // filter below the EventTimeWatermark node — degenerate rows must
+      // still reach the watermark collector or their event times would
+      // stop advancing the watermark (open runs would close late, or
+      // never, on a tail of degenerate-only batches).
+      .where(col("__s") < col("__e") && col(tsCol).isNotNull)
     val keyed = tagged.groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
 
     // state: (typed keys row, last closed stop, open runs (start, stop, n))

@@ -61,6 +61,12 @@ class SimilaritySpec extends SparkSuite {
     assert(sqlRow.getString(1) == apiRow.getString(1))
     assert(sqlRow.getLong(2) == apiRow.getLong(2))
     assert(sqlRow.getLong(3) == 7L)
+    // wrong arity fails analysis with a clear message (extra args would
+    // otherwise be silently ignored)
+    val err = intercept[Exception] {
+      spark.sql("SELECT token_count('a', 'b')").head
+    }
+    assert(err.getMessage.contains("token_count expects 1 argument"), err.getMessage)
   }
 
   test("cosine: self=1, opposite=-1") {
