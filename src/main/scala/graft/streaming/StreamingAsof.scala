@@ -115,4 +115,108 @@ object StreamingAsof {
 
     out.toDF((byNames :+ leftTs) ++ lPayload ++ rPayload :+ rightTs: _*)
   }
+
+  /** Streaming FORWARD as-of join (the streaming variant of the batch
+    * operator's `Direction.Forward`): each left row matches the EARLIEST
+    * right row with `rts >= lts` (ties included). A left row cannot resolve
+    * when it arrives — it buffers per key until the next right row; each
+    * right row, processed in event-time order, resolves every pending left
+    * at or before it. With a `tolerance`, a first-right beyond it emits the
+    * left UNMATCHED (no later right can be earlier, given in-order rights).
+    * State per key = the pending (yet-unresolved) left rows — bounded by
+    * the left arrival rate between right arrivals, not stream length; a
+    * left with no subsequent right ever stays pending (exactness caveat as
+    * the backward variant: results are exact when sides arrive in
+    * event-time order). */
+  def asofJoinStreamForward(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, by: Seq[(String, String)],
+      tolerance: Option[Long] = None): DataFrame = {
+    val lPayload = left.columns.filterNot(c => c == leftTs || by.exists(_._1 == c))
+    val rPayload = right.columns.filterNot(c => c == rightTs || by.exists(_._2 == c))
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"ambiguous payload columns: ${lPayload.intersect(rPayload).mkString(", ")}")
+    require(leftTs != rightTs,
+      "leftTs and rightTs must have distinct names (both appear in the output)")
+    require(left.schema(leftTs).dataType == LongType &&
+      right.schema(rightTs).dataType == LongType,
+      "streaming as-of requires long (ns) event-time columns")
+    val byNames = by.map(_._1)
+    val lSchema = StructType(lPayload.map(left.schema(_)))
+    val rSchema = StructType(rPayload.map(right.schema(_)) :+
+      right.schema(rightTs).copy(name = "__rts"))
+
+    // side: LEFT 0 / right 1 — at equal ts the left buffers first so the
+    // same-ts right resolves it (forward allows rts == lts)
+    val lTagged = left.select(
+      CompositeKey.of(by.map(p => left(p._1))).as("key"),
+      col(leftTs).cast("long").as("ts"), lit(0).as("side"),
+      struct(lPayload.map(col): _*).as("lrow"),
+      lit(null).cast(rSchema).as("rrow"),
+      struct(by.map { case (l, _) => col(l) }: _*).as("keys"))
+    val rTagged = right.select(
+      CompositeKey.of(by.map(p => right(p._2))).as("key"),
+      col(rightTs).cast("long").as("ts"), lit(1).as("side"),
+      lit(null).cast(lSchema).as("lrow"),
+      struct(rPayload.map(col) :+ col(rightTs).as("__rts"): _*).as("rrow"),
+      struct(by.map { case (l, r) => col(r).as(l) }: _*).as("keys"))
+
+    val outSchema = StructType(
+      byNames.map(n => left.schema(n)) ++
+        Seq(left.schema(leftTs)) ++
+        lPayload.map(left.schema(_)) ++
+        rPayload.map(c => right.schema(c).copy(nullable = true)) :+
+        right.schema(rightTs).copy(nullable = true))
+
+    val keyed = lTagged.unionAll(rTagged)
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+    val nBy = byNames.length
+    val nL = lPayload.length
+    val nR = rPayload.length
+    val tol = tolerance
+
+    // state: pending left rows as (lts, left payload, typed keys)
+    val out = keyed.flatMapGroupsWithState[Seq[(Long, Row, Row)], Row](
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      GroupStateTimeout.NoTimeout()) {
+      (_: String, it: Iterator[Row], state: GroupState[Seq[(Long, Row, Row)]]) =>
+        val rows = it.toArray.sortBy(r => (r.getLong(1), r.getInt(2)))
+        val acc = new scala.collection.mutable.ArrayBuffer[Row]()
+        var pending = state.getOption.getOrElse(Seq.empty)
+          .toBuffer[(Long, Row, Row)]
+        def emit(lts: Long, lrow: Row, keys: Row, rrow: Row): Unit = {
+          val buf = new Array[Any](nBy + 1 + nL + nR + 1)
+          var i = 0
+          while (i < nBy) { buf(i) = keys.get(i); i += 1 }
+          buf(nBy) = lts
+          var j = 0
+          while (j < nL) { buf(nBy + 1 + j) = lrow.get(j); j += 1 }
+          if (rrow != null) {
+            var k = 0
+            while (k < nR) { buf(nBy + 1 + nL + k) = rrow.get(k); k += 1 }
+            buf(nBy + 1 + nL + nR) = rrow.get(nR) // __rts
+          }
+          acc += new GenericRow(buf)
+        }
+        rows.foreach { r =>
+          if (r.getInt(2) == 0) {
+            pending += ((r.getLong(1), r.getStruct(3), r.getStruct(5)))
+          } else {
+            val rts = r.getLong(1)
+            val rrow = r.getStruct(4)
+            val (resolve, keep) = pending.partition(_._1 <= rts)
+            resolve.foreach { case (lts, lrow, keys) =>
+              // this is the FIRST right at/after lts: beyond tolerance
+              // means no right can ever be closer — emit unmatched now
+              emit(lts, lrow, keys,
+                if (tol.forall(t => rts - lts <= t)) rrow else null)
+            }
+            pending = keep
+          }
+        }
+        if (pending.nonEmpty) state.update(pending.toSeq) else state.remove()
+        acc.iterator
+    }(Encoders.kryo[Seq[(Long, Row, Row)]], Encoders.row(outSchema))
+
+    out.toDF((byNames :+ leftTs) ++ lPayload ++ rPayload :+ rightTs: _*)
+  }
 }

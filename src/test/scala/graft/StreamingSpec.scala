@@ -173,6 +173,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming FORWARD as-of: pending lefts resolve on the next right, incl. ties") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(String, Long, Long)]   // (sym, o_ts, order_id)
+    val fills = MemoryStream[(String, Long, Double)]  // (sym, f_ts, px)
+    val joined = graft.streaming.StreamingAsof.asofJoinStreamForward(
+      orders.toDF().toDF("sym", "o_ts", "order_id"),
+      fills.toDF().toDF("sym", "f_ts", "px"),
+      "o_ts", "f_ts", Seq("sym" -> "sym"), tolerance = Some(100L))
+    val q = joined.writeStream.format("memory").queryName("fasof").outputMode("append").start()
+    try {
+      // batch 1: two orders; the same-batch fill at 150 resolves BOTH the
+      // earlier order (100 <= 150) and the equal-ts order (150 <= 150)
+      orders.addData(("A", 100L, 1L), ("A", 150L, 2L), ("A", 400L, 3L))
+      fills.addData(("A", 150L, 9.5))
+      q.processAllAvailable()
+      // batch 2: order 3 (ts 400) waited across batches; this fill at 450
+      // is within tolerance. Order 4 (ts 500) then expires UNMATCHED when
+      // the next fill is 300 ns later (> 100 tolerance).
+      fills.addData(("A", 450L, 9.9))
+      orders.addData(("A", 500L, 4L))
+      q.processAllAvailable()
+      fills.addData(("A", 800L, 11.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT sym, order_id, px, f_ts FROM fasof").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(rows == Set(
+        ("A", 1L, Some(9.5), Some(150L)),
+        ("A", 2L, Some(9.5), Some(150L)),  // equal-ts tie matches
+        ("A", 3L, Some(9.9), Some(450L)),  // resolved across batches
+        ("A", 4L, None, None)))            // first-right beyond tolerance
+    } finally q.stop()
+  }
+
   test("streaming as-of join: a key seen with only left rows does not poison state") {
     implicit val sqlCtx = spark.sqlContext
     val trades = MemoryStream[(String, Long, Long)]
