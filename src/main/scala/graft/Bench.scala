@@ -13,13 +13,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM once (codegen compiler, shuffle machinery, parquet reader)
-    // so the first measured query doesn't absorb session startup costs
-    try {
-      spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
-        .agg(org.apache.spark.sql.functions.sum("id")).count()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
-    } catch { case _: Throwable => () }
+    // Steady-state measurement: run the FULL query set once at the smallest
+    // SF first. The plan shapes are identical across SFs, so this warms every
+    // cold path the measured run would otherwise absorb into whichever query
+    // happens to go first — janino codegen, the parquet reader, shuffle
+    // machinery, and the sweep join's object serializer (r3 recorded the
+    // map-order-first query at 3.5x its steady-state cost purely from this).
+    // The DuckDB baseline numbers are likewise warm-engine measurements.
+    val warmDir = {
+      val d = new java.io.File("/root/testdata/sf0.001")
+      if (d.isDirectory) d.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row in full — a plain

@@ -1069,21 +1069,43 @@ object SparkEntry {
         |       FROM c a JOIN c b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""".stripMargin,
 
+    // Explicit arg-max formulation rather than DuckDB's ASOF keyword: ASOF
+    // breaks same-tick ties by ITS OWN arbitrary rule, while asofJoin's rule
+    // is pinned (max carried struct = max (purchase_id, purchase_value) on
+    // the winning tick) — the window ORDER BY mirrors it exactly.
     "q19_asof" ->
-      """SELECT l.user_id, epoch_ns(l.ts) AS ts, l.event_id AS click_id,
-        |       r.event_id AS purchase_id, r.value AS purchase_value,
-        |       epoch_ns(r.ts) AS pts
-        |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+      """WITH l AS (SELECT user_id, ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
+        |                  value AS purchase_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT l.user_id, l.ts, l.click_id,
+        |                  r.purchase_id, r.purchase_value, r.pts,
+        |                  row_number() OVER (PARTITION BY l.click_id
+        |                    ORDER BY r.pts DESC, r.purchase_id DESC,
+        |                             r.purchase_value DESC) AS rn
+        |           FROM l LEFT JOIN r
+        |             ON l.user_id = r.user_id AND r.pts <= l.ts)
+        |SELECT user_id, epoch_ns(ts) AS ts, click_id, purchase_id,
+        |       purchase_value, epoch_ns(pts) AS pts
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q41_asof_forward" ->
-      """SELECT l.user_id, epoch_ns(l.ts) AS ts, l.event_id AS click_id,
-        |       r.event_id AS purchase_id, r.value AS purchase_value,
-        |       epoch_ns(r.ts) AS pts
-        |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+      """WITH l AS (SELECT user_id, ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
+        |                  value AS purchase_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT l.user_id, l.ts, l.click_id,
+        |                  r.purchase_id, r.purchase_value, r.pts,
+        |                  row_number() OVER (PARTITION BY l.click_id
+        |                    ORDER BY r.pts ASC, r.purchase_id DESC,
+        |                             r.purchase_value DESC) AS rn
+        |           FROM l LEFT JOIN r
+        |             ON l.user_id = r.user_id AND r.pts >= l.ts)
+        |SELECT user_id, epoch_ns(ts) AS ts, click_id, purchase_id,
+        |       purchase_value, epoch_ns(pts) AS pts
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

@@ -4,8 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, LessThan, And, Greatest, Least, CreateNamedStruct, Literal}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Column wrappers + SQL registration for the native expressions.
@@ -35,9 +34,6 @@ object GraftExtensions {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  private def startOf(e: Expression) = UnresolvedExtractValue(e, Literal("start"))
-  private def stopOf(e: Expression) = UnresolvedExtractValue(e, Literal("stop"))
-
   /** Wrong-arity SQL calls must fail analysis with a clear message — a raw
     * `exprs(i)` would ignore extra arguments (silently wrong results) or
     * throw an opaque IndexOutOfBoundsException on too few. */
@@ -55,22 +51,22 @@ object GraftExtensions {
   private def lift1(name: String, f: Column => Column): (String, Seq[Expression] => Expression) =
     name -> arity(1, name)(exprs => Bridge.resolvableExpression(f(Bridge.column(exprs(0)))))
 
+  private def lift2(name: String, f: (Column, Column) => Column): (String, Seq[Expression] => Expression) =
+    name -> arity(2, name)(exprs =>
+      Bridge.resolvableExpression(f(Bridge.column(exprs(0)), Bridge.column(exprs(1)))))
+
   /** Same functions, resolvable from SQL text. Interval helpers compose
     * built-ins (already codegen'd); dot_product is the native expression;
     * the text/dedup scalars expand to their Column-path expression trees,
     * so SQL users get identical (oracle-parity) values. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> arity(2, "dot_product") { exprs => DotProduct(exprs(0), exprs(1)) },
-    "interval_overlaps" -> arity(2, "interval_overlaps") { exprs =>
-      And(
-        LessThan(startOf(exprs(0)), stopOf(exprs(1))),
-        LessThan(startOf(exprs(1)), stopOf(exprs(0))))
-    },
-    "interval_intersect" -> arity(2, "interval_intersect") { exprs =>
-      CreateNamedStruct(Seq(
-        Literal("start"), Greatest(Seq(startOf(exprs(0)), startOf(exprs(1)))),
-        Literal("stop"), Least(Seq(stopOf(exprs(0)), stopOf(exprs(1))))))
-    },
+    // Lifted from the Scala API so SQL and Scala agree on the edge cases:
+    // `overlaps` carries the degenerate-interval guards (start >= stop =
+    // empty set matches nothing) and `intersection` the explicit NULL
+    // propagation (greatest/least alone would SKIP a NULL endpoint).
+    lift2("interval_overlaps", graft.intervals.IntervalCols.overlaps),
+    lift2("interval_intersect", graft.intervals.IntervalCols.intersection),
     lift1("interval_duration", graft.intervals.IntervalCols.duration),
     lift1("token_count", graft.functions.TextFunctions.tokenCount),
     lift1("bpe_token_count", graft.functions.TextFunctions.bpeTokenCount),

@@ -280,20 +280,29 @@ object Dedup {
     * `pairs` needs `a`/`b` long columns (one row per undirected edge);
     * `nodes` one `id` long column. Output: (id, rep). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      maxIter: Int = 30, localEdgeLimit: Long = 5000000L): DataFrame = {
+      maxIter: Int = 30, localEdgeLimit: Long = 1000000L): DataFrame = {
     // Materialize the (possibly expensive) pair join exactly ONCE on the
     // executors; count and collect then read the checkpoint. A limit+collect
     // probe would re-run the join per CollectLimit scale-up round, and a
     // count+collect pair would run it twice.
     val edgesDf = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .localCheckpoint(true)
-    if (edgesDf.count() <= localEdgeLimit)
-      return componentsViaUnionFind(edgesDf.collect(), nodes)
+    if (edgesDf.count() <= localEdgeLimit) {
+      // collect as SPECIALIZED (Long, Long) tuples — 2 primitive fields per
+      // edge (~32 B), not GenericRow + boxed Longs (~90 B): the default 1 M
+      // edges costs ~32 MB of driver heap. Raising localEdgeLimit raises
+      // that bill linearly — size the driver accordingly, or leave it and
+      // let the distributed pointer-jumping path take over.
+      import org.apache.spark.sql.Encoders
+      val edges = edgesDf
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).collect()
+      return componentsViaUnionFind(edges, nodes)
+    }
     componentsDistributed(edgesDf, nodes, maxIter)
   }
 
   private def componentsViaUnionFind(
-      edges: Array[org.apache.spark.sql.Row], nodes: DataFrame): DataFrame = {
+      edges: Array[(Long, Long)], nodes: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import scala.collection.mutable
     val parent = mutable.LongMap.empty[Long]
@@ -305,8 +314,8 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { row =>
-      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val mapping = parent.keys.toSeq.map(k => (k, find(k)))

@@ -90,11 +90,22 @@ object Similarity {
 
   /** Train the IVF coarse quantizer: k-means over (a sample of) the corpus.
     * Runs on the driver over a bounded sample — the index is tiny (nLists ×
-    * dim doubles) and broadcasts; assignment/search stay fully distributed. */
+    * dim doubles) and broadcasts; assignment/search stay fully distributed.
+    *
+    * The sample is the `sampleSize` rows with the smallest `xxhash64(vec)` —
+    * a deterministic uniform pseudo-random draw (top-k runs as per-partition
+    * heaps + driver merge, never a full sort). A bare `limit(sampleSize)`
+    * would take whatever partitions answer first: nondeterministic AND
+    * biased toward the head of the corpus — a time-ordered corpus would
+    * train its centroids on old data only. Hash-order needs no corpus-count
+    * pass to pick a fraction and is append-stable by the same argument as
+    * [[Sampling.hashBucket]]; the vector itself tiebreaks equal hashes so
+    * the draw is fully deterministic. */
   def ivfTrain(corpus: DataFrame, nLists: Int, sampleSize: Int = 10000,
       iterations: Int = 10, seed: Long = 11L,
       vecCol: String = "embedding"): IvfIndex = {
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
+    val sample = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__v")), col("__v"))
       .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample.head.length

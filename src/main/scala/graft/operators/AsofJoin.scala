@@ -67,10 +67,20 @@ object AsofJoin {
     // backward scan: ts asc; forward scan: ts desc. In BOTH, right rows
     // (side 0) sort before left rows at equal ts, so an exactly-equal right
     // timestamp is visible to the left row.
+    //
+    // (ts, side) alone is not a TOTAL order: several right rows on one
+    // (key, ts) tick would be carried arbitrarily (partition-layout-
+    // dependent). The carried struct itself is the tiebreak — the MAX
+    // (payload..., rightTs) struct wins the tick, a rule an oracle can
+    // reproduce (max_by / arg-max of the same struct). Skipped only when the
+    // payload contains an unorderable type (map); then ties stay arbitrary.
+    val tiebreakable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStructType)
     def carry(forward: Boolean): Column = {
-      val ord =
+      val base =
         if (forward) Seq(col("__ts").desc, col("__side").asc)
         else Seq(col("__ts").asc, col("__side").asc)
+      val ord = if (tiebreakable) base :+ col("__rrow").asc_nulls_first else base
       val w = Window.partitionBy(byNames.map(col): _*)
         .orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -57,17 +57,41 @@ object IntervalLayout {
           math.max(m0, batchMaxLen)
         case None => batchMaxLen
       } else batchMaxLen
+    // Append writes the sidecar BEFORE the data commit: maxLen only ever
+    // GROWS on append, so a crash between the two steps leaves the bound
+    // conservatively wide (rows of the half-written batch aren't visible
+    // yet) — lossless pruning is preserved. The reverse order would leave
+    // maxLen smaller than the appended data's true max — a silent pruning
+    // hole. Overwrite keeps data-then-sidecar (an interrupted overwrite is
+    // corrupt parquet regardless; the fresh sidecar must describe the fresh
+    // data). Sidecar maintenance is a read-modify-write: concurrent appends
+    // to one layout are NOT supported (standard single-writer parquet-layout
+    // semantics — same contract as Hive-style partition overwrites).
+    if (mode == "append") writeSidecar(df.sparkSession, path, binWidth, maxLen)
     df.withColumn("__bucket", floorDiv(s, binWidth))
       .repartition(col("__bucket"))
       .sortWithinPartitions(s)
       .write.partitionBy("__bucket").mode(mode).parquet(path)
-    // sidecar next to the parquet footer files, through the same FS layer
-    val spark = df.sparkSession
+    if (mode != "append") writeSidecar(df.sparkSession, path, binWidth, maxLen)
+  }
+
+  /** Atomic sidecar publish: write a temp file, then rename over the target
+    * — readers see either the old or the new complete JSON, never a torn
+    * write. Rename is atomic on HDFS and posix; on object stores it degrades
+    * to copy+delete, which still never exposes partial content. */
+  private def writeSidecar(spark: SparkSession, path: String,
+      binWidth: Long, maxLen: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, MetaFile), true)
+    val target = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s".$MetaFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     out.write(s"""{"binWidth":$binWidth,"maxLen":$maxLen}""".getBytes("UTF-8"))
     out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"failed to publish $target")
   }
 
   private def readMetaIfPresent(spark: SparkSession, path: String): Option[(Long, Long)] = {

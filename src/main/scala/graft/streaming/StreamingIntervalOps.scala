@@ -119,16 +119,10 @@ object StreamingIntervalOps {
         col(s"$spancol.start").cast("long").as("__s"),
         col(s"$spancol.stop").cast("long").as("__e"),
         col(tsCol))
-      // degenerate intervals (start >= stop) denote the empty set: they
-      // contribute no coverage — dropping them keeps gap emission maximal
-      // (batch `gaps` filters them identically; batch merge counts them,
-      // a divergence documented in the scaladoc). The isNotNull conjunct
-      // references the event-time column so the optimizer CANNOT push this
-      // filter below the EventTimeWatermark node — degenerate rows must
-      // still reach the watermark collector or their event times would
-      // stop advancing the watermark (open runs would close late, or
-      // never, on a tail of degenerate-only batches).
-      .where(col("__s") < col("__e") && col(tsCol).isNotNull)
+      // NULL event times never advance the watermark — dropping them here
+      // is pushdown-safe. Degenerate intervals are NOT filtered here: see
+      // the in-function filter below.
+      .where(col(tsCol).isNotNull)
     val keyed = tagged.groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
 
     // state: (typed keys row, last closed stop, open runs (start, stop, n))
@@ -137,12 +131,23 @@ object StreamingIntervalOps {
       (_: String, it: Iterator[Row],
           state: GroupState[(Row, Long, Seq[(Long, Long, Long)])]) =>
         val incoming = it.toArray
+        // Degenerate intervals (start >= stop, the empty set — no coverage;
+        // batch `gaps` filters them identically, batch merge counts them, a
+        // divergence documented in the scaladoc) and null-endpoint rows are
+        // dropped HERE, after the watermark collector has seen their event
+        // times. A pre-groupByKey Filter on `__s < __e` does NOT stay above
+        // the watermark: the optimizer splits the conjunction and pushes the
+        // comparison below the EventTimeWatermark node, so a batch or tail
+        // of degenerate-only rows would stop advancing the watermark and
+        // open runs would close late or never.
+        val valid = incoming.filter(r =>
+          !r.isNullAt(2) && !r.isNullAt(3) && r.getLong(2) < r.getLong(3))
         val (priorKeys, lastStop, prior) =
           state.getOption.getOrElse((null: Row, Long.MinValue, Seq.empty[(Long, Long, Long)]))
         val keysRow = if (incoming.nonEmpty) incoming(0).getStruct(1) else priorKeys
         // one sorted sweep over prior open runs + this batch's intervals;
         // touching runs merge (start == stop), matching the batch operator
-        val segs = (prior ++ incoming.map(r => (r.getLong(2), r.getLong(3), 1L)))
+        val segs = (prior ++ valid.map(r => (r.getLong(2), r.getLong(3), 1L)))
           .sortBy(t => (t._1, t._2))
         val merged = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
         segs.foreach { case (s0, e0, n0) =>

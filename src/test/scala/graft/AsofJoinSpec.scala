@@ -64,9 +64,8 @@ class AsofJoinSpec extends SparkSuite {
       val syms = Seq("A", "B", "C")
       val ls = (1L to 40L).map(i =>
         (syms(rng.nextInt(3)), rng.nextInt(50).toLong, i))
-      // right side deduped on (sym, q_ts): the carried row at an exact
-      // right-ts tie is unordered in the window sort, so the operator is
-      // only deterministic for unique right timestamps per key
+      // right side deduped on (sym, q_ts) so the brute-force oracle stays
+      // trivial; same-tick ties have their own deterministic-carry test
       val rs = (1L to 30L).map(i =>
         (syms(rng.nextInt(3)), rng.nextInt(50).toLong,
           if (rng.nextBoolean()) Some(rng.nextInt(100).toDouble) else None, i))
@@ -157,6 +156,23 @@ class AsofJoinSpec extends SparkSuite {
         }
         assert(nGot(id) == nearest, s"nearest round=$round id=$id")
       }
+    }
+  }
+
+  test("same-tick right ties carry the max right-row struct, independent of layout") {
+    val l = Seq(("A", 100L, 1L)).toDF("sym", "t_ts", "trade_id")
+    val back = Seq(("A", 90L, 1.0, 10L), ("A", 90L, 5.0, 11L), ("A", 90L, 3.0, 12L))
+    val fwd = Seq(("A", 110L, 1.0, 20L), ("A", 110L, 7.0, 21L), ("A", 110L, 2.0, 22L))
+    // carried struct is (px, q_id, __rts): the max px on the winning tick
+    // must be chosen whatever the physical partition layout
+    (1 to 4).foreach { n =>
+      val qb = back.toDF("sym", "q_ts", "px", "q_id").repartition(n)
+      val rb = AsofJoin.asofJoin(l, qb, "t_ts", "q_ts", Seq("sym" -> "sym")).collect().head
+      assert(rb.getDouble(3) == 5.0 && rb.getLong(4) == 11L, s"backward n=$n")
+      val qf = fwd.toDF("sym", "q_ts", "px", "q_id").repartition(n)
+      val rf = AsofJoin.asofJoin(l, qf, "t_ts", "q_ts", Seq("sym" -> "sym"),
+        None, AsofJoin.Direction.Forward).collect().head
+      assert(rf.getDouble(3) == 7.0 && rf.getLong(4) == 21L, s"forward n=$n")
     }
   }
 

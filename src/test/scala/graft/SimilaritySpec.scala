@@ -61,6 +61,23 @@ class SimilaritySpec extends SparkSuite {
     assert(sqlRow.getString(1) == apiRow.getString(1))
     assert(sqlRow.getLong(2) == apiRow.getLong(2))
     assert(sqlRow.getLong(3) == 7L)
+    // SQL == Scala on the edge cases: a reversed (degenerate) interval is
+    // the empty set and overlaps nothing, and a NULL operand yields a NULL
+    // intersection (not a greatest/least NULL-skipping struct)
+    val edge = spark.sql(
+      """SELECT interval_overlaps(named_struct('start', 9L, 'stop', 0L),
+        |                         named_struct('start', 1L, 'stop', 5L)) AS rev,
+        |       interval_overlaps(named_struct('start', 3L, 'stop', 3L),
+        |                         named_struct('start', 1L, 'stop', 5L)) AS empt,
+        |       interval_intersect(CAST(NULL AS struct<start:bigint,stop:bigint>),
+        |                          named_struct('start', 1L, 'stop', 5L)) AS ni
+        |""".stripMargin).head
+    assert(!edge.getBoolean(0) && !edge.getBoolean(1) && edge.isNullAt(2))
+    val scalaEdge = spark.range(1).select(
+      graft.intervals.IntervalCols.overlaps(
+        struct(lit(9L).as("start"), lit(0L).as("stop")),
+        struct(lit(1L).as("start"), lit(5L).as("stop")))).head
+    assert(!scalaEdge.getBoolean(0))
     // wrong arity fails analysis with a clear message (extra args would
     // otherwise be silently ignored)
     val err = intercept[Exception] {

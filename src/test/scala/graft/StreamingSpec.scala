@@ -411,6 +411,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a degenerate-only batch still advances the watermark (filter stays above it)") {
+    import graft.streaming.StreamingIntervalOps
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val ns = 1000000000L
+    val base = 1704067200L * ns
+    def mk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("k"),
+        struct(col("_2").as("start"), col("_3").as("stop")).as("span"),
+        timestamp_micros((col("_2") / 1000L).cast("long")).as("ts"))
+    val out = StreamingIntervalOps.mergeIntervalsStream(
+      mk(in.toDF()), Seq("k"), "span", "ts", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("dgn").outputMode("append").start()
+    try {
+      in.addData(("a", base, base + 10L * ns))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM dgn").count() == 0) // run still open
+      // batches of ONLY degenerate rows, event times far ahead: empty sets
+      // (never emitted, never counted) but they MUST drive the watermark —
+      // a Filter pushed below EventTimeWatermark would stall it here and
+      // the open run would never close
+      in.addData(("a", base + 1000L * ns, base + 1000L * ns))
+      q.processAllAvailable()
+      in.addData(("b", base + 2000L * ns, base + 2000L * ns))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, span.start, span.stop, n_merged FROM dgn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(("a", base, base + 10L * ns, 1L)))
+    } finally q.stop()
+  }
+
   test("property: streaming merge equals batch merge on a random in-order stream") {
     import graft.streaming.StreamingIntervalOps
     implicit val sqlCtx = spark.sqlContext
