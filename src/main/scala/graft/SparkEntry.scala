@@ -578,23 +578,31 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, 10)
     }),
 
-    // Similarity: LSH-bucketed approximate top-10 (rows-only check;
-    // the scale path — equi-join on sign-projection code)
+    // Similarity: LSH-bucketed approximate top-10 — the planes are
+    // deterministic library constants, so the DuckDB oracle replays the
+    // sign-projection bucketing exactly (plane literals embedded in the SQL)
     "q16_ann_lsh" -> ((sp, dir) => {
       val e = table(sp, dir, "embeddings")
       val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
       Similarity.lshTopK(e, q, 10, Similarity.randomPlanes(8, 64))
     }),
 
-    // Similarity: IVF approximate top-10 (rows-only check; coarse k-means
-    // quantizer trained on a bounded sample, search = equi-join on list id)
+    // Similarity: IVF top-10 at FULL probe (nProbe = nLists): every list is
+    // probed, so the candidate set is the whole corpus and the result must
+    // EQUAL brute force — which makes the train/assign/probe/rerank
+    // machinery oracle-checkable (centroid-detail-independent). The
+    // approximate regime (nProbe < nLists) is pinned by SimilaritySpec's
+    // recall test.
     "q27_ann_ivf" -> ((sp, dir) => {
       val e = table(sp, dir, "embeddings")
       val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
-      Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 4)
+      Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 16)
     }),
 
-    // Dedup: end-to-end MinHash-LSH near-dup pipeline (rows-only check)
+    // Dedup: end-to-end MinHash-LSH near-dup pipeline. Every stage is
+    // deterministic md5-derived math, so the DuckDB oracle replays the full
+    // pipeline (signatures -> band hashes -> band-collision candidates ->
+    // exact hash-set Jaccard >= threshold)
     "q17_neardup_pairs" -> ((sp, dir) =>
       Dedup.nearDupPairs(table(sp, dir, "documents"), "text", "doc_id",
         k = 16, bands = 4, shingleN = 5, threshold = 0.5)),
@@ -603,8 +611,9 @@ object SparkEntry {
     "q30_embed_neardup" -> ((sp, dir) =>
       Similarity.cosineNearDupPairs(table(sp, dir, "embeddings"), 0.4)),
 
-    // Dedup: multi-table LSH embedding near-dup (rows-only check; the scale
-    // path — verified cosine makes it a subset of q30's exact pairs)
+    // Dedup: multi-table LSH embedding near-dup — deterministic plane
+    // constants again make the bucketing + verified cosine fully
+    // oracle-checkable (and the output remains a subset of q30's exact set)
     "q31_embed_neardup_lsh" -> ((sp, dir) =>
       Similarity.lshNearDupPairs(table(sp, dir, "embeddings"), 0.4, dim = 64)),
 
@@ -663,6 +672,17 @@ object SparkEntry {
   private val sigSql =
     s"""list_transform($paramsSql, p ->
        |  list_min(list_transform(sh, sg -> (p.a * (${hSql("sg")}) + p.b) % ${Dedup.P})))""".stripMargin
+
+  /** DuckDB rendering of [[Similarity.lshCode]]: sign-projection bucket code
+    * over literal hyperplanes (deterministic library constants — embedding
+    * them makes the LSH bucketing itself oracle-replayable). Scala's
+    * `Double.toString` is shortest-round-trip, so the literals parse back to
+    * the identical doubles; the per-plane dot products are the same
+    * sequential folds on both engines, so the sign tests agree bitwise. */
+  private def signCodeSql(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n         + ", ")")
 
   def oracleSql: Map[String, String] = Map(
     "q01_quantile_windows" ->
@@ -1068,6 +1088,81 @@ object SparkEntry {
         |                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
         |       FROM c a JOIN c b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4""".stripMargin,
+
+    // LSH top-k replayed exactly: same plane constants, same bucket codes,
+    // same rounded-cosine ranking
+    "q16_ann_lsh" -> {
+      val code = (v: String) => signCodeSql(v, Similarity.randomPlanes(8, 64))
+      s"""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |            FROM embeddings WHERE vec_id % 100 = 0),
+         |c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT q_id, qv, ${code("qv")} AS code FROM q0),
+         |c AS (SELECT vec_id, v, ${code("v")} AS code FROM c0),
+         |s AS (SELECT q_id, vec_id,
+         |             round(list_dot_product(v, qv)
+         |                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS sim
+         |      FROM c JOIN q USING (code) WHERE vec_id <> q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    // Full-probe IVF == exact brute force (every list probed => candidate
+    // set is the whole corpus), so the oracle is the brute-force ranking
+    "q27_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q_id, vec_id,
+        |             round(list_dot_product(v, qv)
+        |                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS sim
+        |      FROM c, q WHERE vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // The full MinHash-LSH pipeline replayed in SQL: md5 shingle hashes ->
+    // k=16 signatures -> 4 band hashes -> band-collision candidate pairs ->
+    // exact hash-set Jaccard filter. The OR-join yields each colliding pair
+    // once — the same SET as the first-agreeing-band dedup.
+    "q17_neardup_pairs" -> {
+      val bandSqls = (0 until 4).map(bd =>
+        s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
+        .mkString(",\n       ")
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents),
+         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |s AS (SELECT doc_id,
+         |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
+         |             $sigSql AS sig
+         |      FROM d2),
+         |b AS (SELECT doc_id, hs,
+         |       $bandSqls
+         |      FROM s),
+         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |             round(len(list_intersect(a.hs, b2.hs))
+         |                   / len(list_distinct(list_concat(a.hs, b2.hs))), 6) AS jaccard
+         |      FROM b a JOIN b b2
+         |        ON a.doc_id < b2.doc_id
+         |       AND (a.bh0 = b2.bh0 OR a.bh1 = b2.bh1 OR a.bh2 = b2.bh2 OR a.bh3 = b2.bh3))
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+    },
+
+    // Multi-table sign-projection LSH near-dup, plane constants embedded;
+    // the OR over table codes reproduces "collides in at least one table"
+    "q31_embed_neardup_lsh" -> {
+      val codes = (0 until 4).map(t =>
+        s"${signCodeSql("v", Similarity.randomPlanes(4, 64, 7L + t))} AS c$t")
+        .mkString(",\n       ")
+      s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |       $codes
+         |      FROM c),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+         |      FROM n a JOIN n b
+         |        ON a.id < b.id
+         |       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4""".stripMargin
+    },
 
     // Explicit arg-max formulation rather than DuckDB's ASOF keyword: ASOF
     // breaks same-tick ties by ITS OWN arbitrary rule, while asofJoin's rule
