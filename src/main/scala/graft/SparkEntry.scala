@@ -643,6 +643,46 @@ object SparkEntry {
         direction = graft.operators.AsofJoin.Direction.Forward)
     }),
 
+    // I1 generalized: BOUNDED intervals (per-row Closed/Open flags — the
+    // reference's generic Interval{T,L,R}) on the range path. Day-tick
+    // endpoints; left bounds vary by key parity, right by key mod 3, so
+    // the bound-sensitive touching cases and the merged intersection flags
+    // are all exercised against DuckDB's explicit >=/<= algebra.
+    "q52_interval_join_bounded" -> ((sp, dir) => {
+      import graft.intervals.BoundedIntervals
+      val days = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val l = table(sp, dir, "orders").select(
+        col("o_orderkey"),
+        BoundedIntervals.bounded(days, days + pmod(col("o_orderkey"), lit(30L)),
+          lit(true), pmod(col("o_orderkey"), lit(2L)) === 0L).as("span"))
+      val ws = lit(9000L) + col("n_nationkey").cast("long") * 120L
+      val r = table(sp, dir, "nation").select(
+        col("n_nationkey").cast("long").as("wid"),
+        BoundedIntervals.bounded(ws, ws + 200L,
+          pmod(col("n_nationkey"), lit(3L)) =!= 0L, lit(true)).as("win"))
+      IntervalJoin.intervalJoin(l, r, "span" -> "win")
+        .select(col("o_orderkey"), col("wid"),
+          col("span.start").as("istart"), col("span.stop").as("istop"),
+          col("span.lclosed").as("ilc"), col("span.rclosed").as("irc"))
+    }),
+
+    // I1 generalized: FLOATING endpoints (reference generic ordered T) on
+    // the range path — no tick space needed; greatest/least intersection
+    // endpoints are picked, not computed, so they compare exactly
+    "q53_interval_join_float" -> ((sp, dir) => {
+      val price = col("o_totalprice").cast("double")
+      val l = table(sp, dir, "orders").select(
+        col("o_orderkey"),
+        IntervalCols.interval(price, price * 1.1).as("span"))
+      val wlo = col("r_regionkey").cast("double") * 100000.0
+      val r = table(sp, dir, "region").select(
+        col("r_regionkey").cast("long").as("wid"),
+        IntervalCols.interval(wlo, wlo + 120000.0).as("win"))
+      IntervalJoin.intervalJoin(l, r, "span" -> "win")
+        .select(col("o_orderkey"), col("wid"),
+          col("span.start").as("istart"), col("span.stop").as("istop"))
+    }),
+
     // Multimodal: binary payload -> partition-parallel stub decode
     "q18_multimodal" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
@@ -1201,6 +1241,41 @@ object SparkEntry {
         |SELECT user_id, epoch_ns(ts) AS ts, click_id, purchase_id,
         |       purchase_value, epoch_ns(pts) AS pts
         |FROM j WHERE rn = 1""".stripMargin,
+
+    // Bound-sensitive overlap and intersection spelled out in first-order
+    // logic: touching endpoints overlap only when BOTH touching bounds are
+    // closed; the tighter start/stop carries its own bound flag, ties AND
+    "q52_interval_join_bounded" ->
+      """WITH l AS (SELECT o_orderkey,
+        |                 epoch_us(o_orderdate)//86400000000 AS s,
+        |                 epoch_us(o_orderdate)//86400000000 + (o_orderkey % 30) AS e,
+        |                 true AS lc, (o_orderkey % 2 = 0) AS rc
+        |          FROM orders),
+        |r AS (SELECT CAST(n_nationkey AS BIGINT) AS wid,
+        |             9000 + CAST(n_nationkey AS BIGINT)*120 AS ws,
+        |             9000 + CAST(n_nationkey AS BIGINT)*120 + 200 AS we,
+        |             (n_nationkey % 3 <> 0) AS wlc, true AS wrc
+        |      FROM nation)
+        |SELECT o_orderkey, wid,
+        |       greatest(s, ws) AS istart, least(e, we) AS istop,
+        |       CASE WHEN s = ws THEN lc AND wlc WHEN s > ws THEN lc ELSE wlc END AS ilc,
+        |       CASE WHEN e = we THEN rc AND wrc WHEN e < we THEN rc ELSE wrc END AS irc
+        |FROM l JOIN r
+        |  ON (s < e OR (s = e AND lc AND rc))
+        | AND (ws < we OR (ws = we AND wlc AND wrc))
+        | AND NOT (e < ws OR (e = ws AND NOT (rc AND wlc)))
+        | AND NOT (we < s OR (we = s AND NOT (wrc AND lc)))""".stripMargin,
+
+    "q53_interval_join_float" ->
+      """WITH l AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS s,
+        |                  CAST(o_totalprice AS DOUBLE) * 1.1 AS e
+        |           FROM orders),
+        |r AS (SELECT CAST(r_regionkey AS BIGINT) AS wid,
+        |             CAST(r_regionkey AS DOUBLE) * 100000.0 AS ws,
+        |             CAST(r_regionkey AS DOUBLE) * 100000.0 + 120000.0 AS we
+        |      FROM region)
+        |SELECT o_orderkey, wid, greatest(s, ws) AS istart, least(e, we) AS istop
+        |FROM l JOIN r ON s < we AND ws < e AND s < e AND ws < we""".stripMargin,
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

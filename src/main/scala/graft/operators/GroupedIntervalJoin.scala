@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Fused grouped interval join + aggregate (reference I7
   * `groupby_interval_join`, `src/DataFrameIntervals.jl:241-329`) and the
@@ -38,6 +38,31 @@ object GroupedIntervalJoin {
   final class Grouped private[operators] (val joined: DataFrame, val groupColumns: Seq[String]) {
     def grouped: RelationalGroupedDataset = joined.groupBy(groupColumns.map(col): _*)
     def agg(e: Column, es: Column*): DataFrame = grouped.agg(e, es: _*)
+
+    /** The distinct group keys, in deterministic (sorted) order — the
+      * iteration order of the per-group view below. One driver-side collect
+      * bounded by the group COUNT (not the data size), the same trade the
+      * reference's `iterate` makes when it materializes per-group frames
+      * (`src/DataFrameIntervals.jl:293-310`). */
+    def keys: Array[org.apache.spark.sql.Row] =
+      joined.select(groupColumns.map(col): _*).distinct()
+        .orderBy(groupColumns.map(col): _*).collect()
+
+    /** The joined rows of one group, as a lazy filtered view (no extra job
+      * until the caller acts on it). Null-safe on null-valued group keys. */
+    def groupFor(key: org.apache.spark.sql.Row): DataFrame =
+      joined.where(groupColumns.zipWithIndex.map { case (c, i) =>
+        col(c) <=> lit(key.get(i))
+      }.reduce(_ && _))
+
+    /** Per-group iteration — the reference's `for gdf in
+      * groupby_interval_join(...)` surface (`src/DataFrameIntervals.jl:
+      * 293-310`): yields (group key, group DataFrame) in key order. Each
+      * element is a lazy view; prefer [[agg]] when the downstream is an
+      * aggregate — Catalyst fuses that into one distributed pass, while
+      * iteration runs one filtered job per group. */
+    def iterator: Iterator[(org.apache.spark.sql.Row, DataFrame)] =
+      keys.iterator.map(k => k -> groupFor(k))
   }
 
   def groupbyIntervalJoin(

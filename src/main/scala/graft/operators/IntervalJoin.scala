@@ -95,6 +95,15 @@ object IntervalJoin {
     checkOnColumn(left, lOnName, "left")
     checkOnColumn(right, rOnName, "right")
 
+    // Bounded intervals (struct<start,stop,lclosed,rclosed> — the
+    // reference's generic `Interval{T,L,R}`, src/DataFrameIntervals.jl:31-35,
+    // closed-closed example README.md:29) join on the bound-sensitive
+    // predicates. A plain half-open side joining a bounded side is lifted to
+    // Closed-Open. Range/theta only: bin and sweep tick math presumes
+    // half-open integral intervals (an explicit Binned/Sweep ask errors).
+    if (isBounded(left, lOnName) || isBounded(right, rOnName))
+      return boundedJoin(left, right, on, opts)
+
     // Timestamp-struct intervals are supported natively: converted to exact
     // long-µs ticks for the join, converted back on output (the reference's
     // `backto` contract — results keep the input representation). Mixed
@@ -109,36 +118,35 @@ object IntervalJoin {
           "(IntervalCols.microsFromTimestampStruct / timestampStructFromMicros).")
     val lTs = lTsType.isDefined
     val ntz = lTsType.contains(org.apache.spark.sql.types.TimestampNTZType)
-    // non-timestamp endpoints must be integral; narrower ones widen to long
-    // ticks internally and are restored on output (`backto`)
+    // non-timestamp endpoints: integral types widen to long ticks internally
+    // and are restored on output (`backto`); floating endpoints (reference
+    // generic ordered `T`, src/DataFrameIntervals.jl:31) widen to double and
+    // are range-join-only — floats have no exact tick space for the
+    // binned/sweep integer math
     val (lIntType, rIntType) =
       if (lTs) (None, None)
-      else (Some(integralEndpointType(left, lOnName, "left")),
-        Some(integralEndpointType(right, rOnName, "right")))
+      else (Some(endpointType(left, lOnName, "left")),
+        Some(endpointType(right, rOnName, "right")))
+    val isFloat = lIntType.exists(isFloating) || rIntType.exists(isFloating)
+    if (isFloat && !lIntType.forall(isFloating))
+      throw new IllegalArgumentException(
+        "interval_join cannot mix floating and integral interval endpoints across sides " +
+          s"(left `$lOnName` is ${lIntType.get.simpleString}, right `$rOnName` is " +
+          s"${rIntType.get.simpleString}); cast one side explicitly.")
+    if (isFloat && !rIntType.forall(isFloating))
+      throw new IllegalArgumentException(
+        "interval_join cannot mix floating and integral interval endpoints across sides " +
+          s"(left `$lOnName` is ${lIntType.get.simpleString}, right `$rOnName` is " +
+          s"${rIntType.get.simpleString}); cast one side explicitly.")
+    if (isFloat && (opts.strategy == Strategy.Binned || opts.strategy == Strategy.Sweep))
+      throw new IllegalArgumentException(
+        s"the ${opts.strategy} strategy requires integral or timestamp interval endpoints " +
+          "(exact tick space); floating endpoints run on Strategy.Range — quantize the " +
+          "endpoints to integer ticks to use the binned/sweep scale paths.")
 
     // Output intersection column keeps the LEFT frame's `on` name (ref :76).
     val joinedOn = lOnName
-    val lOnFinal = opts.renameon._1(lOnName)
-    val rOnFinal = opts.renameon._2(rOnName)
-    if (lOnFinal == joinedOn)
-      throw new IllegalArgumentException(
-        s"Interval join failed: left dataframe's `on` column has the final name `$lOnFinal` " +
-          s"which clashes with the name of the joined output column `$joinedOn`; " +
-          "pass a different `renameon`.")
-    if (rOnFinal == joinedOn)
-      throw new IllegalArgumentException(
-        s"Interval join failed: right dataframe's `on` column has the final name `$rOnFinal` " +
-          s"which clashes with the name of the joined output column `$joinedOn`; " +
-          "pass a different `renameon`.")
-
-    // Final output names in reference order: left columns, right columns.
-    val lFinal = left.columns.map(c => if (c == lOnName) lOnFinal else opts.renamecols._1(c))
-    val rFinal = right.columns.map(c => if (c == rOnName) rOnFinal else opts.renamecols._2(c))
-    val finalNames = makeUnique(lFinal.toIndexedSeq ++ rFinal.toIndexedSeq, opts.makeunique)
-    if (finalNames.contains(joinedOn))
-      throw new IllegalArgumentException(
-        s"Interval join failed: output column `$joinedOn` (the joined interval) clashes with " +
-          "a renamed input column; rename the clashing column.")
+    val finalNames = finalNamesFor(left, right, on, opts)
 
     // Rename ALL columns to positional temp names before the join — kills
     // self-join ambiguity and duplicate-name issues in one move; the final
@@ -152,12 +160,13 @@ object IntervalJoin {
       df.select(df.columns.zip(tmp).map { case (c, t) =>
         if (t == onT) {
           val norm = if (opts.checkMissing) rejectNull(col(c), side) else normalize(col(c))
+          val internal = internalTypeOf(intType)
           val ticks =
             if (lTs) microsFromTimestampStruct(norm, ntz)
-            else if (intType.exists(_ != org.apache.spark.sql.types.LongType))
+            else if (internal.isDefined)
               when(norm.isNull, lit(null)).otherwise(
-                interval(norm.getField("start").cast("long"),
-                  norm.getField("stop").cast("long")))
+                interval(norm.getField("start").cast(internal.get),
+                  norm.getField("stop").cast(internal.get)))
             else norm
           ticks.as(t)
         } else col(c).as(t)
@@ -173,6 +182,7 @@ object IntervalJoin {
     }
 
     val strategy = opts.strategy match {
+      case Strategy.Auto if isFloat => Strategy.Range // no tick space to bin
       case Strategy.Auto =>
         // Spark's own parsed value — handles byte-string confs ("10MB", "100k")
         val thresh = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
@@ -344,6 +354,133 @@ object IntervalJoin {
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
+  /** The reference's output-naming contract, shared by the tick and bounded
+    * paths: left columns then right columns, `on` columns renamed by
+    * `renameon`, payload columns by `renamecols`, duplicates resolved by
+    * `makeunique`, and nothing may clash with the joined output column
+    * (named after the LEFT `on`, ref `src/DataFrameIntervals.jl:76,113-124`). */
+  private def finalNamesFor(left: DataFrame, right: DataFrame,
+      on: (String, String), opts: Options): Seq[String] = {
+    val (lOnName, rOnName) = on
+    val joinedOn = lOnName
+    val lOnFinal = opts.renameon._1(lOnName)
+    val rOnFinal = opts.renameon._2(rOnName)
+    if (lOnFinal == joinedOn)
+      throw new IllegalArgumentException(
+        s"Interval join failed: left dataframe's `on` column has the final name `$lOnFinal` " +
+          s"which clashes with the name of the joined output column `$joinedOn`; " +
+          "pass a different `renameon`.")
+    if (rOnFinal == joinedOn)
+      throw new IllegalArgumentException(
+        s"Interval join failed: right dataframe's `on` column has the final name `$rOnFinal` " +
+          s"which clashes with the name of the joined output column `$joinedOn`; " +
+          "pass a different `renameon`.")
+    val lFinal = left.columns.map(c => if (c == lOnName) lOnFinal else opts.renamecols._1(c))
+    val rFinal = right.columns.map(c => if (c == rOnName) rOnFinal else opts.renamecols._2(c))
+    val finalNames = makeUnique(lFinal.toIndexedSeq ++ rFinal.toIndexedSeq, opts.makeunique)
+    if (finalNames.contains(joinedOn))
+      throw new IllegalArgumentException(
+        s"Interval join failed: output column `$joinedOn` (the joined interval) clashes with " +
+          "a renamed input column; rename the clashing column.")
+    finalNames
+  }
+
+  /** A bounded interval column: struct carrying start/stop plus the
+    * lclosed/rclosed bound flags ([[graft.intervals.BoundedIntervals]]). */
+  private def isBounded(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        Seq("start", "stop", "lclosed", "rclosed").forall(s.fieldNames.contains)
+      case _ => false
+    }
+
+  /** Range/theta join with per-row bound semantics. No tick conversion —
+    * the predicates are pure comparisons, so any atomic orderable endpoint
+    * type works (ints, floats, timestamps, dates...), it only has to agree
+    * across all four endpoints. The joined output column follows the
+    * reference's `backto`-to-left contract: bounded (with merged flags) when
+    * the LEFT side is bounded, plain start/stop when the left side is a
+    * half-open struct joined against a bounded right. */
+  private def boundedJoin(left: DataFrame, right: DataFrame,
+      on: (String, String), opts: Options): DataFrame = {
+    import graft.intervals.BoundedIntervals
+    val (lOnName, rOnName) = on
+    if (opts.strategy == Strategy.Binned || opts.strategy == Strategy.Sweep)
+      throw new IllegalArgumentException(
+        s"the ${opts.strategy} strategy supports only half-open intervals with integral or " +
+          "timestamp endpoints; bounded intervals (lclosed/rclosed) run on Strategy.Range.")
+    val lB = isBounded(left, lOnName)
+    val rB = isBounded(right, rOnName)
+    def epTypes(df: DataFrame, name: String) = {
+      val s = df.schema(name).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      (s("start").dataType, s("stop").dataType)
+    }
+    val (ls, le) = epTypes(left, lOnName)
+    val (rs, re) = epTypes(right, rOnName)
+    if (!(ls == le && rs == re && ls == rs))
+      throw new IllegalArgumentException(
+        "bounded interval join requires ONE endpoint type across all four endpoints; got " +
+          s"left struct<start:${ls.simpleString}, stop:${le.simpleString}>, " +
+          s"right struct<start:${rs.simpleString}, stop:${re.simpleString}>")
+    for ((df, name, bounded) <- Seq((left, lOnName, lB), (right, rOnName, rB)) if bounded) {
+      val s = df.schema(name).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      val bad = Seq("lclosed", "rclosed").filter(f =>
+        s(f).dataType != org.apache.spark.sql.types.BooleanType)
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"bounded interval column `$name`: ${bad.mkString(", ")} must be boolean")
+    }
+
+    val joinedOn = lOnName
+    val finalNames = finalNamesFor(left, right, on, opts)
+
+    // positional temp names kill self-join ambiguity, as on the tick path
+    val lTmp = left.columns.indices.map(i => s"__l$i")
+    val rTmp = right.columns.indices.map(i => s"__r$i")
+    val lOnT = s"__l${left.columns.indexOf(lOnName)}"
+    val rOnT = s"__r${right.columns.indexOf(rOnName)}"
+    def reorder(c: Column, bounded: Boolean): Column =
+      if (bounded)
+        BoundedIntervals.bounded(c.getField("start"), c.getField("stop"),
+          c.getField("lclosed"), c.getField("rclosed"))
+      else normalize(c)
+    def guard(c: Column, side: String, bounded: Boolean): Column =
+      if (!opts.checkMissing) reorder(c, bounded)
+      else when(c.isNull || c.getField("start").isNull || c.getField("stop").isNull ||
+          (if (bounded) c.getField("lclosed").isNull || c.getField("rclosed").isNull
+           else lit(false)),
+        raise_error(lit(s"There are missing values in the $side table of `interval_join`.")))
+        .otherwise(reorder(c, bounded))
+    def project(df: DataFrame, tmp: Seq[String], onT: String, side: String, bounded: Boolean) =
+      df.select(df.columns.zip(tmp).map { case (c, t) =>
+        (if (t == onT) guard(col(c), side, bounded) else col(c)).as(t)
+      }: _*)
+    val l2 = project(left, lTmp, lOnT, "left", lB)
+    val r2 = project(right, rTmp, rOnT, "right", rB)
+
+    def lifted(c: Column, bounded: Boolean): Column =
+      if (bounded) c else BoundedIntervals.fromHalfOpen(c)
+    val joinType = (opts.keepleft, opts.keepright) match {
+      case (false, false) => "inner"
+      case (true, false)  => "left_outer"
+      case (false, true)  => "right_outer"
+      case (true, true)   => "full_outer"
+    }
+    val joined = l2.join(r2,
+      BoundedIntervals.overlapsBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB)),
+      joinType)
+
+    val isectBounded =
+      BoundedIntervals.intersectBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB))
+    val isect =
+      if (lB) isectBounded
+      else when(isectBounded.isNull, lit(null)).otherwise(
+        interval(isectBounded.getField("start"), isectBounded.getField("stop")))
+    val outCols = (lTmp ++ rTmp).zip(finalNames).map { case (t, f) => col(t).as(f) } :+
+      isect.as(joinedOn)
+    joined.select(outCols: _*)
+  }
+
   /** Plan-time schema validation, mirroring the reference's eager adapter
     * dispatch errors (SURVEY §1.3): the `on` column must be a struct
     * carrying `start` and `stop` fields (either order). */
@@ -358,22 +495,41 @@ object IntervalJoin {
     }
 
   /** Endpoint type of a non-timestamp interval column: integral types are
-    * accepted (narrower ones widen to long ticks internally and come back in
-    * their own type — `backto`); anything else has no exact tick space for
-    * the binned/sweep integer math and is rejected up front rather than
-    * failing inside a stats pass. */
-  private def integralEndpointType(df: DataFrame, name: String, side: String)
+    * accepted on every strategy (narrower ones widen to long ticks
+    * internally and come back in their own type — `backto`); floating types
+    * are accepted on the Range strategy only (widened to double internally);
+    * anything else is rejected up front rather than failing inside a stats
+    * pass. */
+  private def endpointType(df: DataFrame, name: String, side: String)
       : org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     val s = df.schema(name).dataType.asInstanceOf[StructType]
     val ts = Seq("start", "stop").map(f => s(f).dataType)
     ts match {
       case Seq(a, b) if a == b && Seq[DataType](ByteType, ShortType,
-        IntegerType, LongType).contains(a) => a
+        IntegerType, LongType, FloatType, DoubleType).contains(a) => a
       case other => throw new IllegalArgumentException(
-        s"the $side frame's `on` column `$name` must have integral or timestamp " +
-          s"endpoints (long ticks are the canonical representation); got " +
+        s"the $side frame's `on` column `$name` must have integral, floating or " +
+          s"timestamp endpoints; got " +
           s"struct<start:${other.head.simpleString}, stop:${other.last.simpleString}>")
+    }
+  }
+
+  private def isFloating(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == FloatType || dt == DoubleType
+  }
+
+  /** Internal join representation for a declared endpoint type: long ticks
+    * for integral endpoints, double for floating ones; None = no conversion
+    * needed. */
+  private def internalTypeOf(declared: Option[org.apache.spark.sql.types.DataType])
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    declared match {
+      case Some(dt) if isFloating(dt) && dt != DoubleType => Some(DoubleType)
+      case Some(dt) if !isFloating(dt) && dt != LongType  => Some(LongType)
+      case _ => None
     }
   }
 

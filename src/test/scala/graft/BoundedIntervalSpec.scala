@@ -47,6 +47,87 @@ class BoundedIntervalSpec extends SparkSuite {
     }
   }
 
+  test("intervalJoin accepts bounded intervals: touching closed bounds match, flags merge") {
+    import graft.operators.IntervalJoin
+    // [1,3] CC vs windows: touches [3,5] CC (matches) and [0,1] CO (start
+    // touch at 1: window rclosed=false -> no match)
+    val l = mk(Seq((1L, 1L, 3L, true, true)), "a")
+    val r = mk(Seq((10L, 3L, 5L, true, true), (11L, 0L, 1L, true, false)), "b")
+    val j = IntervalJoin.intervalJoin(l, r, "a" -> "b")
+    val rows = j.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("b_id") == 10L)
+    val ix = rows.head.getStruct(rows.head.fieldIndex("a"))
+    assert(ix.getLong(0) == 3L && ix.getLong(1) == 3L && ix.getBoolean(2) && ix.getBoolean(3))
+    // column contract: renameon defaults, joined column keeps left's name
+    assert(j.columns.toSeq == Seq("a_id", "a_left", "b_id", "b_right", "a"))
+  }
+
+  test("intervalJoin lifts a plain half-open side against a bounded side") {
+    import graft.operators.IntervalJoin
+    import graft.intervals.IntervalCols
+    import org.apache.spark.sql.functions.col
+    val plain = Seq((1L, 0L, 10L)).toDF("pid", "s", "e")
+      .select(col("pid"), IntervalCols.interval(col("s"), col("e")).as("span"))
+    // [10,20] CC touches [0,10) only at 10, which the half-open left excludes
+    val b1 = mk(Seq((2L, 10L, 20L, true, true)), "win")
+    assert(IntervalJoin.intervalJoin(plain, b1, "span" -> "win").count() == 0)
+    // [9,20] CC overlaps on [9,10); left is plain -> intersection is plain
+    val b2 = mk(Seq((3L, 9L, 20L, true, true)), "win")
+    val row = IntervalJoin.intervalJoin(plain, b2, "span" -> "win").collect().head
+    val ix = row.getStruct(row.fieldIndex("span"))
+    assert(ix.schema.fieldNames.toSeq == Seq("start", "stop"))
+    assert(ix.getLong(0) == 9L && ix.getLong(1) == 10L)
+  }
+
+  test("bounded joins reject bin/sweep strategies and mismatched endpoint types") {
+    import graft.operators.IntervalJoin
+    import graft.operators.IntervalJoin.{Options, Strategy}
+    val l = mk(Seq((1L, 1L, 3L, true, true)), "a")
+    val r = mk(Seq((10L, 3L, 5L, true, true)), "b")
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(l, r, ("a", "b"), Options(strategy = Strategy.Binned))
+    }
+    assert(e1.getMessage.contains("Strategy.Range"))
+    val rd = Seq((10L, 3.0, 5.0, true, true)).toDF("b_id", "s", "e", "l", "r")
+      .select(col("b_id"), bounded(col("s"), col("e"), col("l"), col("r")).as("b"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(l, rd, "a" -> "b")
+    }
+    assert(e2.getMessage.contains("ONE endpoint type"))
+  }
+
+  test("float endpoints run on the range path; bin/sweep asks error") {
+    import graft.operators.IntervalJoin
+    import graft.operators.IntervalJoin.{Options, Strategy}
+    import graft.intervals.IntervalCols
+    val l = Seq((1L, 0.5, 2.5), (2L, 3.0, 4.0)).toDF("lid", "s", "e")
+      .select(col("lid"), IntervalCols.interval(col("s"), col("e")).as("span"))
+    val r = Seq((10L, 2.0, 3.5)).toDF("rid", "s", "e")
+      .select(col("rid"), IntervalCols.interval(col("s"), col("e")).as("win"))
+    val j = IntervalJoin.intervalJoin(l, r, "span" -> "win").collect()
+    // [0.5,2.5) x [2.0,3.5) -> [2.0,2.5); [3.0,4.0) x [2.0,3.5) -> [3.0,3.5)
+    assert(j.length == 2)
+    val byId = j.map(row => row.getAs[Long]("lid") ->
+      row.getStruct(row.fieldIndex("span"))).toMap
+    assert(byId(1L).getDouble(0) == 2.0 && byId(1L).getDouble(1) == 2.5)
+    assert(byId(2L).getDouble(0) == 3.0 && byId(2L).getDouble(1) == 3.5)
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(l, r, ("span", "win"), Options(strategy = Strategy.Sweep))
+    }
+    assert(e.getMessage.contains("integral or timestamp"))
+    // float FLOAT side vs DOUBLE side: both floating -> widened, joins fine
+    val rf = Seq((10L, 2.0f, 3.5f)).toDF("rid", "s", "e")
+      .select(col("rid"), IntervalCols.interval(col("s"), col("e")).as("win"))
+    assert(IntervalJoin.intervalJoin(l, rf, "span" -> "win").count() == 2)
+    // mixed float/integral endpoints are ambiguous -> error
+    val ri = Seq((10L, 2L, 4L)).toDF("rid", "s", "e")
+      .select(col("rid"), IntervalCols.interval(col("s"), col("e")).as("win"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(l, ri, "span" -> "win")
+    }
+    assert(e2.getMessage.contains("cannot mix floating and integral"))
+  }
+
   test("overlap and intersection match a dense-point oracle over all 16 bound combos") {
     // work on a x2 integer grid so bound openness = grid-point membership:
     // interval [s,e] with flags covers 2s..2e minus open endpoints

@@ -69,6 +69,25 @@ class GroupedIntervalJoinSpec extends SparkSuite {
     assert(e.getMessage.contains("span cannot be used for grouping"))
   }
 
+  test("per-group iteration: keys ordered, groups partition the join, aggs agree") {
+    // the reference's `for gdf in groupby_interval_join(...)` surface
+    // (src/DataFrameIntervals.jl:293-310): iteration over per-group frames
+    // is semantically groupby(interval_join(...)) group by group
+    val g = GroupedIntervalJoin.groupbyIntervalJoin(df, quarters,
+      Seq(Selector.Name("quarter")), "span" -> "span")
+    val ks = g.keys
+    assert(ks.map(_.getLong(0)).toSeq == ks.map(_.getLong(0)).toSeq.sorted)
+    val perGroup = g.iterator.map { case (k, gdf) =>
+      val r = gdf.agg(mean("x").as("mean_x"), count(lit(1)).as("n")).head()
+      (k.getLong(0), r.getDouble(0), r.getLong(1))
+    }.toSeq
+    val combined = direct(Seq("quarter")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(perGroup.toSet == combined.toSet)
+    // the groups partition the joined frame: sizes sum to the join size
+    assert(perGroup.map(_._3).sum == g.joined.count())
+  }
+
   test("unknown columns error lists them Julia-style") {
     val e = intercept[IllegalArgumentException] {
       GroupedIntervalJoin.groupbyIntervalJoin(df, quarters,

@@ -23,7 +23,10 @@ class PlanShapeSpec extends SparkSuite {
     "q05_interval_join_full", "q07_grouped_interval_join", "q32_interval_join_ts",
     "q15_ann_brute", "q30_embed_neardup",
     // single-row corpus-count broadcast (tf-idf idf factor)
-    "q42_tfidf_top")
+    "q42_tfidf_top",
+    // range-only generalized joins against tiny window frames (nation/region
+    // broadcast; bounded/float intervals have no tick space to bin)
+    "q52_interval_join_bounded", "q53_interval_join_float")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

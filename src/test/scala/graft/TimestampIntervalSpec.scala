@@ -151,12 +151,18 @@ class TimestampIntervalSpec extends SparkSuite {
       assert(m.schema("span_right").dataType.asInstanceOf[StructType]("start")
         .dataType == LongType)
     }
-    // fractional endpoints rejected with a clear error
+    // fractional endpoints run on the range path (same pairs, double type
+    // preserved); the tick strategies still reject them
     val dblDf = intDf.select(col("id"),
       struct(col("span.start").cast("double").as("start"),
         col("span.stop").cast("double").as("stop")).as("span"))
+    val jd = IntervalJoin.intervalJoin(dblDf, dblDf, "span", Options(makeunique = true))
+    assert(jd.count() == 5)
+    assert(jd.schema("span").dataType.asInstanceOf[StructType]("start")
+      .dataType == DoubleType)
     val e = intercept[IllegalArgumentException] {
-      IntervalJoin.intervalJoin(dblDf, dblDf, "span", Options(makeunique = true))
+      IntervalJoin.intervalJoin(dblDf, dblDf, "span",
+        Options(strategy = Strategy.Binned, makeunique = true))
     }
     assert(e.getMessage.contains("integral or timestamp"))
   }
