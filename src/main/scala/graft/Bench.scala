@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The one session configuration both measurement mains share — BenchProbe
+    * numbers are only comparable to Bench's if every conf matches. */
+  private[graft] def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -13,6 +14,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
     // Steady-state measurement: run the FULL query set once at the smallest
     // SF first. The plan shapes are identical across SFs, so this warms every
     // cold path the measured run would otherwise absorb into whichever query
@@ -21,8 +28,10 @@ object Bench {
     // map-order-first query at 3.5x its steady-state cost purely from this).
     // The DuckDB baseline numbers are likewise warm-engine measurements.
     val warmDir = {
-      val d = new java.io.File("/root/testdata/sf0.001")
-      if (d.isDirectory) d.getPath else sfDir
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory && sibling.getPath != new java.io.File(sfDir).getPath)
+        sibling.getPath
+      else sfDir
     }
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).queryExecution.toRdd.count() }

@@ -1,22 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev probe: run named queries repeatedly to separate cold-start cost from
-  * steady-state cost (`runMain graft.BenchProbe q33_covered_duration 3`). */
+  * steady-state cost (`runMain graft.BenchProbe q33_covered_duration 3`).
+  * Shares [[Bench.buildSession]] so probe numbers are comparable to bench
+  * numbers conf-for-conf. */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.buildSession()
     val reps = args.lastOption.flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2)
     val names = args.filterNot(a => scala.util.Try(a.toInt).isSuccess)
     names.foreach { name =>

@@ -280,7 +280,7 @@ object Dedup {
     * `pairs` needs `a`/`b` long columns (one row per undirected edge);
     * `nodes` one `id` long column. Output: (id, rep). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      maxIter: Int = 30, localEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIter: Int = 30, localEdgeLimit: Long = 5000000L): DataFrame = {
     // Materialize the (possibly expensive) pair join exactly ONCE on the
     // executors; count and collect then read the checkpoint. A limit+collect
     // probe would re-run the join per CollectLimit scale-up round, and a
@@ -289,10 +289,11 @@ object Dedup {
       .localCheckpoint(true)
     if (edgesDf.count() <= localEdgeLimit) {
       // collect as SPECIALIZED (Long, Long) tuples — 2 primitive fields per
-      // edge (~32 B), not GenericRow + boxed Longs (~90 B): the default 1 M
-      // edges costs ~32 MB of driver heap. Raising localEdgeLimit raises
-      // that bill linearly — size the driver accordingly, or leave it and
-      // let the distributed pointer-jumping path take over.
+      // edge (~32 B), not GenericRow + boxed Longs (~90 B): the default 5 M
+      // edges costs ~160 MB of driver heap (vs ~450 MB as Rows). Raising
+      // localEdgeLimit raises that bill linearly — size the driver
+      // accordingly, or lower it and let the distributed pointer-jumping
+      // path take over (slower per call: O(log n) join rounds).
       import org.apache.spark.sql.Encoders
       val edges = edgesDf
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).collect()

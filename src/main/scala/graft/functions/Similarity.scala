@@ -105,6 +105,9 @@ object Similarity {
       iterations: Int = 10, seed: Long = 11L,
       vecCol: String = "embedding"): IvfIndex = {
     val sample = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      // NULL embeddings would sort FIRST (asc nulls-first) and deterministically
+      // displace real sample rows — then NPE in the k-means loop
+      .where(col("__v").isNotNull)
       .orderBy(xxhash64(col("__v")), col("__v"))
       .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")

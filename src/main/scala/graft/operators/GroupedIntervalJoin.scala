@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 
 /** Fused grouped interval join + aggregate (reference I7
   * `groupby_interval_join`, `src/DataFrameIntervals.jl:241-329`) and the
@@ -48,12 +48,18 @@ object GroupedIntervalJoin {
       joined.select(groupColumns.map(col): _*).distinct()
         .orderBy(groupColumns.map(col): _*).collect()
 
-    /** The joined rows of one group, as a lazy filtered view (no extra job
-      * until the caller acts on it). Null-safe on null-valued group keys. */
-    def groupFor(key: org.apache.spark.sql.Row): DataFrame =
-      joined.where(groupColumns.zipWithIndex.map { case (c, i) =>
-        col(c) <=> lit(key.get(i))
-      }.reduce(_ && _))
+    /** The joined rows of one group, as a lazy view (no extra job until the
+      * caller acts on it): a broadcast semi-join against the one-row key
+      * frame. Null-safe on null-valued keys, and — unlike a `lit(value)`
+      * predicate — works for ANY group-key type (arrays/structs included:
+      * `lit` cannot build literals of those). */
+    def groupFor(key: org.apache.spark.sql.Row): DataFrame = {
+      val schema = joined.select(groupColumns.map(col): _*).schema
+      val keyDf = joined.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(key), schema)
+      val cond = groupColumns.map(c => joined(c) <=> keyDf(c)).reduce(_ && _)
+      joined.join(org.apache.spark.sql.functions.broadcast(keyDf), cond, "left_semi")
+    }
 
     /** Per-group iteration — the reference's `for gdf in
       * groupby_interval_join(...)` surface (`src/DataFrameIntervals.jl:

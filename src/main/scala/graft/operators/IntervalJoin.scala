@@ -458,8 +458,14 @@ object IntervalJoin {
     val l2 = project(left, lTmp, lOnT, "left", lB)
     val r2 = project(right, rTmp, rOnT, "right", rB)
 
+    // NULL-preserving lift: a bare fromHalfOpen would wrap an outer join's
+    // unmatched-side NULL as struct(NULL,NULL,true,false) — non-NULL, so it
+    // would slip past intersectBounded's NULL guard and greatest/least would
+    // SKIP the null endpoints, fabricating an intersection equal to the
+    // matched side's own interval instead of NULL
     def lifted(c: Column, bounded: Boolean): Column =
-      if (bounded) c else BoundedIntervals.fromHalfOpen(c)
+      if (bounded) c
+      else when(c.isNull, lit(null)).otherwise(BoundedIntervals.fromHalfOpen(c))
     val joinType = (opts.keepleft, opts.keepright) match {
       case (false, false) => "inner"
       case (true, false)  => "left_outer"

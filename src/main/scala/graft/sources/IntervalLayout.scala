@@ -76,22 +76,23 @@ object IntervalLayout {
   }
 
   /** Atomic sidecar publish: write a temp file, then rename over the target
-    * — readers see either the old or the new complete JSON, never a torn
-    * write. Rename is atomic on HDFS and posix; on object stores it degrades
-    * to copy+delete, which still never exposes partial content. */
+    * with OVERWRITE — readers see either the old or the new complete JSON,
+    * never a torn write and never a missing file (a delete-then-rename pair
+    * would expose a no-sidecar window to concurrent readers). Overwriting
+    * rename is atomic on HDFS and posix; on object stores it degrades to
+    * copy+delete, which still never exposes partial content. */
   private def writeSidecar(spark: SparkSession, path: String,
       binWidth: Long, maxLen: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(path, MetaFile)
     val tmp = new org.apache.hadoop.fs.Path(path,
       s".$MetaFile.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     out.write(s"""{"binWidth":$binWidth,"maxLen":$maxLen}""".getBytes("UTF-8"))
     out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"failed to publish $target")
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readMetaIfPresent(spark: SparkSession, path: String): Option[(Long, Long)] = {

@@ -79,6 +79,34 @@ class BoundedIntervalSpec extends SparkSuite {
     assert(ix.getLong(0) == 9L && ix.getLong(1) == 10L)
   }
 
+  test("bounded OUTER joins: unmatched rows get NULL other side AND NULL intersection") {
+    import graft.operators.IntervalJoin
+    import graft.operators.IntervalJoin.Options
+    import graft.intervals.IntervalCols
+    import org.apache.spark.sql.functions.col
+    // plain left x bounded right, keepright: the unmatched right row's
+    // intersection must be NULL — a non-NULL-preserving lift would fabricate
+    // struct(NULL,NULL,true,false) and greatest/least would skip the NULLs,
+    // echoing the right row's own interval as the "intersection"
+    val plain = Seq((1L, 0L, 10L)).toDF("pid", "s", "e")
+      .select(col("pid"), IntervalCols.interval(col("s"), col("e")).as("span"))
+    val b = mk(Seq((2L, 5L, 8L, true, true), (3L, 100L, 200L, true, true)), "win")
+    val j = IntervalJoin.intervalJoin(plain, b, ("span", "win"),
+      Options(keepright = true)).collect()
+    assert(j.length == 2)
+    val unmatched = j.find(r => r.getAs[Long]("win_id") == 3L).get
+    assert(unmatched.isNullAt(unmatched.fieldIndex("pid")))
+    assert(unmatched.isNullAt(unmatched.fieldIndex("span")), "intersection must be NULL")
+    val matched = j.find(r => r.getAs[Long]("win_id") == 2L).get
+    val ix = matched.getStruct(matched.fieldIndex("span"))
+    assert(ix.getLong(0) == 5L && ix.getLong(1) == 8L)
+    // symmetric: bounded left x plain right, keepleft
+    val j2 = IntervalJoin.intervalJoin(b.withColumnRenamed("win_id", "bid"), plain,
+      ("win", "span"), Options(keepleft = true)).collect()
+    val un2 = j2.find(r => r.getAs[Long]("bid") == 3L).get
+    assert(un2.isNullAt(un2.fieldIndex("win")), "bounded-left intersection must be NULL")
+  }
+
   test("bounded joins reject bin/sweep strategies and mismatched endpoint types") {
     import graft.operators.IntervalJoin
     import graft.operators.IntervalJoin.{Options, Strategy}
