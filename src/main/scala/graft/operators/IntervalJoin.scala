@@ -98,9 +98,10 @@ object IntervalJoin {
     // Bounded intervals (struct<start,stop,lclosed,rclosed> — the
     // reference's generic `Interval{T,L,R}`, src/DataFrameIntervals.jl:31-35,
     // closed-closed example README.md:29) join on the bound-sensitive
-    // predicates. A plain half-open side joining a bounded side is lifted to
-    // Closed-Open. Range/theta only: bin and sweep tick math presumes
-    // half-open integral intervals (an explicit Binned/Sweep ask errors).
+    // predicates: range/theta with a broadcast-small side, or a binned
+    // equi-join (inclusive-stop bins, bound-sensitive residual) for big-big
+    // inner joins with integral endpoints. A plain half-open side joining a
+    // bounded side is lifted to Closed-Open.
     if (isBounded(left, lOnName) || isBounded(right, rOnName))
       return boundedJoin(left, right, on, opts)
 
@@ -405,10 +406,6 @@ object IntervalJoin {
       on: (String, String), opts: Options): DataFrame = {
     import graft.intervals.BoundedIntervals
     val (lOnName, rOnName) = on
-    if (opts.strategy == Strategy.Binned || opts.strategy == Strategy.Sweep)
-      throw new IllegalArgumentException(
-        s"the ${opts.strategy} strategy supports only half-open intervals with integral or " +
-          "timestamp endpoints; bounded intervals (lclosed/rclosed) run on Strategy.Range.")
     val lB = isBounded(left, lOnName)
     val rB = isBounded(right, rOnName)
     def epTypes(df: DataFrame, name: String) = {
@@ -472,9 +469,40 @@ object IntervalJoin {
       case (false, true)  => "right_outer"
       case (true, true)   => "full_outer"
     }
-    val joined = l2.join(r2,
-      BoundedIntervals.overlapsBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB)),
-      joinType)
+    val overlapCond =
+      BoundedIntervals.overlapsBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB))
+    // Big-big bounded INNER joins with integral endpoints get the same scale
+    // path as half-open intervals: a binned equi-join. Binning differs in
+    // two bound-driven details — the stop bin is INCLUSIVE (a closed stop
+    // can still touch-match inside its own bin) and closed-closed points
+    // [a,a] are non-empty and get their one bin — and the bound-sensitive
+    // overlap runs as the residual predicate. Outer variants and
+    // non-integral endpoints stay on the theta join (Catalyst broadcasts the
+    // small side; both-sides-big outer bounded joins are not a scale path —
+    // quantize to half-open ticks if that shape ever matters).
+    val integral = Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType
+    ).contains(ls)
+    def rejectStrategy(reason: String): Nothing = throw new IllegalArgumentException(
+      s"the ${opts.strategy} strategy cannot run this bounded interval join ($reason); " +
+        "bounded joins run on Strategy.Range, or Strategy.Binned for inner joins " +
+        "with integral endpoints.")
+    val useBinned = opts.strategy match {
+      case Strategy.Sweep => rejectStrategy("the sweep assumes half-open tick intervals")
+      case Strategy.Binned if !integral => rejectStrategy("no integral tick space to bin")
+      case Strategy.Binned if joinType != "inner" => rejectStrategy("outer bounded joins are range-only")
+      case Strategy.Binned => true
+      case Strategy.Auto if integral && joinType == "inner" =>
+        val thresh = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        val lSize = l2.queryExecution.optimizedPlan.stats.sizeInBytes
+        val rSize = r2.queryExecution.optimizedPlan.stats.sizeInBytes
+        !(thresh > 0 && (lSize <= thresh || rSize <= thresh))
+      case _ => false
+    }
+    val joined =
+      if (!useBinned) l2.join(r2, overlapCond, joinType)
+      else boundedBinnedInner(l2, r2, lOnT, rOnT, lB, rB, opts, overlapCond)
 
     val isectBounded =
       BoundedIntervals.intersectBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB))
@@ -485,6 +513,51 @@ object IntervalJoin {
     val outCols = (lTmp ++ rTmp).zip(finalNames).map { case (t, f) => col(t).as(f) } :+
       isect.as(joinedOn)
     joined.select(outCols: _*)
+  }
+
+  /** The binned equi-join for bounded inner joins (see the call site for
+    * the bound-driven differences from [[binPlan]]). `l2`/`r2` carry the
+    * projected temp columns; the `on` temp columns are bounded structs after
+    * `guard`/`lifted` normalization happens at the call site — here both are
+    * re-lifted identically so the residual `overlapCond` (built over the
+    * same temp names) applies unchanged. */
+  private def boundedBinnedInner(l2: DataFrame, r2: DataFrame, lOnT: String,
+      rOnT: String, lB: Boolean, rB: Boolean, opts: Options,
+      overlapCond: Column): DataFrame = {
+    def sE(onT: String) = (col(s"$onT.start").cast("long"), col(s"$onT.stop").cast("long"))
+    val (ls0, le0) = sE(lOnT)
+    val (rs0, re0) = sE(rOnT)
+    val stats = l2.select(ls0.as("s"), le0.as("e"))
+      .unionAll(r2.select(rs0.as("s"), re0.as("e")))
+      .agg(min("s"), max("e"), max(col("e") - col("s")), avg(col("e") - col("s"))).head()
+    if (stats.isNullAt(0))
+      return l2.join(r2, overlapCond, "inner")
+    val lo = stats.getLong(0)
+    val maxLen = math.max(stats.getLong(2), 1L)
+    val avgLen = math.max(math.ceil(stats.getDouble(3)).toLong, 1L)
+    val span = math.max(stats.getLong(1) - lo, 1L)
+    val w = opts.binWidth.getOrElse {
+      Seq(avgLen, ceilDiv(maxLen, opts.maxBinsPerRow), ceilDiv(span, opts.targetBins), 1L).max
+    }
+    def binOf(xSql: String) = s"((cast(($xSql) as bigint)) - ${lo}L) div ${w}L"
+    // bounded side: non-empty per BoundedIntervals.nonEmpty ([a,a] CC is a
+    // point), stop bin INCLUSIVE (a closed stop can touch-match in its own
+    // bin); plain half-open side: the tick path's exclusive-stop binning
+    def binsOf(onT: String, bounded: Boolean) = expr(
+      if (bounded)
+        s"case when ($onT.start) < ($onT.stop) " +
+          s"or (($onT.start) = ($onT.stop) and ($onT.lclosed) and ($onT.rclosed)) " +
+          s"then sequence(${binOf(s"$onT.start")}, ${binOf(s"$onT.stop")}) " +
+          "else cast(array() as array<bigint>) end"
+      else
+        s"case when ($onT.start) < ($onT.stop) " +
+          s"then sequence(${binOf(s"$onT.start")}, ${binOf(s"$onT.stop - 1")}) " +
+          "else cast(array() as array<bigint>) end")
+    val lBinned = l2.withColumn("__lbin", explode(binsOf(lOnT, lB)))
+    val rBinned = r2.withColumn("__rbin", explode(binsOf(rOnT, rB)))
+    val cond = col("__lbin") === col("__rbin") && overlapCond &&
+      col("__lbin") === expr(binOf(s"greatest($lOnT.start, $rOnT.start)"))
+    lBinned.join(rBinned, cond, "inner").drop("__lbin", "__rbin")
   }
 
   /** Plan-time schema validation, mirroring the reference's eager adapter

@@ -107,21 +107,58 @@ class BoundedIntervalSpec extends SparkSuite {
     assert(un2.isNullAt(un2.fieldIndex("win")), "bounded-left intersection must be NULL")
   }
 
-  test("bounded joins reject bin/sweep strategies and mismatched endpoint types") {
+  test("bounded joins reject sweep/invalid-binned strategies and mismatched endpoint types") {
     import graft.operators.IntervalJoin
     import graft.operators.IntervalJoin.{Options, Strategy}
     val l = mk(Seq((1L, 1L, 3L, true, true)), "a")
     val r = mk(Seq((10L, 3L, 5L, true, true)), "b")
     val e1 = intercept[IllegalArgumentException] {
-      IntervalJoin.intervalJoin(l, r, ("a", "b"), Options(strategy = Strategy.Binned))
+      IntervalJoin.intervalJoin(l, r, ("a", "b"), Options(strategy = Strategy.Sweep))
     }
     assert(e1.getMessage.contains("Strategy.Range"))
+    val e1b = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(l, r, ("a", "b"),
+        Options(strategy = Strategy.Binned, keepleft = true))
+    }
+    assert(e1b.getMessage.contains("range-only"))
     val rd = Seq((10L, 3.0, 5.0, true, true)).toDF("b_id", "s", "e", "l", "r")
       .select(col("b_id"), bounded(col("s"), col("e"), col("l"), col("r")).as("b"))
     val e2 = intercept[IllegalArgumentException] {
       IntervalJoin.intervalJoin(l, rd, "a" -> "b")
     }
     assert(e2.getMessage.contains("ONE endpoint type"))
+  }
+
+  test("property: bounded BINNED inner join == range join on random bound combos") {
+    import graft.operators.IntervalJoin
+    import graft.operators.IntervalJoin.{Options, Strategy}
+    val rng = new scala.util.Random(42L)
+    // dense random intervals incl. points and touching ends so the
+    // inclusive-stop binning and bound-sensitive residual both matter;
+    // a small explicit binWidth forces many cross-bin spans
+    val rows = (1L to 120L).map { i =>
+      val s = rng.nextInt(40).toLong
+      val e = s + rng.nextInt(12).toLong // points (e == s) included
+      (i, s, e, rng.nextBoolean(), rng.nextBoolean())
+    }
+    val a = mk(rows, "a")
+    val b = mk(rows.map { case (i, s, e, lc, rc) => (i + 1000L, s, e, lc, rc) }, "b")
+    def pairs(o: Options) =
+      IntervalJoin.intervalJoin(a, b, ("a", "b"), o)
+        .select(col("a_id"), col("b_id"), col("a.start"), col("a.stop"),
+          col("a.lclosed"), col("a.rclosed"))
+        .collect().map(_.toSeq).toSet
+    val range = pairs(Options(strategy = Strategy.Range))
+    val binned = pairs(Options(strategy = Strategy.Binned, binWidth = Some(5L)))
+    assert(binned == range, s"binned ${binned.size} vs range ${range.size}")
+    // mixed plain x bounded also agrees across strategies
+    val plain = rows.map { case (i, s, e, _, _) => (i, s, e) }.toDF("pid", "s", "e")
+      .select(col("pid"), graft.intervals.IntervalCols.interval(col("s"), col("e")).as("span"))
+    def mixedPairs(o: Options) =
+      IntervalJoin.intervalJoin(plain, b, ("span", "b"), o)
+        .select(col("pid"), col("b_id")).collect().map(_.toSeq).toSet
+    assert(mixedPairs(Options(strategy = Strategy.Binned, binWidth = Some(5L))) ==
+      mixedPairs(Options(strategy = Strategy.Range)))
   }
 
   test("float endpoints run on the range path; bin/sweep asks error") {
