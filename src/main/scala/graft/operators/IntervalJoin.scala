@@ -77,7 +77,17 @@ object IntervalJoin {
       binWidth: Option[Long] = None,
       targetBins: Long = 1L << 20,
       maxBinsPerRow: Long = 1024L,
-      checkMissing: Boolean = true)
+      checkMissing: Boolean = true,
+      /** Auto picks the broadcast range join only when the smaller side's
+        * estimated ROW count stays under this. Broadcast-small-in-bytes is
+        * the right gate for a hash join but the wrong one for a theta join:
+        * a BNLJ evaluates smallRows × bigRows predicate pairs, so a 10 MB /
+        * 100 k-row side against a same-sized stream side is 10^10 pair
+        * evaluations — minutes, while the binned/sweep paths do it in
+        * seconds. A genuinely small window frame (10^2-10^4 rows) against
+        * an arbitrarily big side remains the broadcast shape: the big side
+        * never shuffles, which is the correct 100 TB trade. */
+      maxRangeRows: Long = 10000L)
 
   def intervalJoin(left: DataFrame, right: DataFrame, on: String): DataFrame =
     intervalJoin(left, right, on -> on, Options())
@@ -185,11 +195,7 @@ object IntervalJoin {
     val strategy = opts.strategy match {
       case Strategy.Auto if isFloat => Strategy.Range // no tick space to bin
       case Strategy.Auto =>
-        // Spark's own parsed value — handles byte-string confs ("10MB", "100k")
-        val thresh = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-        val lSize = l2.queryExecution.optimizedPlan.stats.sizeInBytes
-        val rSize = r2.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (thresh > 0 && (lSize <= thresh || rSize <= thresh)) Strategy.Range
+        if (rangeJoinViable(l2, r2, opts)) Strategy.Range
         // big-big: the per-partition sweep beats the binned equi-join on
         // inner joins (measured 1.4x at 29 M pairs, 2.8x at 500 M — and the
         // gap WIDENS with scale); outer variants run on the binned path
@@ -355,6 +361,29 @@ object IntervalJoin {
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
+  /** Auto's gate for the broadcast range/theta join: one side must be
+    * broadcastable in BYTES (Spark's own threshold — handles byte-string
+    * confs) AND small in estimated ROWS (`Options.maxRangeRows`) — a BNLJ's
+    * cost is the pair-count product, so bytes alone under-gates it (a
+    * measured 50 k × 50 k self-join slipped under a 10 MB threshold and ran
+    * a 2.5 G-pair nested loop ~9x slower than the binned path). Row counts
+    * use Catalyst's estimate when known (generated ranges, CBO) and a
+    * conservative sizeInBytes/64 otherwise — compressed parquet averages
+    * well over 64 B/row uncompressed, so the estimate errs toward MORE rows,
+    * i.e. toward the scale paths. */
+  private def rangeJoinViable(l2: DataFrame, r2: DataFrame, opts: Options): Boolean = {
+    val thresh = l2.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresh <= 0) return false
+    val lStats = l2.queryExecution.optimizedPlan.stats
+    val rStats = r2.queryExecution.optimizedPlan.stats
+    def rows(s: org.apache.spark.sql.catalyst.plans.logical.Statistics): BigInt =
+      s.rowCount.getOrElse(s.sizeInBytes / 64)
+    val (smallStats, smallRows) =
+      if (lStats.sizeInBytes <= rStats.sizeInBytes) (lStats, rows(lStats))
+      else (rStats, rows(rStats))
+    smallStats.sizeInBytes <= thresh && smallRows <= opts.maxRangeRows
+  }
+
   /** The reference's output-naming contract, shared by the tick and bounded
     * paths: left columns then right columns, `on` columns renamed by
     * `renameon`, payload columns by `renamecols`, duplicates resolved by
@@ -494,10 +523,7 @@ object IntervalJoin {
       case Strategy.Binned if joinType != "inner" => rejectStrategy("outer bounded joins are range-only")
       case Strategy.Binned => true
       case Strategy.Auto if integral && joinType == "inner" =>
-        val thresh = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-        val lSize = l2.queryExecution.optimizedPlan.stats.sizeInBytes
-        val rSize = r2.queryExecution.optimizedPlan.stats.sizeInBytes
-        !(thresh > 0 && (lSize <= thresh || rSize <= thresh))
+        !rangeJoinViable(l2, r2, opts)
       case _ => false
     }
     val joined =
