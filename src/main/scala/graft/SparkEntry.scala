@@ -683,6 +683,29 @@ object SparkEntry {
           col("span.start").as("istart"), col("span.stop").as("istop"))
     }),
 
+    // Decontamination: corpus docs sharing token 3-grams with a "benchmark"
+    // slice (every 50th doc) — the standard eval-set contamination check.
+    // One broadcast equi-join on the n-gram string; corpus never shuffles.
+    "q54_decontaminate" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val bench = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+      val corpus = d.where(pmod(col("doc_id"), lit(50L)) =!= 0L)
+      Dedup.benchmarkContamination(corpus, bench, "text", "doc_id", n = 3)
+    }),
+
+    // PII redaction: deterministic regex scrub of emails/phones, exercised
+    // on synthesized contact strings derived from table values (the corpus
+    // itself carries no PII); same RE2-safe patterns replay in the oracle
+    "q55_pii_redact" -> ((sp, dir) =>
+      table(sp, dir, "documents").select(
+        col("doc_id"),
+        TF.redactPii(concat(
+          substring(col("text"), 1, 40),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555-00"),
+          pmod(col("doc_id"), lit(100L)).cast("string"), lit("1")
+        )).as("clean"))),
+
     // Multimodal: binary payload -> partition-parallel stub decode
     "q18_multimodal" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
@@ -1276,6 +1299,33 @@ object SparkEntry {
         |      FROM region)
         |SELECT o_orderkey, wid, greatest(s, ws) AS istart, least(e, we) AS istop
         |FROM l JOIN r ON s < we AND ws < e AND s < e AND ws < we""".stripMargin,
+
+    "q54_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    list_filter(regexp_split_to_array(text, '\s+'),
+        |                                x -> x <> '') AS t
+        |             FROM documents),
+        |ng AS (SELECT doc_id, unnest(list_distinct(
+        |         list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |                        i -> array_to_string(t[i:i+2], ' ')))) AS g
+        |       FROM tok),
+        |b AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, g FROM ng WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id AS id, count(*) AS n_hits
+        |FROM c JOIN b USING (g) GROUP BY c.doc_id""".stripMargin,
+
+    "q55_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      substr(text, 1, 40) || ' contact: user' || doc_id
+         |        || '@example.com or +1 555-00' || (doc_id % 100) || '1',
+         |      '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS clean
+         |FROM documents""".stripMargin
+    },
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

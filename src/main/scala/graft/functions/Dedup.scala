@@ -263,6 +263,28 @@ object Dedup {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** Benchmark decontamination: for every corpus document, the number of
+    * distinct token `n`-grams it shares with the benchmark (eval) set —
+    * the standard pre-training contamination check (docs with hits get
+    * dropped or flagged before the corpus ships). Output: (id, n_hits),
+    * contaminated documents only.
+    *
+    * Scale shape: ONE equi-join on the n-gram string. The benchmark side is
+    * tiny by nature (eval sets are thousands of documents) — its distinct
+    * n-gram set broadcasts, so the corpus explode never shuffles; the
+    * per-doc count is a map-side-combining aggregation on the id. String
+    * keys (not hashes) keep the oracle exact and collision-free. */
+  def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val ng = (df: DataFrame, keep: Seq[Column]) =>
+      df.select(keep :+ explode(TextFunctions.tokenNgrams(col(textCol), n)).as("__ng"): _*)
+    val bench = ng(benchmark, Seq.empty).distinct()
+    ng(corpus, Seq(col(idCol).as("id")))
+      .join(org.apache.spark.sql.functions.broadcast(bench), "__ng")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits")) // corpus n-grams pre-deduped per doc
+  }
+
   /** Connected components over a near-dup pair graph: assigns every node the
     * MINIMUM reachable id as its cluster representative — pairs alone don't
     * dedupe a corpus; the pipeline keeps one document per component.

@@ -126,6 +126,33 @@ object TextFunctions {
     aggregate(transform(tokens(c), tokenHashMod(_)), lit(0L),
       (acc, x) => pmod(acc * 31L + x, lit(HashMod)))
 
+  /** Word n-grams ("a b c") of the whitespace tokens, deduplicated; empty
+    * below n tokens. The unit of benchmark decontamination
+    * ([[Dedup.benchmarkContamination]]): token n-grams (not char shingles)
+    * are the standard overlap unit for eval-set contamination checks. */
+  def tokenNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, "tokenNgrams needs n >= 1")
+    val t = tokens(c)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic PII scrubbing: emails then phone-like digit runs replaced
+    * by placeholder tags. The patterns avoid lookaround so the SAME regex
+    * runs identically under Java regex (Spark) and RE2 (DuckDB/Go) — the
+    * oracle replays the scrub verbatim. This is the pattern-based tier of a
+    * PII pipeline (cheap, runs in the scan); ML-based NER redaction would
+    * slot in behind the same column contract. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** One-pass imperative fast path for BOTH repetition ratios. Bit-identical
     * to `dupTokenRatio`/`dupBigramRatio` (pinned by DedupParitySpec): the
     * Column path re-evaluates the interpreted `tokens` filter at every

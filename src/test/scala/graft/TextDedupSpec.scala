@@ -163,6 +163,40 @@ class TextDedupSpec extends SparkSuite {
     }
   }
 
+  test("tokenNgrams: sliding word windows, deduped, empty under n") {
+    import graft.functions.{TextFunctions => TF}
+    val r = Seq(("a b c d", 1), ("a b a b a b", 2), ("ab", 3), ("", 4))
+      .toDF("t", "id")
+      .select(col("id"), TF.tokenNgrams(col("t"), 3).as("ng"))
+      .collect().map(x => x.getInt(0) -> x.getSeq[String](1)).toMap
+    assert(r(1) == Seq("a b c", "b c d"))
+    assert(r(2) == Seq("a b a", "b a b")) // deduped from 4 windows
+    assert(r(3).isEmpty && r(4).isEmpty)
+  }
+
+  test("redactPii replaces emails and phone-like runs, leaves prose alone") {
+    import graft.functions.{TextFunctions => TF}
+    val out = Seq("mail me at jo.doe+x@sub.example.org or call +1 (555) 010-7788 now")
+      .toDF("t").select(TF.redactPii(col("t"))).head.getString(0)
+    assert(out == "mail me at <EMAIL> or call <PHONE> now", out)
+    val clean = Seq("plain text, year 2026, pi 3.14").toDF("t")
+      .select(TF.redactPii(col("t"))).head.getString(0)
+    assert(clean == "plain text, year 2026, pi 3.14")
+  }
+
+  test("benchmarkContamination: counts shared token n-grams, skips clean docs") {
+    import graft.functions.Dedup
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we saw the quick brown fox yesterday"), // shares 2 trigrams
+      (2L, "completely unrelated words here"),
+      (3L, "quick brown fox jumps high")            // shares 2 trigrams
+    ).toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 2L), got.toString)
+  }
+
   test("no UDFs: text ops stay codegen expressions (plan contains no BatchEvalPython/ScalaUDF)") {
     val plan = docs.select(TF.fingerprint(col("text")), Dedup.simhash32(col("text")))
       .queryExecution.executedPlan.toString
