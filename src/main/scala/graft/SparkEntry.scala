@@ -9,7 +9,7 @@ import graft.intervals.IntervalCols
 import graft.operators.{GroupedIntervalJoin, IntervalJoin, QuantileWindows}
 import graft.operators.IntervalJoin.{Options, Strategy}
 import graft.operators.GroupedIntervalJoin.Selector
-import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, Packing, Similarity, TextFunctions => TF}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -706,6 +706,27 @@ object SparkEntry {
           pmod(col("doc_id"), lit(100L)).cast("string"), lit("1")
         )).as("clean"))),
 
+    // Sequence packing: concatenate-and-chop the corpus into 256-token
+    // packs, sharded into 8 deterministic hash buckets (per-bucket window
+    // = the distributable formulation; one shuffle)
+    "q56_pack_stream" -> ((sp, dir) =>
+      Packing.packStream(
+          table(sp, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", TF.tokenCount(col("text")), capacity = 256, nBuckets = 8)
+        .select("doc_id", "bucket", "n_tok", "pack_first", "pack_offset",
+          "pack_last", "n_packs")),
+
+    // Sliding-window chunking: 64-token windows at stride 48 per document
+    // (no shuffle; explode fuses into the scan)
+    "q57_chunk_overlap" -> ((sp, dir) =>
+      Packing.chunkByTokens(table(sp, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)),
+
+    // Corpus stats: top-100 token bigrams by document frequency
+    // (map-side-combining agg + TakeOrderedAndProject, deterministic ties)
+    "q58_top_ngrams" -> ((sp, dir) =>
+      TF.topNgrams(table(sp, dir, "documents"), "text", n = 2, k = 100)),
+
     // Multimodal: binary payload -> partition-parallel stub decode
     "q18_multimodal" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
@@ -1326,6 +1347,49 @@ object SparkEntry {
          |    '$phone', '<PHONE>', 'g') AS clean
          |FROM documents""".stripMargin
     },
+
+    "q56_pack_stream" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |           % ${TF.HashMod}) % 1000) % 8 AS bucket,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tok,
+         |       cum // 256 AS pack_first,
+         |       cum % 256 AS pack_offset,
+         |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256
+         |            ELSE cum // 256 END AS pack_last,
+         |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256 - cum // 256 + 1
+         |            ELSE 0 END AS n_packs
+         |FROM c""".stripMargin,
+
+    "q57_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |             1 + (greatest(len(tk) - 64, 0) + 47) // 48 AS n_chunks
+         |      FROM t WHERE len(tk) > 0),
+         |c AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS ci FROM n)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |       CAST(len(tk[CAST(ci*48+1 AS INT) : CAST(ci*48+64 AS INT)]) AS INT) AS chunk_tok,
+         |       array_to_string(tk[CAST(ci*48+1 AS INT) : CAST(ci*48+64 AS INT)], ' ') AS chunk_text
+         |FROM c""".stripMargin,
+
+    "q58_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ng AS (SELECT doc_id, unnest(list_distinct(
+         |         list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |                        i -> array_to_string(tk[i:i+1], ' ')))) AS ngram
+         |       FROM t)
+         |SELECT ngram, count(*) AS doc_freq
+         |FROM ng GROUP BY 1
+         |ORDER BY doc_freq DESC, ngram
+         |LIMIT 100""".stripMargin,
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextFunctions.tokens
+
+/** Sequence packing and chunking for training-data pipelines: turning a
+  * corpus of variable-length documents into fixed-token-budget training
+  * sequences. Two standard formulations, both deterministic and pure
+  * Column expressions so a SQL oracle can replay them exactly:
+  *
+  *  - [[packStream]] — "concatenate and chop": documents are laid out
+  *    end-to-end in a deterministic order and the stream is cut every
+  *    `capacity` tokens (the classic GPT-style pretraining layout; documents
+  *    may span pack boundaries). Distributed by hashing documents into
+  *    independent buckets first: packing is inherently order-sequential, so
+  *    a single global order would serialize into one partition — per-bucket
+  *    packing keeps every bucket an independent window partition, which is
+  *    how packing actually shards on a 1000-executor corpus.
+  *  - [[chunkByTokens]] — sliding-window chunking with overlap (window `w`,
+  *    stride `s`): each document independently yields chunks of `w` tokens
+  *    every `s` tokens (the RAG / long-doc fine-tuning layout). Embarrassingly
+  *    parallel — no shuffle at all; the explode runs inside the scan stage.
+  */
+object Packing {
+
+  /** Deterministic pack assignment, one output row per input row:
+    * `bucket` (salted hash bucket the doc was routed to), `n_tok` (the doc's
+    * token count), `pack_first`/`pack_last` (first/last pack index within the
+    * bucket that the doc occupies), `pack_offset` (token offset of the doc's
+    * first token inside `pack_first`), `n_packs` (how many packs the doc
+    * spans; 0 for empty docs, which occupy no stream positions).
+    *
+    * Within a bucket, docs are ordered by `idCol` (must be unique — ties
+    * would make the layout nondeterministic). ONE shuffle (the window
+    * partition on `bucket`); `nBuckets` sizes the parallelism and should be
+    * a small multiple of the cluster's cores at scale.
+    */
+  def packStream(df: DataFrame, idCol: String, nTokens: Column,
+      capacity: Long, nBuckets: Int = 32,
+      salt: String = "pack"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val bucket = Sampling.hashBucket(col(idCol), salt) % nBuckets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bucket", bucket)
+      .withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_first", floor(col("__cum") / capacity))
+      .withColumn("pack_offset", pmod(col("__cum"), lit(capacity)))
+      .withColumn("pack_last",
+        when(col("n_tok") > 0,
+          floor((col("__cum") + col("n_tok") - 1) / capacity))
+          .otherwise(col("pack_first")))
+      .withColumn("n_packs",
+        when(col("n_tok") > 0, col("pack_last") - col("pack_first") + 1)
+          .otherwise(lit(0L)))
+      .drop("__cum")
+  }
+
+  /** Sliding-window chunks: one output row per (doc, chunk). A doc with `n`
+    * tokens yields `1 + ceil(max(n - w, 0) / s)` chunks starting at token
+    * offsets `0, s, 2s, …`; the final chunk may be shorter than `w`. Docs
+    * with zero tokens yield no rows. Output: the id column, `chunk_idx`,
+    * `chunk_tok` (tokens in this chunk), `chunk_text` (space-rejoined).
+    *
+    * No shuffle: tokenize + explode fuse into the scan stage, so this runs
+    * partition-parallel over a 100 TB corpus with no data movement.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    // ceil((n - w) / s) in integer math, clamped at 0 extra chunks; the
+    // sequence is guarded because Spark's sequence(0, -1) counts DOWN
+    val nChunks = lit(1) + floor((greatest(n - window, lit(0)) + (stride - 1))
+      / lit(stride)).cast("int")
+    val idxs = when(n > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), t.as("__t"), explode(idxs).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), col("chunk_idx") * stride + 1, lit(window)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).as("chunk_tok"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+}

@@ -153,6 +153,22 @@ object TextFunctions {
       regexp_replace(c, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Corpus-level top-k token n-grams by document frequency (each doc
+    * counts an n-gram once — [[tokenNgrams]] is already distinct-per-doc).
+    * The classic corpus-stats pass behind boilerplate detection and
+    * stopword-list induction. Plan shape at 100 TB: explode fuses into the
+    * scan, the count is a map-side-combining hash aggregate (one shuffle of
+    * (ngram, partial-count) pairs, NOT of documents), and the top-k is
+    * Spark's TakeOrderedAndProject — per-partition heaps + a driver merge of
+    * k rows per partition, never a global sort. Ties break lexicographically
+    * so the result is deterministic and oracle-replayable. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokenNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
+
   /** One-pass imperative fast path for BOTH repetition ratios. Bit-identical
     * to `dupTokenRatio`/`dupBigramRatio` (pinned by DedupParitySpec): the
     * Column path re-evaluates the interpreted `tokens` filter at every

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Packing, TextFunctions => TF}
+
+class PackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  // docs with known token counts: doc i has i tokens ("t t t ...")
+  lazy val docs = (0L until 20L)
+    .map(i => (i, Seq.fill(i.toInt)("t").mkString(" ")))
+    .toDF("id", "text")
+
+  test("packStream: contiguous stream layout within each bucket") {
+    val p = Packing.packStream(docs, "id", TF.tokenCount(col("text")),
+      capacity = 10, nBuckets = 2)
+    assert(p.count() == 20)
+    // stream invariant: within a bucket, ordered by id, each doc starts
+    // exactly where the previous one ended (cum tokens mod capacity)
+    val rows = p.select("bucket", "id", "n_tok", "pack_first", "pack_offset",
+        "pack_last", "n_packs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .groupBy(_._1)
+    for ((_, docsInBucket) <- rows) {
+      var cum = 0L
+      for ((_, _, nTok, first, off, last, nPacks) <- docsInBucket.sortBy(_._2)) {
+        assert(first == cum / 10, s"pack_first mismatch at cum=$cum")
+        assert(off == cum % 10, s"pack_offset mismatch at cum=$cum")
+        if (nTok > 0) {
+          assert(last == (cum + nTok - 1) / 10)
+          assert(nPacks == last - first + 1)
+        } else {
+          assert(nPacks == 0 && last == first)
+        }
+        cum += nTok
+      }
+    }
+    // empty doc (id=0) spans no packs
+    assert(p.where(col("id") === 0).select("n_packs").as[Long].head() == 0L)
+  }
+
+  test("packStream: deterministic across runs and stable bucket routing") {
+    val a = Packing.packStream(docs, "id", TF.tokenCount(col("text")), 10, 2)
+    val b = Packing.packStream(docs, "id", TF.tokenCount(col("text")), 10, 2)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    intercept[IllegalArgumentException] {
+      Packing.packStream(docs, "id", TF.tokenCount(col("text")), 0, 2)
+    }
+  }
+
+  test("chunkByTokens: exact chunk grid, clamped tail, empty docs dropped") {
+    val c = Packing.chunkByTokens(docs, "id", "text", window = 5, stride = 3)
+    // doc with n tokens yields 1 + ceil(max(n-5,0)/3) chunks; n=0 yields none
+    val counts = c.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!counts.contains(0L))
+    for (n <- 1L until 20L) {
+      val expected = 1 + math.ceil(math.max(n - 5, 0) / 3.0).toLong
+      assert(counts(n) == expected, s"n=$n got ${counts(n)} want $expected")
+    }
+    // tail chunk is clamped: for n=7, chunk 1 covers tokens 4..7 (4 tokens)
+    val tail = c.where(col("id") === 7 && col("chunk_idx") === 1)
+      .select("chunk_tok", "chunk_text").head()
+    assert(tail.getInt(0) == 4 && tail.getString(1) == "t t t t")
+    // full chunks carry exactly `window` tokens
+    assert(c.where(col("chunk_idx") === 0 && col("id") >= 5)
+      .select("chunk_tok").as[Int].collect().forall(_ == 5))
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(docs, "id", "text", window = 5, stride = 6)
+    }
+  }
+
+  test("chunkByTokens: consecutive chunks overlap by window - stride tokens") {
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val one = Seq((1L, text)).toDF("id", "text")
+    val chunks = Packing.chunkByTokens(one, "id", "text", window = 5, stride = 3)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(chunks.sameElements(Array(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12")))
+  }
+
+  test("topNgrams: document frequency with deterministic ties") {
+    val corpus = Seq(
+      (1L, "a b a b"),   // bigrams: {a b, b a}
+      (2L, "a b c"),     // {a b, b c}
+      (3L, "b c d"),     // {b c, c d}
+      (4L, "")
+    ).toDF("id", "text")
+    val top = TF.topNgrams(corpus, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // "a b" and "b c" tie at 2, break lexicographically; then ties at 1
+    assert(top.sameElements(Array(("a b", 2L), ("b c", 2L), ("b a", 1L))))
+  }
+}
