@@ -82,5 +82,16 @@ package object api {
     /** Gap-split point events into interval sessions per key. */
     def sessionize(keys: Seq[String], tsCol: String, gapNs: Long): DataFrame =
       operators.IntervalOps.sessionize(df, keys, tsCol, gapNs)
+
+    /** Concatenate-and-chop sequence packing into `capacity`-token packs,
+      * sharded over deterministic hash buckets (see [[functions.Packing]]). */
+    def packStream(idCol: String, nTokens: org.apache.spark.sql.Column,
+        capacity: Long, nBuckets: Int = 32): DataFrame =
+      functions.Packing.packStream(df, idCol, nTokens, capacity, nBuckets)
+
+    /** Per-document sliding token windows of `window` tokens every `stride`. */
+    def chunkByTokens(idCol: String, textCol: String,
+        window: Int, stride: Int): DataFrame =
+      functions.Packing.chunkByTokens(df, idCol, textCol, window, stride)
   }
 }

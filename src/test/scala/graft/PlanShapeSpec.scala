@@ -59,6 +59,26 @@ class PlanShapeSpec extends SparkSuite {
       s21.forall(_.toSet.subsetOf(Set("o_custkey", "o_orderkey", "o_totalprice"))), s21.toString)
   }
 
+  test("packing/chunking/corpus-stats plans keep their scale shape") {
+    // q57 chunking is embarrassingly parallel: the explode must fuse into
+    // the scan stage with NO shuffle at all
+    val q57 = SparkEntry.queries("q57_chunk_overlap")(spark, dir)
+    assert(!q57.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunkByTokens must not shuffle")
+    // q56 packing pays exactly ONE shuffle (the per-bucket window partition)
+    val q56 = SparkEntry.queries("q56_pack_stream")(spark, dir)
+    val ex56 = "Exchange".r.findAllIn(
+      q56.queryExecution.executedPlan.toString).size
+    assert(ex56 == 1, s"packStream should shuffle exactly once, saw $ex56")
+    // q58 top-k must partial-aggregate map-side (shuffles (ngram, count)
+    // pairs, not exploded rows) and take the top k via per-partition heaps,
+    // never a global sort
+    val p58 = SparkEntry.queries("q58_top_ngrams")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p58.contains("partial_count"), "topNgrams lost its map-side combine")
+    assert(p58.contains("TakeOrderedAndProject"), s"topNgrams should plan top-k, got:\n$p58")
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val q19 = SparkEntry.queries("q19_asof")(spark, dir)
     val plan = q19.queryExecution.executedPlan.toString

@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming chunkByTokens: stateless chunking emits per-batch, matching batch values") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val chunks = graft.functions.Packing.chunkByTokens(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", window = 3, stride = 2)
+    val q = chunks.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b c d e"), (2L, ""))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, chunk_idx, chunk_text FROM chunks")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      // n=5, w=3, s=2 -> chunks at 0,2: "a b c", "c d e"; empty doc drops
+      assert(got.sameElements(Array((1L, 0, "a b c"), (1L, 1, "c d e"))))
+      // same call on a batch frame gives the identical rows
+      import spark.implicits._
+      val batch = graft.functions.Packing.chunkByTokens(
+        Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 3, stride = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).sorted
+      assert(batch.sameElements(got))
+    } finally q.stop()
+  }
+
   test("streaming simhash + repetition fast paths run on a stream, matching batch values") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
