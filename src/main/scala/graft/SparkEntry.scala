@@ -727,6 +727,11 @@ object SparkEntry {
     "q58_top_ngrams" -> ((sp, dir) =>
       TF.topNgrams(table(sp, dir, "documents"), "text", n = 2, k = 100)),
 
+    // LM-quality proxy: per-doc mean unigram surprisal against the corpus
+    // frequency table (sorted-fold float sum -> bit-exact vs the oracle)
+    "q59_unigram_surprisal" -> ((sp, dir) =>
+      TF.unigramSurprisal(table(sp, dir, "documents"), "doc_id", "text")),
+
     // Multimodal: binary payload -> partition-parallel stub decode
     "q18_multimodal" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
@@ -1390,6 +1395,21 @@ object SparkEntry {
          |FROM ng GROUP BY 1
          |ORDER BY doc_freq DESC, ngram
          |LIMIT 100""".stripMargin,
+
+    "q59_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                        x -> x <> '')) AS term
+        |              FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |f AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM toks),
+        |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |             list(CAST(c AS DOUBLE) * ln((SELECT N FROM t) / n) ORDER BY term) AS vs
+        |      FROM c JOIN f USING (term) GROUP BY 1)
+        |SELECT doc_id AS id, n_tok,
+        |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok AS surprisal
+        |FROM g""".stripMargin,
 
     "q18_multimodal" ->
       """SELECT doc_id AS id,

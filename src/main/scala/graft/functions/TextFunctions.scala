@@ -169,6 +169,42 @@ object TextFunctions {
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)
 
+  /** Per-document unigram surprisal — the cheap stand-in for LM-perplexity
+    * quality filtering (CCNet-style): mean over the doc's tokens of
+    * `ln(N / n_t)` where `n_t` is the token's corpus count and `N` the
+    * corpus token total. Low = stereotyped/boilerplate text, high = rare
+    * vocabulary (or noise); pipelines keep the middle band.
+    *
+    * Distributed shape at 100 TB: explode fuses into the scan; per-(doc,
+    * term) counts and per-term corpus counts are map-side-combining
+    * aggregates; ONE term-keyed equi-join (AQE-splittable stopword skew);
+    * the single-row corpus total broadcasts. No driver materialization.
+    *
+    * Float determinism: the per-doc sum folds over the terms in SORTED term
+    * order from an explicit 0.0 seed, so the floating-point addition order
+    * is identical in every engine and run — DuckDB replays it with
+    * `list(x ORDER BY term)` + a 0.0-seeded `list_reduce`, making the
+    * result bit-exact, not just approximately equal. Output: one row per
+    * doc with >= 1 token: (id, n_tok, surprisal). */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val perDoc = toks.groupBy("id", "term").agg(count(lit(1)).as("c"))
+    val corpus = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__N"))
+    perDoc.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum("c").as("n_tok"), first("__N").as("__N"),
+        sort_array(collect_list(struct(col("term"), col("c"), col("n")))).as("__xs"))
+      .select(col("id"), col("n_tok"),
+        (aggregate(
+          transform(col("__xs"),
+            x => x.getField("c").cast("double") * log(col("__N") / x.getField("n"))),
+          lit(0.0), (acc, v) => acc + v) / col("n_tok")).as("surprisal"))
+  }
+
   /** One-pass imperative fast path for BOTH repetition ratios. Bit-identical
     * to `dupTokenRatio`/`dupBigramRatio` (pinned by DedupParitySpec): the
     * Column path re-evaluates the interpreted `tokens` filter at every

@@ -80,6 +80,20 @@ class PackingSpec extends SparkSuite {
       "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12")))
   }
 
+  test("unigramSurprisal: exact sorted-fold mean against hand-computed values") {
+    val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val s = TF.unigramSurprisal(corpus, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N=5, n_a=3, n_b=1, n_c=1; fold is 0.0 + contributions in term order —
+    // the assertion is BIT-equality, pinning the documented determinism
+    val d1 = (0.0 + 2.0 * math.log(5.0 / 3.0) + 1.0 * math.log(5.0 / 1.0)) / 3.0
+    val d2 = (0.0 + 1.0 * math.log(5.0 / 3.0) + 1.0 * math.log(5.0 / 1.0)) / 2.0
+    assert(s(1L) == ((3L, d1)), s"got ${s(1L)} want ($d1)")
+    assert(s(2L) == ((2L, d2)), s"got ${s(2L)} want ($d2)")
+    // rarer vocabulary scores strictly higher
+    assert(s(2L)._2 > s(1L)._2)
+  }
+
   test("topNgrams: document frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "a b a b"),   // bigrams: {a b, b a}
