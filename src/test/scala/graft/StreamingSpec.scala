@@ -95,6 +95,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming packing: per-bucket cursor carries across batches; single batch equals batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (id, n_tok)
+    val packed = graft.streaming.StreamingPacking.packStreamOnline(
+      in.toDF().toDF("doc_id", "n_tok"), "doc_id", col("n_tok"),
+      capacity = 10, nBuckets = 1)
+    val q = packed.writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 4L), (2L, 8L))
+      q.processAllAvailable()
+      in.addData((3L, 5L), (4L, 0L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT id, n_tok, pack_first, pack_offset, pack_last, n_packs FROM packed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+      // capacity 10, one bucket: id2 spans packs 0-1 (tokens 4..11); the
+      // cross-batch cursor resumes at 12 for id3; the empty id4 spans none
+      assert(got.sameElements(Array(
+        (1L, 4L, 0L, 0L, 0L, 1L),
+        (2L, 8L, 0L, 4L, 1L, 2L),
+        (3L, 5L, 1L, 2L, 1L, 1L),
+        (4L, 0L, 1L, 7L, 1L, 0L))), got.mkString(", "))
+      // the same rows through the BATCH operator (id order == arrival order
+      // here) produce the identical assignment
+      import spark.implicits._
+      val batch = graft.functions.Packing.packStream(
+        Seq((1L, 4L), (2L, 8L), (3L, 5L), (4L, 0L)).toDF("doc_id", "n_tok"),
+        "doc_id", col("n_tok"), capacity = 10, nBuckets = 1)
+        .select("doc_id", "n_tok", "pack_first", "pack_offset", "pack_last", "n_packs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+      assert(batch.sameElements(got), s"batch=${batch.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streaming simhash + repetition fast paths run on a stream, matching batch values") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
