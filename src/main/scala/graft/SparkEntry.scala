@@ -1331,14 +1331,15 @@ object SparkEntry {
         |                    list_filter(regexp_split_to_array(text, '\s+'),
         |                                x -> x <> '') AS t
         |             FROM documents),
-        |ng AS (SELECT doc_id, unnest(list_distinct(
-        |         list_transform(range(1, greatest(len(t)-2, 0)+1),
-        |                        i -> array_to_string(t[i:i+2], ' ')))) AS g
-        |       FROM tok),
-        |b AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
-        |c AS (SELECT doc_id, g FROM ng WHERE doc_id % 50 <> 0)
+        |ngs AS (SELECT doc_id, unnest(list_distinct(
+        |          list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |                         i -> array_to_string(t[i:i+2], ' ')))) AS g
+        |        FROM tok),
+        |ng AS (SELECT doc_id, ('0x' || substr(md5(g),1,15))::BIGINT AS h FROM ngs),
+        |b AS (SELECT DISTINCT h FROM ng WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, h FROM ng WHERE doc_id % 50 <> 0)
         |SELECT c.doc_id AS id, count(*) AS n_hits
-        |FROM c JOIN b USING (g) GROUP BY c.doc_id""".stripMargin,
+        |FROM c JOIN b USING (h) GROUP BY c.doc_id""".stripMargin,
 
     "q55_pii_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1389,10 +1390,10 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |ng AS (SELECT doc_id, unnest(list_distinct(
          |         list_transform(range(1, greatest(len(tk)-1, 0)+1),
-         |                        i -> array_to_string(tk[i:i+1], ' ')))) AS ngram
+         |                        i -> array_to_string(tk[i:i+1], ' ')))) AS g
          |       FROM t)
-         |SELECT ngram, count(*) AS doc_freq
-         |FROM ng GROUP BY 1
+         |SELECT max(g) AS ngram, count(*) AS doc_freq
+         |FROM ng GROUP BY ('0x' || substr(md5(g),1,15))::BIGINT
          |ORDER BY doc_freq DESC, ngram
          |LIMIT 100""".stripMargin,
 

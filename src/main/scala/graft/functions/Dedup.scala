@@ -112,22 +112,6 @@ object Dedup {
     out.toDF("id", "sh")
   }
 
-  /** md5 hex, first 15 chars as a 60-bit int — the JVM replica of
-    * TextFunctions.tokenHash (`conv(substr(md5(t),1,15),16,10)`), shared by
-    * every imperative fast path so the parity-critical bit packing lives in
-    * one place. */
-  private def md5H60(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes("UTF-8"))
-    var v = 0L
-    var i = 0
-    while (i < 8) { // 7.5 bytes = 15 hex chars
-      val b = d(i) & 0xff
-      v = if (i < 7) (v << 8) | b else (v << 4) | (b >>> 4)
-      i += 1
-    }
-    v
-  }
-
   /** Exact-duplicate groups: one row per distinct text, with occurrence
     * count and the keeper (min id). Map-side partial aggregation makes this
     * a single shuffle of distinct hashes. */
@@ -269,18 +253,22 @@ object Dedup {
     * dropped or flagged before the corpus ships). Output: (id, n_hits),
     * contaminated documents only.
     *
-    * Scale shape: ONE equi-join on the n-gram string. The benchmark side is
-    * tiny by nature (eval sets are thousands of documents) — its distinct
-    * n-gram set broadcasts, so the corpus explode never shuffles; the
-    * per-doc count is a map-side-combining aggregation on the id. String
-    * keys (not hashes) keep the oracle exact and collision-free. */
+    * Scale shape: ONE equi-join on the n-gram's 60-bit md5 hash
+    * ([[TextFunctions.tokenNgramHashes]] — the imperative one-pass explode).
+    * The benchmark side is tiny by nature (eval sets are thousands of
+    * documents) — its distinct hash set broadcasts as bare longs (~8 B per
+    * n-gram instead of the full string), so the corpus never shuffles and
+    * the probe compares longs, not strings; the per-doc count is a
+    * map-side-combining aggregation on the id. The oracle replays the same
+    * md5-derived hash on both sides, so the comparison stays exact even
+    * under a (cosmically unlikely) 60-bit collision. */
   def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val ng = (df: DataFrame, keep: Seq[Column]) =>
-      df.select(keep :+ explode(TextFunctions.tokenNgrams(col(textCol), n)).as("__ng"): _*)
-    val bench = ng(benchmark, Seq.empty).distinct()
-    ng(corpus, Seq(col(idCol).as("id")))
-      .join(org.apache.spark.sql.functions.broadcast(bench), "__ng")
+    val bench = TextFunctions.tokenNgramHashes(benchmark, lit(0L), col(textCol), n)
+      .select(col("__h")).distinct()
+    TextFunctions.tokenNgramHashes(corpus, col(idCol), col(textCol), n)
+      .select(col("id"), col("__h"))
+      .join(org.apache.spark.sql.functions.broadcast(bench), "__h")
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits")) // corpus n-grams pre-deduped per doc
   }

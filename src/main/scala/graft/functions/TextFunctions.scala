@@ -32,6 +32,22 @@ object TextFunctions {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** md5 hex, first 15 chars as a 60-bit int — the JVM replica of
+    * [[tokenHash]] (`conv(substr(md5(t),1,15),16,10)`), shared by every
+    * imperative fast path so the parity-critical bit packing lives in one
+    * place. DuckDB renders it as `('0x'||substr(md5(t),1,15))::BIGINT`. */
+  private[graft] def md5H60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { // 7.5 bytes = 15 hex chars
+      val b = d(i) & 0xff
+      v = if (i < 7) (v << 8) | b else (v << 4) | (b >>> 4)
+      i += 1
+    }
+    v
+  }
+
   /** tokenHash reduced mod [[HashMod]] — safe in 64-bit products. */
   def tokenHashMod(t: Column): Column = tokenHash(t) % HashMod
 
@@ -153,21 +169,65 @@ object TextFunctions {
       regexp_replace(c, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** One-pass imperative n-gram explode shared by the corpus-stats and
+    * decontamination fast paths: per document, one output row per DISTINCT
+    * whitespace-token n-gram — (id, 60-bit md5 hash, n-gram string).
+    * Tokenization, " "-joining, and per-doc dedup are bit-identical to the
+    * Column path `explode(tokenNgrams(...))` + [[tokenHash]] (pinned by
+    * TextDedupSpec): the Column path pays interpreted higher-order-function
+    * evaluation with `tokens` re-inlined at every reference (O(tokens²) per
+    * doc — measured ~4.5 s for 5 k docs at sf0.1 vs sub-second here). Still
+    * a narrow, partition-parallel flatMap: no shuffle, no driver data. */
+  def tokenNgramHashes(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "tokenNgramHashes needs n >= 1")
+    import org.apache.spark.sql.Encoders
+    val in = df.select(idCol.cast("long"), textCol.cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, text) =>
+        // NULL text = no tokens (the Column path's when(...) yields [])
+        val tk = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+        if (tk.length < n) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]()
+          (0 to tk.length - n).iterator.flatMap { i =>
+            val sb = new java.lang.StringBuilder(tk(i))
+            var j = i + 1
+            while (j < i + n) { sb.append(' ').append(tk(j)); j += 1 }
+            val ng = sb.toString
+            if (seen.add(ng)) Iterator.single((id, md5H60(md, ng), ng))
+            else Iterator.empty
+          }
+        }
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+      .toDF("id", "__h", "ngram")
+  }
+
   /** Corpus-level top-k token n-grams by document frequency (each doc
-    * counts an n-gram once — [[tokenNgrams]] is already distinct-per-doc).
+    * counts an n-gram once — the explode is already distinct-per-doc).
     * The classic corpus-stats pass behind boilerplate detection and
-    * stopword-list induction. Plan shape at 100 TB: explode fuses into the
-    * scan, the count is a map-side-combining hash aggregate (one shuffle of
-    * (ngram, partial-count) pairs, NOT of documents), and the top-k is
+    * stopword-list induction. Plan shape at 100 TB: the imperative
+    * [[tokenNgramHashes]] explode fuses into the scan; the count is a
+    * map-side-combining hash aggregate KEYED ON THE 64-BIT HASH — the
+    * shuffle carries (hash, partial-count, one exemplar string) per distinct
+    * n-gram per partition, never the raw n-gram stream; and the top-k is
     * Spark's TakeOrderedAndProject — per-partition heaps + a driver merge of
-    * k rows per partition, never a global sort. Ties break lexicographically
-    * so the result is deterministic and oracle-replayable. */
+    * k rows per partition, never a global sort. The exemplar string rides
+    * along via `max` (all strings under one hash are equal absent md5
+    * collision; the oracle groups by the same hash so even a collision
+    * agrees). Ties break lexicographically so the result is deterministic
+    * and oracle-replayable. */
   def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int, k: Int): org.apache.spark.sql.DataFrame =
-    df.select(explode(tokenNgrams(col(textCol), n)).as("ngram"))
-      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+    tokenNgramHashes(df, lit(0L), col(textCol), n)
+      .groupBy("__h")
+      .agg(max(col("ngram")).as("ngram"), count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)
+      .select("ngram", "doc_freq")
 
   /** Per-document unigram surprisal — the cheap stand-in for LM-perplexity
     * quality filtering (CCNet-style): mean over the doc's tokens of

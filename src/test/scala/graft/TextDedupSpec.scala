@@ -174,6 +174,26 @@ class TextDedupSpec extends SparkSuite {
     assert(r(3).isEmpty && r(4).isEmpty)
   }
 
+  test("tokenNgramHashes: bit-identical to the Column path explode + tokenHash") {
+    import graft.functions.{TextFunctions => TF}
+    // adversarial fixture: repeats (dedup), multi-space runs, leading/trailing
+    // whitespace, short docs, empty, NULL
+    val fixture = Seq(
+      (1L, "a b c d a b c"), (2L, "  x   y\tz  "), (3L, "solo"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "the quick brown fox the quick brown fox"))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val fast = TF.tokenNgramHashes(fixture, col("doc_id"), col("text"), n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val columnPath = fixture
+        .select(col("doc_id"), explode(TF.tokenNgrams(col("text"), n)).as("ng"))
+        .select(col("doc_id"), TF.tokenHash(col("ng")), col("ng"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(fast == columnPath, s"n=$n")
+    }
+  }
+
   test("redactPii replaces emails and phone-like runs, leaves prose alone") {
     import graft.functions.{TextFunctions => TF}
     val out = Seq("mail me at jo.doe+x@sub.example.org or call +1 (555) 010-7788 now")
