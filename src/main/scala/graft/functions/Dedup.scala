@@ -281,16 +281,19 @@ object Dedup {
     * edge per near-dup pair), so up to `localEdgeLimit` edges the components
     * are solved with a driver-side union-find (milliseconds, zero extra
     * jobs) and joined back as a broadcast map — the same bounded-collect
-    * trade the sweep join makes for its partition bounds. Above the limit
-    * it falls back to distributed min-label propagation with pointer
-    * jumping (`rep := rep(rep)` halves label paths, so O(log n) rounds even
-    * on a chain), each round a pair of small joins with lineage cut by an
-    * eager localCheckpoint.
+    * trade the sweep join makes for its partition bounds. Driver-heap
+    * contract: edges collect as primitive (Long, Long) tuples at ~32 B
+    * per edge, so the default 1 M cap costs ~32 MB of driver heap; raise it
+    * only with the driver sized to match. Above the limit it falls back to
+    * distributed min-label propagation with pointer jumping
+    * (`rep := rep(rep)` halves label paths, so O(log n) rounds even on a
+    * chain), each round a pair of small joins with lineage cut by an eager
+    * localCheckpoint.
     *
     * `pairs` needs `a`/`b` long columns (one row per undirected edge);
     * `nodes` one `id` long column. Output: (id, rep). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      maxIter: Int = 30, localEdgeLimit: Long = 5000000L): DataFrame = {
+      maxIter: Int = 30, localEdgeLimit: Long = 1000000L): DataFrame = {
     // Materialize the (possibly expensive) pair join exactly ONCE on the
     // executors; count and collect then read the checkpoint. A limit+collect
     // probe would re-run the join per CollectLimit scale-up round, and a
@@ -299,11 +302,12 @@ object Dedup {
       .localCheckpoint(true)
     if (edgesDf.count() <= localEdgeLimit) {
       // collect as SPECIALIZED (Long, Long) tuples — 2 primitive fields per
-      // edge (~32 B), not GenericRow + boxed Longs (~90 B): the default 5 M
-      // edges costs ~160 MB of driver heap (vs ~450 MB as Rows). Raising
-      // localEdgeLimit raises that bill linearly — size the driver
-      // accordingly, or lower it and let the distributed pointer-jumping
-      // path take over (slower per call: O(log n) join rounds).
+      // edge (~32 B), not GenericRow + boxed Longs (~90 B): the default 1 M
+      // edges costs ~32 MB of driver heap (vs ~90 MB as Rows). Raising
+      // localEdgeLimit raises that bill linearly at ~32 B/edge — size the
+      // driver accordingly, or lower it and let the distributed
+      // pointer-jumping path take over (slower per call: O(log n) join
+      // rounds).
       import org.apache.spark.sql.Encoders
       val edges = edgesDf
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).collect()

@@ -35,24 +35,47 @@ object Packing {
     * would make the layout nondeterministic). ONE shuffle (the window
     * partition on `bucket`); `nBuckets` sizes the parallelism and should be
     * a small multiple of the cluster's cores at scale.
-    */
+    *
+    * The output columns `bucket`/`n_tok`/`pack_first`/`pack_offset`/
+    * `pack_last`/`n_packs` are reserved: inputs already carrying one of
+    * those names are rejected (a silent `withColumn` overwrite would
+    * corrupt the caller's data) — except an input `n_tok` that the
+    * `nTokens` expression itself reads, where the overwrite IS the
+    * documented output (the clamped count). Negative `nTokens` values
+    * clamp to 0 —
+    * the same rule as the streaming twin
+    * ([[graft.streaming.StreamingPacking.packStreamOnline]]), so the
+    * documented batch/streaming equivalence holds for any input. Pack
+    * indices use exact integer division (`div`), not double `/`: beyond
+    * 2^53 cumulative tokens per bucket — real at 100 TB — double math is
+    * off by one. */
   def packStream(df: DataFrame, idCol: String, nTokens: Column,
       capacity: Long, nBuckets: Int = 32,
       salt: String = "pack"): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val tokReads = org.apache.spark.sql.graftbridge.Bridge
+      .resolvableExpression(nTokens).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      }.toSet
+    val reserved = Seq("bucket", "pack_first", "pack_offset",
+      "pack_last", "n_packs", "__cum") ++
+      (if (tokReads.contains("n_tok")) Nil else Seq("n_tok"))
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"packStream output columns would overwrite input columns: ${clash.mkString(", ")}")
     val bucket = Sampling.hashBucket(col(idCol), salt) % nBuckets
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("bucket", bucket)
-      .withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("n_tok", greatest(nTokens.cast("long"), lit(0L)))
       .withColumn("__cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("pack_first", floor(col("__cum") / capacity))
+      .withColumn("pack_first", expr(s"__cum div ${capacity}L"))
       .withColumn("pack_offset", pmod(col("__cum"), lit(capacity)))
       .withColumn("pack_last",
         when(col("n_tok") > 0,
-          floor((col("__cum") + col("n_tok") - 1) / capacity))
+          expr(s"(__cum + n_tok - 1) div ${capacity}L"))
           .otherwise(col("pack_first")))
       .withColumn("n_packs",
         when(col("n_tok") > 0, col("pack_last") - col("pack_first") + 1)

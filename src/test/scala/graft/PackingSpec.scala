@@ -49,6 +49,36 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("packStream: negative token counts clamp to 0 (streaming-equivalence rule)") {
+    // a negative count must not move the stream cursor backwards — the
+    // streaming twin clamps, so the batch layout must match it
+    val neg = Seq((1L, 5L), (2L, -3L), (3L, 4L)).toDF("id", "raw")
+    val p = Packing.packStream(neg, "id", col("raw"), capacity = 10, nBuckets = 1)
+      .select("id", "n_tok", "pack_first", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p(2L) == ((0L, 0L, 5L)), s"negative count not clamped: ${p(2L)}")
+    assert(p(3L) == ((4L, 0L, 5L)), s"cursor moved backwards: ${p(3L)}")
+  }
+
+  test("packStream: rejects inputs already carrying reserved output names") {
+    // "bucket" would be silently overwritten before anything reads it
+    val clash = Seq((1L, 3L, 9L)).toDF("id", "raw", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packStream(clash, "id", col("raw"), capacity = 10)
+    }
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+    // an input n_tok NOT read by the token expression is also a clash...
+    val e2 = intercept[IllegalArgumentException] {
+      Packing.packStream(Seq((1L, 3L, 9L)).toDF("id", "raw", "n_tok"),
+        "id", col("raw"), capacity = 10)
+    }
+    assert(e2.getMessage.contains("n_tok"), e2.getMessage)
+    // ...but the natural "my count column is already called n_tok" works
+    val ok = Packing.packStream(Seq((1L, 7L)).toDF("id", "n_tok"),
+      "id", col("n_tok"), capacity = 10)
+    assert(ok.select("n_tok").as[Long].head() == 7L)
+  }
+
   test("chunkByTokens: exact chunk grid, clamped tail, empty docs dropped") {
     val c = Packing.chunkByTokens(docs, "id", "text", window = 5, stride = 3)
     // doc with n tokens yields 1 + ceil(max(n-5,0)/3) chunks; n=0 yields none
