@@ -732,10 +732,23 @@ object SparkEntry {
     "q59_unigram_surprisal" -> ((sp, dir) =>
       TF.unigramSurprisal(table(sp, dir, "documents"), "doc_id", "text")),
 
-    // Multimodal: binary payload -> partition-parallel stub decode
+    // Multimodal: binary payloads -> partition-parallel decode with REAL
+    // image-header parsing. Every 10th doc gets a synthetic PNG IHDR
+    // prepended and every (10k+5)th a JPEG SOF0, so the oracle verifies the
+    // actual parsed width/height (640x480) — not just the unknown-format
+    // fall-through — against header constants it can replay.
     "q18_multimodal" -> ((sp, dir) => {
-      val d = table(sp, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("data"))
+      val pngHdr = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 2, 0x80, 0, 0, 1, 0xE0)
+        .map(_.toByte)
+      val jpegHdr = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08,
+        0x01, 0xE0, 0x02, 0x80).map(_.toByte)
+      val d = table(sp, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10L)) === 0L,
+          concat(lit(pngHdr), col("text").cast("binary")))
+          .when(pmod(col("doc_id"), lit(10L)) === 5L,
+            concat(lit(jpegHdr), col("text").cast("binary")))
+          .otherwise(col("text").cast("binary")).as("data"))
       Multimodal.mediaFeatures(d, "doc_id", "data")
     })
   )
@@ -1412,12 +1425,31 @@ object SparkEntry {
         |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok AS surprisal
         |FROM g""".stripMargin,
 
+    // The prepended-header rows reduce to constants the oracle states
+    // directly: the PNG header is 24 bytes summing 733 over its first 16;
+    // the JPEG SOF0 header is 11 bytes summing 1292, so its checksum16
+    // adds the first 5 payload bytes. Both encode 640x480.
     "q18_multimodal" ->
       """SELECT doc_id AS id,
-        |       octet_length(encode(text)) AS n_bytes,
-        |       CASE WHEN len(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-        |       CAST(COALESCE(list_sum(list_transform(range(1, least(len(text), 16)+1),
-        |                     i -> unicode(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS checksum16
+        |       octet_length(encode(text))
+        |         + CASE WHEN doc_id % 10 = 0 THEN 24
+        |                WHEN doc_id % 10 = 5 THEN 11 ELSE 0 END AS n_bytes,
+        |       CASE WHEN doc_id % 10 = 0 THEN 137
+        |            WHEN doc_id % 10 = 5 THEN 255
+        |            WHEN len(text) > 0 THEN unicode(substr(text, 1, 1))
+        |            ELSE -1 END AS first_byte,
+        |       CAST(CASE WHEN doc_id % 10 = 0 THEN 733
+        |            WHEN doc_id % 10 = 5 THEN 1292 + COALESCE(list_sum(
+        |              list_transform(range(1, least(len(text), 5)+1),
+        |                             i -> unicode(substr(text, CAST(i AS INT), 1)))), 0)
+        |            ELSE COALESCE(list_sum(
+        |              list_transform(range(1, least(len(text), 16)+1),
+        |                             i -> unicode(substr(text, CAST(i AS INT), 1)))), 0)
+        |            END AS BIGINT) AS checksum16,
+        |       CASE WHEN doc_id % 10 = 0 THEN 'png'
+        |            WHEN doc_id % 10 = 5 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |       CASE WHEN doc_id % 10 IN (0, 5) THEN 640 ELSE -1 END AS width,
+        |       CASE WHEN doc_id % 10 IN (0, 5) THEN 480 ELSE -1 END AS height
         |FROM documents""".stripMargin
   )
 }

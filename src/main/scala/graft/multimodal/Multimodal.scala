@@ -8,29 +8,72 @@ import org.apache.spark.sql.functions._
   * per-partition over batches so a real decoder (JNI/FFI or Arrow-based
   * Python via `mapInArrow`) drops in without touching the pipeline shape.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): [[decodeStub]] computes deterministic pseudo-features (byte
-  * length, first byte, checksum of the first 16 bytes) so the Spark-side
-  * plumbing — schema, encoders, partition-parallel batch shape — is real
-  * and oracle-testable while the codec is a drop-in replacement.
+  * Header decode is REAL: [[decode]] parses PNG (IHDR), JPEG (SOFn
+  * segment scan), and GIF (logical screen descriptor) headers for format /
+  * width / height — pure JVM byte inspection, no codec dependency — on top
+  * of the deterministic byte features (length, first byte, 16-byte
+  * checksum). Full pixel decode (the step that genuinely needs a codec
+  * library this container lacks) remains the drop-in replacement point:
+  * swap the body of [[decode]], keep the signature.
   */
 object Multimodal {
 
   /** A media row: id + opaque payload (as a real pipeline would carry). */
   final case class MediaRecord(id: Long, data: Array[Byte])
 
-  /** Extracted features; a real decoder would add width/height/duration/…. */
-  final case class MediaFeatures(id: Long, n_bytes: Long, first_byte: Int, checksum16: Long)
+  /** Extracted features: byte stats + the parsed image header (format is
+    * "png"/"jpeg"/"gif"/"unknown"; width/height are -1 when no header
+    * parses). A full decoder would add duration/channels/…. */
+  final case class MediaFeatures(id: Long, n_bytes: Long, first_byte: Int,
+      checksum16: Long, format: String, width: Int, height: Int)
 
-  /** The stub decoder: replace with a real codec (keep the signature). */
-  def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+  private def be16(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 8) | (d(i + 1) & 0xff)
+
+  private def be32(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 24) | ((d(i + 1) & 0xff) << 16) |
+      ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+
+  /** Parse an image header: (format, width, height), or
+    * ("unknown", -1, -1). Reads only the leading bytes — safe on arbitrary
+    * (including truncated or non-image) payloads. */
+  def imageHeader(d: Array[Byte]): (String, Int, Int) = {
+    val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (d.length >= 24 && d.take(8).sameElements(PngSig) &&
+        d(12) == 'I' && d(13) == 'H' && d(14) == 'D' && d(15) == 'R')
+      ("png", be32(d, 16), be32(d, 20))
+    else if (d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8) {
+      // scan JPEG segments for the first SOFn (C0-CF minus C4/C8/CC),
+      // which carries precision(1) height(2) width(2) after the length
+      var i = 2
+      while (i + 9 <= d.length && (d(i) & 0xff) == 0xff) {
+        val m = d(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return ("jpeg", be16(d, i + 7), be16(d, i + 5))
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
+        else i += 2 + be16(d, i + 2) // segment length includes its own 2 bytes
+      }
+      ("jpeg", -1, -1) // JPEG signature but no SOF within the payload
+    } else if (d.length >= 10 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' &&
+        d(3) == '8' && (d(4) == '7' || d(4) == '9') && d(5) == 'a')
+      ("gif",
+        (d(6) & 0xff) | ((d(7) & 0xff) << 8),   // little-endian
+        (d(8) & 0xff) | ((d(9) & 0xff) << 8))
+    else ("unknown", -1, -1)
+  }
+
+  /** The decoder: byte stats + real header parse. A full pixel decoder
+    * replaces this body (keep the signature). */
+  def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
     records.map { r =>
       val head = r.data.take(16)
+      val (fmt, w, h) = imageHeader(r.data)
       MediaFeatures(
         id = r.id,
         n_bytes = r.data.length.toLong,
         first_byte = if (r.data.nonEmpty) r.data(0) & 0xff else -1,
-        checksum16 = head.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+        checksum16 = head.foldLeft(0L)((acc, b) => acc + (b & 0xff)),
+        format = fmt, width = w, height = h)
     }
 
   /** Feature-extract a DataFrame with (idCol: long, binCol: binary).
@@ -40,7 +83,7 @@ object Multimodal {
     val ds: Dataset[MediaRecord] = df
       .select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
       .as(Encoders.product[MediaRecord])
-    ds.mapPartitions(decodeStub)(Encoders.product[MediaFeatures]).toDF()
+    ds.mapPartitions(decode)(Encoders.product[MediaFeatures]).toDF()
   }
 
   /** One sampled frame: source id, frame index, byte offset, stub payload. */

@@ -168,14 +168,40 @@ class SimilaritySpec extends SparkSuite {
     assert(lshInt == lshLong && lshInt.contains((0L, 1L)))
   }
 
-  test("multimodal stub decode: features match the payload bytes") {
+  test("multimodal decode: byte features match the payload bytes") {
     val df = Seq((1L, "ABC"), (2L, "")).toDF("id", "text")
       .select(col("id"), col("text").cast("binary").as("data"))
     val f = Multimodal.mediaFeatures(df, "id", "data").orderBy("id").collect()
     assert(f(0).getLong(1) == 3L)       // n_bytes
     assert(f(0).getInt(2) == 'A'.toInt) // first_byte
     assert(f(0).getLong(3) == 'A' + 'B' + 'C')
+    assert(f(0).getString(4) == "unknown" && f(0).getInt(5) == -1 && f(0).getInt(6) == -1)
     assert(f(1).getLong(1) == 0L && f(1).getInt(2) == -1 && f(1).getLong(3) == 0L)
+  }
+
+  test("multimodal image header parse: PNG IHDR, JPEG SOF scan, GIF LSD, junk") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: sig + IHDR length(13) + "IHDR" + width 640 + height 480 (BE)
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 2, 0x80, 0, 0, 1, 0xE0)
+    assert(Multimodal.imageHeader(png) == (("png", 640, 480)))
+    // JPEG: SOI, then an APP0 segment to skip, then SOF0 with h=480 w=640
+    val jpeg = b(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46,               // APP0, len 4
+      0xFF, 0xC0, 0x00, 0x0B, 8, 0x01, 0xE0, 0x02, 0x80, 1, 0x11, 0, 0)
+    assert(Multimodal.imageHeader(jpeg) == (("jpeg", 640, 480)))
+    // progressive JPEG (SOF2) parses the same way
+    val jpeg2 = b(0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B, 8, 0x00, 0x64, 0x00, 0xC8, 1)
+    assert(Multimodal.imageHeader(jpeg2) == (("jpeg", 200, 100)))
+    // JPEG signature with no SOF in the payload: format known, dims unknown
+    assert(Multimodal.imageHeader(b(0xFF, 0xD8, 0xFF, 0xD9)) == (("jpeg", -1, -1)))
+    // GIF89a logical screen descriptor is little-endian: 320 x 200
+    val gif = b('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xC8, 0x00)
+    assert(Multimodal.imageHeader(gif) == (("gif", 320, 200)))
+    // junk / truncated payloads never throw
+    assert(Multimodal.imageHeader("notanimage".getBytes) == (("unknown", -1, -1)))
+    assert(Multimodal.imageHeader(Array.empty[Byte]) == (("unknown", -1, -1)))
+    assert(Multimodal.imageHeader(png.take(20)) == (("unknown", -1, -1)))
   }
 
   test("multimodal frame sampling: every stride-th chunk up to maxFrames, offsets exact") {
