@@ -86,15 +86,30 @@ object GroupedIntervalJoin {
       on: String): Grouped =
     groupbyIntervalJoin(left, right, groups, on -> on)
 
-  /** Resolve selectors against both frames' non-`on` columns, mapping matches
-    * through `renamecols` to the join's output names (reference resolves
-    * against each side then splits, `src/DataFrameIntervals.jl:264-271`). */
+  /** Resolve selectors against both frames, mapping matches through
+    * `renamecols` to the join's output names (reference resolves against
+    * each side then splits, `src/DataFrameIntervals.jl:264-271`).
+    *
+    * Reference-exact `find_valid` semantics (`:195-237`):
+    *  - every selector resolves over ALL of a side's columns (the `on`
+    *    column included) and the resolved set is `check_oncol`-guarded
+    *    (`:190-193`): a Pattern/Predicate/Between — or a Not whose skip set
+    *    does not cover `on` — that selects the `on` column errors with the
+    *    reference's (stale-named) `split_into_combine` message;
+    *  - a Name/Between endpoint absent from a side resolves to an `Invalid`
+    *    marker (`:206-207, 229-236`); names invalid on BOTH sides error
+    *    "Columns do not exist" (`:272-275`) — invalid on one side only is
+    *    fine (the other side resolves it);
+    *  - `Not`'s skip set is taken as plain names (only the PRESENT ones are
+    *    skipped, `:209-213`) with no oncol check of its own — skipping the
+    *    `on` column is how `Not` is legitimately used (ref
+    *    `test/runtests.jl:101`). */
   private def resolve(groups: Seq[Selector], left: DataFrame, right: DataFrame,
       on: (String, String), opts: IntervalJoin.Options): Seq[String] = {
     import Selector._
     val (lOn, rOn) = on
-    val lCols = left.columns.filterNot(_ == lOn).toIndexedSeq
-    val rCols = right.columns.filterNot(_ == rOn).toIndexedSeq
+    val lAll = left.columns.toIndexedSeq
+    val rAll = right.columns.toIndexedSeq
 
     def onColError(name: String): Nothing =
       // Stale function name preserved on purpose — the reference's own error
@@ -102,33 +117,57 @@ object GroupedIntervalJoin {
       throw new IllegalArgumentException(
         s"Column $name cannot be used for grouping during a call to `split_into_combine`.")
 
-    def resolveOne(sel: Selector, cols: IndexedSeq[String], onName: String): Seq[String] = sel match {
-      case All          => onColError(onName)
-      case Name(n)      => if (n == onName) onColError(n) else cols.filter(_ == n)
-      case Names(ns)    => ns.flatMap(n => resolveOne(Name(n), cols, onName))
-      case Pattern(re)  => val r = re.r; cols.filter(c => r.findFirstIn(c).isDefined)
-      case Predicate(f) => cols.filter(f)
-      case Not(inner)   => val excluded = resolveOne(inner, cols, onName).toSet
-                           cols.filterNot(excluded)
+    def checkOncol(names: Seq[String], onName: String): Seq[String] =
+      if (names.contains(onName)) onColError(onName) else names
+
+    // un-guarded resolution (used for Not's skip set, ref :209-213)
+    def resolveRaw(sel: Selector, all: IndexedSeq[String]): Seq[String] = sel match {
+      case All          => all
+      case Name(n)      => all.filter(_ == n)
+      case Names(ns)    => ns.flatMap(n => all.filter(_ == n))
+      case Pattern(re)  => val r = re.r; all.filter(c => r.findFirstIn(c).isDefined)
+      case Predicate(f) => all.filter(f)
+      case Not(inner)   => all.filterNot(resolveRaw(inner, all).toSet)
       case Between(a, b) =>
-        val ia = cols.indexOf(a); val ib = cols.indexOf(b)
-        if (ia < 0 || ib < 0) Seq.empty else cols.slice(math.min(ia, ib), math.max(ia, ib) + 1)
+        val ia = all.indexOf(a); val ib = all.indexOf(b)
+        if (ia < 0 || ib < 0) Seq.empty
+        else all.slice(math.min(ia, ib), math.max(ia, ib) + 1)
     }
 
-    // A plain Name must resolve on at least one side (ref :272-275).
-    val invalid = groups.collect {
-      case Name(n) if n != lOn && n != rOn && !lCols.contains(n) && !rCols.contains(n) => n
-      case Names(ns) => ns.filter(n => n != lOn && n != rOn &&
-        !lCols.contains(n) && !rCols.contains(n))
-    }.flatMap {
-      case s: String => Seq(s)
-      case ss: Seq[_] => ss.collect { case s: String => s }
+    /** find_valid for one side: (valid names, invalid requested names). */
+    def resolveOne(sel: Selector, all: IndexedSeq[String],
+        onName: String): (Seq[String], Seq[String]) = sel match {
+      case All => onColError(onName)
+      case Name(n) =>
+        if (all.contains(n)) (checkOncol(Seq(n), onName), Nil) else (Nil, Seq(n))
+      case Names(ns) =>
+        val rs = ns.map(n => resolveOne(Name(n), all, onName))
+        (rs.flatMap(_._1), rs.flatMap(_._2))
+      case Pattern(re) =>
+        val r = re.r
+        (checkOncol(all.filter(c => r.findFirstIn(c).isDefined), onName), Nil)
+      case Predicate(f) => (checkOncol(all.filter(f), onName), Nil)
+      case Not(inner) =>
+        (checkOncol(all.filterNot(resolveRaw(inner, all).toSet), onName), Nil)
+      case Between(a, b) =>
+        // endpoints resolve as Names first (an endpoint == on errors, a
+        // missing endpoint propagates Invalid; ref :229-236)
+        val (_, ia) = resolveOne(Name(a), all, onName)
+        val (_, ib) = resolveOne(Name(b), all, onName)
+        if (ia.isEmpty && ib.isEmpty) {
+          val iA = all.indexOf(a); val iB = all.indexOf(b)
+          (checkOncol(all.slice(math.min(iA, iB), math.max(iA, iB) + 1), onName), Nil)
+        } else (Nil, ia ++ ib)
     }
+
+    val lRes = groups.map(resolveOne(_, lAll, lOn))
+    val rRes = groups.map(resolveOne(_, rAll, rOn))
+    val invalid = lRes.flatMap(_._2).intersect(rRes.flatMap(_._2)).distinct
     if (invalid.nonEmpty)
       throw new IllegalArgumentException("Columns do not exist: " + andJoin(invalid))
 
-    val fromLeft = groups.flatMap(resolveOne(_, lCols, lOn)).map(opts.renamecols._1)
-    val fromRight = groups.flatMap(resolveOne(_, rCols, rOn)).map(opts.renamecols._2)
+    val fromLeft = lRes.flatMap(_._1).map(opts.renamecols._1)
+    val fromRight = rRes.flatMap(_._1).map(opts.renamecols._2)
     (fromLeft ++ fromRight).distinct
   }
 

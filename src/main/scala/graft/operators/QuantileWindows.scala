@@ -85,12 +85,16 @@ object QuantileWindows {
     quantileWindows(n, df, spancol, "index")
 
   /** Reference's `label = sym => iterable` form: a custom label column with
-    * caller-provided values (one per window, `src/DataFrameIntervals.jl:331-334`). */
+    * caller-provided values — one per window, of ANY literal-able type (the
+    * reference accepts an arbitrary iterable, e.g. an integer range,
+    * `src/DataFrameIntervals.jl:331-334`): strings, ints/longs, doubles,
+    * booleans, … anything `lit` can lift. The window arithmetic is shared
+    * with [[quantileWindows]]; only the label projection differs. */
   def quantileWindowsLabeled(
       n: Int,
       df: DataFrame,
       spancol: String,
-      label: (String, Seq[String])): DataFrame = {
+      label: (String, Seq[Any])): DataFrame = {
     val (name, values) = label
     require(values.length == n, s"label values (${values.length}) must match n ($n)")
     quantileWindows(n.toLong, df, spancol, "__idx")

@@ -43,8 +43,10 @@ class GroupedIntervalJoinSpec extends SparkSuite {
   }
 
   test("Not / Between / Predicate selectors") {
+    // reference Not (test/runtests.jl:101): the skip set must cover the on
+    // column — only the PRESENT skip names are skipped per side
     val gNot = GroupedIntervalJoin.groupbyIntervalJoin(df2, quarters,
-      Seq(Selector.Not(Selector.Name("x"))), "span" -> "span")
+      Seq(Selector.Not(Selector.Names(Seq("x", "span")))), "span" -> "span")
     assert(gNot.groupColumns.toSet == Set("label", "sublabel", "quarter"))
     val gBetween = GroupedIntervalJoin.groupbyIntervalJoin(df2, quarters,
       Seq(Selector.Between("label", "x")), "span" -> "span")
@@ -52,6 +54,42 @@ class GroupedIntervalJoinSpec extends SparkSuite {
     val gPred = GroupedIntervalJoin.groupbyIntervalJoin(df2, quarters,
       Seq(Selector.Predicate(_.startsWith("sub"))), "span" -> "span")
     assert(gPred.groupColumns == Seq("sublabel"))
+  }
+
+  test("non-Name selectors touching the on column error like the reference") {
+    // check_oncol applies to the RESOLVED set of every selector form
+    // (src/DataFrameIntervals.jl:190-193, 220-236)
+    def expectOncol(sel: Selector): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        GroupedIntervalJoin.groupbyIntervalJoin(df2, quarters, Seq(sel), "span" -> "span")
+      }
+      assert(e.getMessage ==
+        "Column span cannot be used for grouping during a call to `split_into_combine`.",
+        e.getMessage)
+    }
+    expectOncol(Selector.Pattern("span|label"))
+    expectOncol(Selector.Predicate(_ == "span"))
+    // a Not whose skip set does not cover the on column resolves to a
+    // complement containing it (the reference errors here too)
+    expectOncol(Selector.Not(Selector.Name("x")))
+    // a Between range positionally covering the on column (label,x,SPAN,sublabel)
+    expectOncol(Selector.Between("x", "sublabel"))
+    // a Between endpoint that IS the on column errors at endpoint resolution
+    expectOncol(Selector.Between("span", "sublabel"))
+  }
+
+  test("Between endpoints missing on both sides propagate to Columns-do-not-exist") {
+    // ref :229-236: invalid endpoints surface as Invalid markers, erroring
+    // only when no side resolves them (:272-275)
+    val e = intercept[IllegalArgumentException] {
+      GroupedIntervalJoin.groupbyIntervalJoin(df2, quarters,
+        Seq(Selector.Between("nope", "nada")), "span" -> "span")
+    }
+    assert(e.getMessage == "Columns do not exist: nope and nada")
+    // an endpoint pair valid on ONE side resolves there without error
+    val ok = GroupedIntervalJoin.groupbyIntervalJoin(df2, quarters,
+      Seq(Selector.Between("label", "x")), "span" -> "span")
+    assert(ok.groupColumns.toSet == Set("label", "x"))
   }
 
   test("All selector rejected with the reference's stale message") {

@@ -61,6 +61,17 @@ class QuantileWindowsSpec extends SparkSuite {
     // dead min_duration kwarg accepted and ignored, like the reference
     val w2 = quantileWindows(4, fixture(), "span", "index", minDuration = Some(123L))
     assert(w2.count() == 4)
+    // arbitrary label value types (reference takes any iterable, e.g. an
+    // integer range, src/DataFrameIntervals.jl:331-334)
+    val wInt = quantileWindowsLabeled(4, fixture(), "span",
+      "decade" -> Seq(1970, 1980, 1990, 2000))
+    assert(wInt.schema("decade").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(wInt.orderBy("span.start").select("decade").collect().map(_.getInt(0)).toSeq ==
+      Seq(1970, 1980, 1990, 2000))
+    val wDouble = quantileWindowsLabeled(2, fixture(), "span",
+      "weight" -> Seq(0.25, 0.75))
+    assert(wDouble.orderBy("span.start").select("weight").collect().map(_.getDouble(0)).toSeq ==
+      Seq(0.25, 0.75))
   }
 
   test("coveringSpan of empty frame is None") {
