@@ -334,29 +334,39 @@ object IntervalJoin {
       case None =>
         l2.join(r2, overlaps(col(lOnT), col(rOnT)), joinType)
       case Some((lB, rB, cond)) =>
-        var flagged = lB.join(rB, cond, joinType)
-        if (opts.keepleft)
-          flagged = flagged.withColumn("__lmatch",
-            max(when(col("__rid").isNotNull, 1).otherwise(0)).over(
-              Window.partitionBy(coalesce(col("__lid"), lit(-1L) - col("__rid")))))
-        if (opts.keepright)
-          flagged = flagged.withColumn("__rmatch",
-            max(when(col("__lid").isNotNull, 1).otherwise(0)).over(
-              Window.partitionBy(coalesce(col("__rid"), lit(-1L) - col("__lid")))))
-        val matchedPair = col("__lid").isNotNull && col("__rid").isNotNull
-        val keepL =
-          if (opts.keepleft)
-            col("__rid").isNull && col("__lid").isNotNull && col("__lmatch") === 0 &&
-              (col("__lbin") === col("__lbin0") || col("__lbin").isNull)
-          else lit(false)
-        val keepR =
-          if (opts.keepright)
-            col("__lid").isNull && col("__rid").isNotNull && col("__rmatch") === 0 &&
-              (col("__rbin") === col("__rbin0") || col("__rbin").isNull)
-          else lit(false)
-        flagged.where(matchedPair || keepL || keepR)
-          .select((l2.columns ++ r2.columns).map(col): _*)
+        outerOverBins(lB, rB, cond, joinType, l2.columns ++ r2.columns, opts)
     }
+  }
+
+  /** The outer machinery shared by the tick and bounded binned paths: ONE
+    * binned outer join, window-computed matched flags, null-extension dedup
+    * by first bin (see [[binnedOuter]] scaladoc for the design notes).
+    * Expects `__lid`/`__rid` stamped before the bin explode and
+    * `__lbin`/`__lbin0` (resp. right) from the bin plan. */
+  private def outerOverBins(lB: DataFrame, rB: DataFrame, cond: Column,
+      joinType: String, outColumns: Seq[String], opts: Options): DataFrame = {
+    var flagged = lB.join(rB, cond, joinType)
+    if (opts.keepleft)
+      flagged = flagged.withColumn("__lmatch",
+        max(when(col("__rid").isNotNull, 1).otherwise(0)).over(
+          Window.partitionBy(coalesce(col("__lid"), lit(-1L) - col("__rid")))))
+    if (opts.keepright)
+      flagged = flagged.withColumn("__rmatch",
+        max(when(col("__lid").isNotNull, 1).otherwise(0)).over(
+          Window.partitionBy(coalesce(col("__rid"), lit(-1L) - col("__lid")))))
+    val matchedPair = col("__lid").isNotNull && col("__rid").isNotNull
+    val keepL =
+      if (opts.keepleft)
+        col("__rid").isNull && col("__lid").isNotNull && col("__lmatch") === 0 &&
+          (col("__lbin") === col("__lbin0") || col("__lbin").isNull)
+      else lit(false)
+    val keepR =
+      if (opts.keepright)
+        col("__lid").isNull && col("__rid").isNotNull && col("__rmatch") === 0 &&
+          (col("__rbin") === col("__rbin0") || col("__rbin").isNull)
+      else lit(false)
+    flagged.where(matchedPair || keepL || keepR)
+      .select(outColumns.map(col): _*)
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
@@ -500,35 +510,35 @@ object IntervalJoin {
     }
     val overlapCond =
       BoundedIntervals.overlapsBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB))
-    // Big-big bounded INNER joins with integral endpoints get the same scale
-    // path as half-open intervals: a binned equi-join. Binning differs in
-    // two bound-driven details — the stop bin is INCLUSIVE (a closed stop
-    // can still touch-match inside its own bin) and closed-closed points
-    // [a,a] are non-empty and get their one bin — and the bound-sensitive
-    // overlap runs as the residual predicate. Outer variants and
-    // non-integral endpoints stay on the theta join (Catalyst broadcasts the
-    // small side; both-sides-big outer bounded joins are not a scale path —
-    // quantize to half-open ticks if that shape ever matters).
+    // Big-big bounded joins with integral endpoints get the same scale path
+    // as half-open intervals: a binned equi-join (inner AND outer — the
+    // outer variants reuse the tick path's window-flag machinery over the
+    // bounded bin plan). Binning differs in two bound-driven details — the
+    // stop bin is INCLUSIVE (a closed stop can still touch-match inside its
+    // own bin) and closed-closed points [a,a] are non-empty and get their
+    // one bin — and the bound-sensitive overlap runs as the residual
+    // predicate. Non-integral endpoints stay on the theta join (no exact
+    // tick space; Catalyst broadcasts the small side).
     val integral = Seq[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType
     ).contains(ls)
     def rejectStrategy(reason: String): Nothing = throw new IllegalArgumentException(
       s"the ${opts.strategy} strategy cannot run this bounded interval join ($reason); " +
-        "bounded joins run on Strategy.Range, or Strategy.Binned for inner joins " +
-        "with integral endpoints.")
+        "bounded joins run on Strategy.Range, or Strategy.Binned with integral endpoints.")
     val useBinned = opts.strategy match {
       case Strategy.Sweep => rejectStrategy("the sweep assumes half-open tick intervals")
       case Strategy.Binned if !integral => rejectStrategy("no integral tick space to bin")
-      case Strategy.Binned if joinType != "inner" => rejectStrategy("outer bounded joins are range-only")
       case Strategy.Binned => true
-      case Strategy.Auto if integral && joinType == "inner" =>
-        !rangeJoinViable(l2, r2, opts)
+      case Strategy.Auto if integral => !rangeJoinViable(l2, r2, opts)
       case _ => false
     }
     val joined =
       if (!useBinned) l2.join(r2, overlapCond, joinType)
-      else boundedBinnedInner(l2, r2, lOnT, rOnT, lB, rB, opts, overlapCond)
+      else if (joinType == "inner")
+        boundedBinnedInner(l2, r2, lOnT, rOnT, lB, rB, opts, overlapCond)
+      else
+        boundedBinnedOuter(l2, r2, lOnT, rOnT, lB, rB, opts, overlapCond, joinType)
 
     val isectBounded =
       BoundedIntervals.intersectBounded(lifted(col(lOnT), lB), lifted(col(rOnT), rB))
@@ -541,23 +551,24 @@ object IntervalJoin {
     joined.select(outCols: _*)
   }
 
-  /** The binned equi-join for bounded inner joins (see the call site for
-    * the bound-driven differences from [[binPlan]]). `l2`/`r2` carry the
-    * projected temp columns; the `on` temp columns are bounded structs after
-    * `guard`/`lifted` normalization happens at the call site — here both are
-    * re-lifted identically so the residual `overlapCond` (built over the
-    * same temp names) applies unchanged. */
-  private def boundedBinnedInner(l2: DataFrame, r2: DataFrame, lOnT: String,
+  /** The bounded twin of [[binPlan]] (see the call site for the
+    * bound-driven differences). `l2`/`r2` carry the projected temp columns;
+    * the `on` temp columns are bounded structs after `guard`/`lifted`
+    * normalization happens at the call site — here both are re-lifted
+    * identically so the residual `overlapCond` (built over the same temp
+    * names) applies unchanged. With `outer = true` rows with zero bins
+    * survive via `explode_outer` and each side stamps its first bin, feeding
+    * [[outerOverBins]] exactly like the tick path. */
+  private def boundedBinPlan(l2: DataFrame, r2: DataFrame, lOnT: String,
       rOnT: String, lB: Boolean, rB: Boolean, opts: Options,
-      overlapCond: Column): DataFrame = {
+      overlapCond: Column, outer: Boolean): Option[(DataFrame, DataFrame, Column)] = {
     def sE(onT: String) = (col(s"$onT.start").cast("long"), col(s"$onT.stop").cast("long"))
     val (ls0, le0) = sE(lOnT)
     val (rs0, re0) = sE(rOnT)
     val stats = l2.select(ls0.as("s"), le0.as("e"))
       .unionAll(r2.select(rs0.as("s"), re0.as("e")))
       .agg(min("s"), max("e"), max(col("e") - col("s")), avg(col("e") - col("s"))).head()
-    if (stats.isNullAt(0))
-      return l2.join(r2, overlapCond, "inner")
+    if (stats.isNullAt(0)) return None
     val lo = stats.getLong(0)
     val maxLen = math.max(stats.getLong(2), 1L)
     val avgLen = math.max(math.ceil(stats.getDouble(3)).toLong, 1L)
@@ -579,11 +590,42 @@ object IntervalJoin {
         s"case when ($onT.start) < ($onT.stop) " +
           s"then sequence(${binOf(s"$onT.start")}, ${binOf(s"$onT.stop - 1")}) " +
           "else cast(array() as array<bigint>) end")
-    val lBinned = l2.withColumn("__lbin", explode(binsOf(lOnT, lB)))
-    val rBinned = r2.withColumn("__rbin", explode(binsOf(rOnT, rB)))
+    def withBins(df: DataFrame, onT: String, bounded: Boolean,
+        binCol: String, bin0: String) = {
+      val exploded = df.withColumn(binCol,
+        if (outer) explode_outer(binsOf(onT, bounded)) else explode(binsOf(onT, bounded)))
+      if (outer) exploded.withColumn(bin0, expr(binOf(s"$onT.start"))) else exploded
+    }
+    val lBinned = withBins(l2, lOnT, lB, "__lbin", "__lbin0")
+    val rBinned = withBins(r2, rOnT, rB, "__rbin", "__rbin0")
     val cond = col("__lbin") === col("__rbin") && overlapCond &&
       col("__lbin") === expr(binOf(s"greatest($lOnT.start, $rOnT.start)"))
-    lBinned.join(rBinned, cond, "inner").drop("__lbin", "__rbin")
+    Some((lBinned, rBinned, cond))
+  }
+
+  /** Binned equi-join for bounded inner joins. */
+  private def boundedBinnedInner(l2: DataFrame, r2: DataFrame, lOnT: String,
+      rOnT: String, lB: Boolean, rB: Boolean, opts: Options,
+      overlapCond: Column): DataFrame =
+    boundedBinPlan(l2, r2, lOnT, rOnT, lB, rB, opts, overlapCond, outer = false) match {
+      case None => l2.join(r2, overlapCond, "inner")
+      case Some((lBinned, rBinned, cond)) =>
+        lBinned.join(rBinned, cond, "inner").drop("__lbin", "__rbin")
+    }
+
+  /** Binned outer variants for bounded joins: the bounded bin plan feeding
+    * the tick path's shared window-flag machinery — no BNLJ for big×big
+    * bounded outer asks. */
+  private def boundedBinnedOuter(l2: DataFrame, r2: DataFrame, lOnT: String,
+      rOnT: String, lB: Boolean, rB: Boolean, opts: Options,
+      overlapCond: Column, joinType: String): DataFrame = {
+    val lId = l2.withColumn("__lid", monotonically_increasing_id())
+    val rId = r2.withColumn("__rid", monotonically_increasing_id())
+    boundedBinPlan(lId, rId, lOnT, rOnT, lB, rB, opts, overlapCond, outer = true) match {
+      case None => l2.join(r2, overlapCond, joinType)
+      case Some((lBinned, rBinned, cond)) =>
+        outerOverBins(lBinned, rBinned, cond, joinType, l2.columns ++ r2.columns, opts)
+    }
   }
 
   /** Plan-time schema validation, mirroring the reference's eager adapter

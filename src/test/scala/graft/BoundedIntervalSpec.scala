@@ -107,7 +107,7 @@ class BoundedIntervalSpec extends SparkSuite {
     assert(un2.isNullAt(un2.fieldIndex("win")), "bounded-left intersection must be NULL")
   }
 
-  test("bounded joins reject sweep/invalid-binned strategies and mismatched endpoint types") {
+  test("bounded joins reject sweep/non-integral-binned strategies and mismatched endpoint types") {
     import graft.operators.IntervalJoin
     import graft.operators.IntervalJoin.{Options, Strategy}
     val l = mk(Seq((1L, 1L, 3L, true, true)), "a")
@@ -116,17 +116,60 @@ class BoundedIntervalSpec extends SparkSuite {
       IntervalJoin.intervalJoin(l, r, ("a", "b"), Options(strategy = Strategy.Sweep))
     }
     assert(e1.getMessage.contains("Strategy.Range"))
-    val e1b = intercept[IllegalArgumentException] {
-      IntervalJoin.intervalJoin(l, r, ("a", "b"),
-        Options(strategy = Strategy.Binned, keepleft = true))
-    }
-    assert(e1b.getMessage.contains("range-only"))
     val rd = Seq((10L, 3.0, 5.0, true, true)).toDF("b_id", "s", "e", "l", "r")
       .select(col("b_id"), bounded(col("s"), col("e"), col("l"), col("r")).as("b"))
     val e2 = intercept[IllegalArgumentException] {
       IntervalJoin.intervalJoin(l, rd, "a" -> "b")
     }
     assert(e2.getMessage.contains("ONE endpoint type"))
+  }
+
+  test("property: bounded BINNED outer joins == range outer joins on random bound combos") {
+    import graft.operators.IntervalJoin
+    import graft.operators.IntervalJoin.{Options, Strategy}
+    val rng = new scala.util.Random(97L)
+    // sparse region (80..) guarantees unmatched rows on both sides; points
+    // and touching ends exercise the inclusive-stop bins; degenerate
+    // half-open [a,a) rows must survive as unmatched under outer semantics
+    def rows(base: Long) = (1L to 60L).map { i =>
+      val s = rng.nextInt(100).toLong
+      val e = s + rng.nextInt(10).toLong
+      (base + i, s, e, rng.nextBoolean(), rng.nextBoolean())
+    }
+    val a = mk(rows(0L), "a")
+    val b = mk(rows(1000L), "b")
+    for ((kl, kr) <- Seq((true, false), (false, true), (true, true))) {
+      def result(o: Options) =
+        IntervalJoin.intervalJoin(a, b, ("a", "b"), o)
+          .select(col("a_id"), col("b_id"), col("a.start"), col("a.lclosed"))
+          .collect().map(_.toSeq).toSet
+      val range = result(Options(strategy = Strategy.Range, keepleft = kl, keepright = kr))
+      val binned = result(Options(strategy = Strategy.Binned, binWidth = Some(7L),
+        keepleft = kl, keepright = kr))
+      assert(binned == range,
+        s"kl=$kl kr=$kr: binned ${binned.size} vs range ${range.size}")
+    }
+  }
+
+  test("Auto plans no BNLJ for a big-big bounded OUTER join") {
+    import graft.operators.IntervalJoin
+    import graft.operators.IntervalJoin.Options
+    val rng = new scala.util.Random(5L)
+    def rows(base: Long) = (1L to 200L).map { i =>
+      val s = rng.nextInt(500).toLong
+      (base + i, s, s + rng.nextInt(8).toLong, rng.nextBoolean(), rng.nextBoolean())
+    }
+    val a = mk(rows(0L), "a")
+    val b = mk(rows(10000L), "b")
+    // maxRangeRows=0 makes every side "big" for Auto, the shape a genuinely
+    // large pair of inputs produces; the plan must be the binned equi-join,
+    // never a nested loop
+    val j = IntervalJoin.intervalJoin(a, b, ("a", "b"),
+      Options(keepleft = true, keepright = true, maxRangeRows = 0L))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bounded outer Auto fell into a nested loop:\n$plan")
+    assert(j.count() > 0)
   }
 
   test("property: bounded BINNED inner join == range join on random bound combos") {
