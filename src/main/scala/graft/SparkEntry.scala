@@ -732,6 +732,33 @@ object SparkEntry {
     "q59_unigram_surprisal" -> ((sp, dir) =>
       TF.unigramSurprisal(table(sp, dir, "documents"), "doc_id", "text")),
 
+    // I1 specialization: point-in-interval ("stab") join — every event
+    // timestamp lands in its (unique, since windows tile the span) quantile
+    // window. Same rename/strategy machinery as q02; the point side lifts
+    // to one-tick spans so the scale paths apply unchanged.
+    "q60_stab_join" -> ((sp, dir) => {
+      val es = eventSpans(sp, dir)
+      val win = windowsOver(es, 1000, "idx")
+      val pts = table(sp, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("(ts div 1000) * 1000").as("t"))
+      IntervalJoin.stabJoin(pts, win, "t" -> "span")
+        .select(col("event_id"), col("user_id"), col("idx"),
+          col("span_right.start").as("ws"), col("span_right.stop").as("we"))
+    }),
+
+    // Similarity: IVF at its real approximate operating point (nProbe 4 of
+    // 16 lists — the regime a user would run; q27 is the same machinery at
+    // full probe, where the oracle can require equality with brute force).
+    // Results depend on k-means centroid detail, so there is no exact SQL
+    // replay: the driver records the rows-only check and SimilaritySpec
+    // pins recall vs brute force at this exact operating point.
+    "q61_ann_ivf_probe" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
+      Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 4)
+    }),
+
     // Multimodal: binary payloads -> partition-parallel decode with REAL
     // image-header parsing. Every 10th doc gets a synthetic PNG IHDR
     // prepended and every (10k+5)th a JPEG SOF0, so the oracle verifies the
@@ -1424,6 +1451,16 @@ object SparkEntry {
         |SELECT doc_id AS id, n_tok,
         |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok AS surprisal
         |FROM g""".stripMargin,
+
+    // q61_ann_ivf_probe intentionally absent: nProbe < nLists results
+    // depend on the trained centroids, which have no exact SQL replay
+    // (float k-means sums are order-sensitive). Rows-only check + the
+    // SimilaritySpec recall pin at the same operating point.
+    "q60_stab_join" ->
+      s"""WITH $esSql, ${winSql(1000, "min(s)", "max(e)", "es")},
+         |pts AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events)
+         |SELECT p.event_id, p.user_id, w.idx, w.ws, w.we
+         |FROM pts p JOIN win w ON p.t >= w.ws AND p.t < w.we""".stripMargin,
 
     // The prepended-header rows reduce to constants the oracle states
     // directly: the PNG header is 24 bytes summing 733 over its first 16;

@@ -98,6 +98,42 @@ object IntervalJoin {
   def intervalJoin(left: DataFrame, right: DataFrame, on: (String, String)): DataFrame =
     intervalJoin(left, right, on, Options())
 
+  /** Point-in-interval ("stab") join: one output row per (point, interval)
+    * pair with the point inside the half-open interval. Points lift to
+    * degenerate one-tick spans — in an integral tick space
+    * `t ∈ [s, e)` ⇔ `[t, t+1) overlaps [s, e)` exactly — and run through
+    * [[intervalJoin]], so every physical strategy (broadcast range, binned
+    * equi-join, sweep) applies unchanged; a point explodes to exactly one
+    * bin on the binned path. Output: the point frame's columns then the
+    * interval frame's columns under the usual rename contract, with the
+    * synthetic span and the (redundant, point-valued) intersection dropped.
+    * Timestamp points pair with timestamp-struct intervals on the µs tick
+    * space the join already uses; floating endpoints have no tick below
+    * every other value, so they are rejected — quantize first. */
+  def stabJoin(points: DataFrame, intervals: DataFrame, on: (String, String),
+      opts: Options = Options()): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (ptName, ivName) = on
+    require(points.columns.contains(ptName), s"points frame has no column `$ptName`")
+    val tmp = "__stab_span"
+    require(!points.columns.contains(tmp), s"points frame may not contain `$tmp`")
+    val lifted = points.schema(ptName).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        points.withColumn(tmp,
+          interval(col(ptName).cast("long"), col(ptName).cast("long") + lit(1L)))
+      case TimestampType | TimestampNTZType =>
+        points.withColumn(tmp, struct(col(ptName).as("start"),
+          (col(ptName) + expr("INTERVAL 1 MICROSECOND")).as("stop")))
+      case other => throw new IllegalArgumentException(
+        s"stab_join requires an integral or timestamp point column; `$ptName` is " +
+          s"${other.simpleString} — quantize floating points to integer ticks first.")
+    }
+    val j = intervalJoin(lifted, intervals, tmp -> ivName, opts)
+    // left `on` keeps its renamed slot and the intersection takes the left
+    // name itself (the reference's contract) — both are the degenerate span
+    j.drop(opts.renameon._1(tmp)).drop(tmp)
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, on: (String, String), opts: Options): DataFrame = {
     val (lOnName, rOnName) = on
     require(left.columns.contains(lOnName), s"left frame has no column `$lOnName`")

@@ -256,4 +256,39 @@ class IntervalJoinSpec extends SparkSuite {
     val f = j.schema("span").dataType.asInstanceOf[StructType].fieldNames.toSeq
     assert(f == Seq("start", "stop"))
   }
+
+  test("stab join matches brute-force point-in-interval; strategies agree") {
+    import spark.implicits._
+    val pts = df.select(col("span.start").as("t"), col("x").as("px"))
+    // brute force: t in [s, e) half-open
+    val spans = quarters.select("span.start", "span.stop").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pts.select("t").as[Long].collect()
+      .map(t => spans.count(w => t >= w._1 && t < w._2).toLong).sum
+    val j = IntervalJoin.stabJoin(pts, quarters, "t" -> "span")
+    assert(j.count() == expected)
+    // output: point columns kept as-is, no synthetic span, no intersection
+    assert(j.columns.toSeq == Seq("t", "px", "quarter", "span_right"))
+    // binned strategy agrees with the default plan
+    val b = IntervalJoin.stabJoin(pts, quarters, "t" -> "span",
+      Options(strategy = Strategy.Binned))
+    assert(collectSorted(b) == collectSorted(j))
+    // each point lies inside its matched window
+    assert(j.where(col("t") < col("span_right.start") ||
+      col("t") >= col("span_right.stop")).count() == 0)
+  }
+
+  test("stab join: keepleft keeps unmatched points; float points rejected") {
+    val pts = df.select((col("span.stop") + lit(1L)).as("t")) // beyond its own span
+    val maxStop = quarters.agg(max(col("span.stop"))).head().getLong(0)
+    val out = IntervalJoin.stabJoin(pts, quarters, "t" -> "span",
+      Options(keepleft = true))
+    // the point one past the global max stop matches nothing but survives
+    assert(out.where(col("quarter").isNull).count() ==
+      pts.where(col("t") >= maxStop).count())
+    val err = intercept[IllegalArgumentException] {
+      IntervalJoin.stabJoin(df.select(col("x")), quarters, "x" -> "span")
+    }
+    assert(err.getMessage.contains("integral or timestamp"))
+  }
 }

