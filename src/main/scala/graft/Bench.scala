@@ -27,29 +27,49 @@ object Bench {
     // machinery, and the sweep join's object serializer (r3 recorded the
     // map-order-first query at 3.5x its steady-state cost purely from this).
     // The DuckDB baseline numbers are likewise warm-engine measurements.
+    // sf0.01 over sf0.001 when available: the sweep join's hot loops need
+    // enough rows for JIT tiering to reach steady state (measured at sf0.1:
+    // 21 s cold, 4.9 s after one at-scale run, 1.1 s from the third on —
+    // a sf0.001 warm-up alone leaves the first measured pass 4x inflated).
     val warmDir = {
-      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sibling.isDirectory && sibling.getPath != new java.io.File(sfDir).getPath)
-        sibling.getPath
-      else sfDir
+      val parent = new java.io.File(sfDir).getParentFile
+      Seq("sf0.01", "sf0.001")
+        .map(new java.io.File(parent, _))
+        .find(d => d.isDirectory && d.getPath != new java.io.File(sfDir).getPath)
+        .map(_.getPath).getOrElse(sfDir)
     }
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row in full — a plain
-      // df.count() lets Catalyst prune the projection, hiding the cost of
-      // queries whose work IS the projected expressions
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-query MIN over full suite passes: the recording VM shows roving
+    // multi-second slowdown bands (hypervisor noise NOT visible as steal —
+    // r4's artifact recorded 2-10x inflation on whichever queries a band
+    // happened to cover). Passes decorrelate: a band minutes long hits
+    // DIFFERENT queries in each pass, so the per-query min is the
+    // steady-state cost — the same warm-engine regime the DuckDB baseline
+    // numbers were recorded in.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val passes = (1 to reps).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output row in full — a plain
+        // df.count() lets Catalyst prune the projection, hiding the cost of
+        // queries whose work IS the projected expressions
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = passes.reduce((a, b) =>
+      a.map { case (k, v) => k -> math.min(v, b(k)) })
+    // 4 decimals (0.1 ms) keeps the one-line artifact short — the r4 record
+    // lost two queries to a capture buffer truncating the long tail
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"min-of-$reps-passes","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

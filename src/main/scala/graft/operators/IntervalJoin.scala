@@ -128,7 +128,17 @@ object IntervalJoin {
         s"stab_join requires an integral or timestamp point column; `$ptName` is " +
           s"${other.simpleString} — quantize floating points to integer ticks first.")
     }
-    val j = intervalJoin(lifted, intervals, tmp -> ivName, opts)
+    // Auto resolves to Binned here, not the general join's broadcast-range
+    // pick: a broadcast theta join scans EVERY interval per point (points ×
+    // intervals predicate evals — quadratic even when the interval side
+    // fits in a broadcast), while the binned equi-join hashes each point
+    // into exactly one bin for near-constant per-point work. The general
+    // join's trade (small side broadcast, big side unshuffled) loses here
+    // because the probe is linear, not hashed.
+    val stabOpts =
+      if (opts.strategy == Strategy.Auto) opts.copy(strategy = Strategy.Binned)
+      else opts
+    val j = intervalJoin(lifted, intervals, tmp -> ivName, stabOpts)
     // left `on` keeps its renamed slot and the intersection takes the left
     // name itself (the reference's contract) — both are the degenerate span
     j.drop(opts.renameon._1(tmp)).drop(tmp)
