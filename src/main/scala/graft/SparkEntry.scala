@@ -777,8 +777,63 @@ object SparkEntry {
             concat(lit(jpegHdr), col("text").cast("binary")))
           .otherwise(col("text").cast("binary")).as("data"))
       Multimodal.mediaFeatures(d, "doc_id", "data")
+    }),
+
+    // Multimodal: REAL pixel decode via the JDK's own javax.imageio PNG
+    // reader. Every 5th doc carries an actual 3x2 PNG (deterministic
+    // pixels, encoded at plan-build time — PNG is lossless, so the decoded
+    // values are exact constants the oracle states; the bytes the encoder
+    // emits don't matter, only what they decode back to). Other docs carry
+    // text bytes, which no JRE reader accepts -> the undecodable path.
+    "q62_image_decode" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, lit(testPng))
+          .otherwise(col("text").cast("binary")).as("data"))
+      Multimodal.pixelFeatures(d, "doc_id", "data")
+    }),
+
+    // Multimodal: audio metadata from real RIFF/WAVE headers. Every 7th
+    // doc carries a canonical 44-byte WAV header (PCM, 2 ch, 16 kHz,
+    // 16-bit) + 320 data bytes -> 80 frames; the rest are the sentinel row.
+    "q63_audio_meta" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L, lit(testWav))
+          .otherwise(col("text").cast("binary")).as("data"))
+      Multimodal.audioMeta(d, "doc_id", "data")
     })
   )
+
+  /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
+    * r+g+b sums to 651 over the six pixels (the q62 oracle constant).
+    * Encoded once driver-side with the JDK encoder — lossless, so decode
+    * is exact regardless of encoder byte choices. */
+  private lazy val testPng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, ((10 + 40 * x + 100 * y) << 16) | ((7 * x) << 8) | (3 * y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A canonical PCM WAV: 2 channels, 16 kHz, 16-bit, 320 data bytes
+    * (= 80 frames — the q63 oracle constants). */
+  private lazy val testWav: Array[Byte] = {
+    val dataBytes = 320
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(2)                    // PCM, 2 channels
+    bb.putInt(16000).putInt(16000 * 2 * 2)        // rate, byte rate
+    bb.putShort(4).putShort(16)                   // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    (0 until dataBytes).foreach(i => bb.put((i % 251).toByte))
+    bb.array()
+  }
 
   // ------------------------------------------------- oracle SQL fragments
 
@@ -1451,6 +1506,27 @@ object SparkEntry {
         |SELECT doc_id AS id, n_tok,
         |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok AS surprisal
         |FROM g""".stripMargin,
+
+    // Lossless decode of a fixed-pixel PNG -> the oracle states the exact
+    // decoded constants (3x2, r+g+b total 651); text payloads hit the
+    // undecodable sentinel row.
+    "q62_image_decode" ->
+      """SELECT doc_id AS id,
+        |       doc_id % 5 = 0 AS decoded,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS format,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE -1 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE -1 END AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 651 END AS BIGINT) AS rgb_sum
+        |FROM documents""".stripMargin,
+
+    "q63_audio_meta" ->
+      """SELECT doc_id AS id,
+        |       doc_id % 7 = 0 AS is_wav,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE -1 END AS INTEGER) AS channels,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 16000 ELSE -1 END AS INTEGER) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 16 ELSE -1 END AS INTEGER) AS bits_per_sample,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 80 ELSE -1 END AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
 
     // q61_ann_ivf_probe intentionally absent: nProbe < nLists results
     // depend on the trained centroids, which have no exact SQL replay

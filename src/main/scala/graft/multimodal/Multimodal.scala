@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   * segment scan), and GIF (logical screen descriptor) headers for format /
   * width / height — pure JVM byte inspection, no codec dependency — on top
   * of the deterministic byte features (length, first byte, 16-byte
-  * checksum). Full pixel decode (the step that genuinely needs a codec
-  * library this container lacks) remains the drop-in replacement point:
-  * swap the body of [[decode]], keep the signature.
+  * checksum).
+  *
+  * Pixel decode is REAL too: [[decodeImage]] / [[pixelFeatures]] /
+  * [[imageThumbnail]] run the JDK's own `javax.imageio` readers (PNG,
+  * JPEG, GIF, BMP, WBMP — present in every JRE, no external library), and
+  * [[audioMeta]] parses RIFF/WAVE audio headers. Only formats the JRE has
+  * no reader for (e.g. video containers, webp) fall back to header/byte
+  * features — a JNI/FFI codec for those drops into the same
+  * one-record→features `mapPartitions` without touching the pipeline
+  * shape.
   */
 object Multimodal {
 
@@ -86,6 +93,141 @@ object Multimodal {
     ds.mapPartitions(decode)(Encoders.product[MediaFeatures]).toDF()
   }
 
+  // ------------------------------------------------------------ real codecs
+
+  /** REAL pixel decode via the JDK's own `javax.imageio` readers (PNG,
+    * JPEG, GIF, BMP, WBMP ship with every JRE — no external codec). Returns
+    * None for payloads no installed reader accepts. Headless-safe;
+    * `ImageIO` disk caching is disabled so executors never write temp
+    * files. */
+  def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (data == null || data.length == 0) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Pixel-level features: `decoded` says whether a real reader accepted
+    * the payload; format/width/height come from the (cheap, always-run)
+    * header parse so undecodable-but-recognizable payloads keep their
+    * metadata; `rgb_sum` is the EXACT integer sum of r+g+b over all pixels
+    * (deterministic for lossless formats — an oracle can state it as a
+    * constant) and None when undecodable. */
+  final case class PixelFeatures(id: Long, decoded: Boolean, format: String,
+      width: Int, height: Int, rgb_sum: Option[Long])
+
+  def pixelFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as(Encoders.product[MediaRecord])
+    ds.mapPartitions(_.map { r =>
+      val (fmt, w, h) = imageHeader(r.data)
+      decodeImage(r.data) match {
+        case Some(img) =>
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          PixelFeatures(r.id, decoded = true, fmt, img.getWidth, img.getHeight, Some(sum))
+        case None =>
+          PixelFeatures(r.id, decoded = false, fmt, w, h, None)
+      }
+    })(Encoders.product[PixelFeatures]).toDF()
+  }
+
+  /** REAL decode + resize: payloads that decode become a `w`×`h` grayscale
+    * thumbnail (area-averaging rescale via the JDK raster pipeline, no
+    * native/display dependency), emitted as a flat `array<float>` in
+    * [0, 1] row-major — the fixed-dim contract the
+    * [[graft.functions.Similarity]] operators consume. Undecodable
+    * payloads fall back to the deterministic byte-bucket pooling of
+    * [[resizeToVector]] at the same dimension, so the column is total. */
+  def imageThumbnail(df: DataFrame, idCol: String, binCol: String,
+      w: Int = 8, h: Int = 8): DataFrame = {
+    require(w > 0 && h > 0)
+    val dim = w * h
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as(Encoders.product[MediaRecord])
+    ds.mapPartitions(_.map { r =>
+      decodeImage(r.data) match {
+        case Some(img) =>
+          val gray = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = gray.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val px = gray.getRaster.getPixels(0, 0, w, h, new Array[Int](dim))
+          MediaVec(r.id, px.map(_ / 255.0f))
+        case None => byteBucketVector(r, dim)
+      }
+    })(Encoders.product[MediaVec]).toDF()
+  }
+
+  /** WAV (RIFF/WAVE) header parse — the audio modality's real metadata
+    * path, pure byte inspection like [[imageHeader]]: channels, sample
+    * rate, bits per sample, and the data-chunk byte length (→ frame count
+    * = data_bytes / (channels × bits/8)). Returns None unless the payload
+    * leads with a well-formed RIFF/WAVE fmt chunk. */
+  final case class WavHeader(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, dataBytes: Long) {
+    def frames: Long =
+      if (channels > 0 && bitsPerSample >= 8)
+        dataBytes / (channels.toLong * (bitsPerSample / 8)) else -1L
+  }
+
+  def wavHeader(d: Array[Byte]): Option[WavHeader] = {
+    def le16(i: Int) = (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (d(i) & 0xff).toLong | ((d(i + 1) & 0xff).toLong << 8) |
+      ((d(i + 2) & 0xff).toLong << 16) | ((d(i + 3) & 0xff).toLong << 24)
+    def tag(i: Int, s: String) = d.length >= i + 4 &&
+      d(i) == s(0).toByte && d(i + 1) == s(1).toByte &&
+      d(i + 2) == s(2).toByte && d(i + 3) == s(3).toByte
+    if (d.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // walk chunks: fmt carries the layout, data carries the samples
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (i + 8 <= d.length) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= d.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      else if (tag(i, "data")) dataBytes = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (size < 0 || size > Int.MaxValue) return fmt.map {
+        case (c, sr, b) => WavHeader(c, sr, b, math.max(dataBytes, -1L)) }
+    }
+    fmt.map { case (c, sr, b) => WavHeader(c, sr, b, dataBytes) }
+  }
+
+  /** Audio metadata over a binary column: (id, is_wav, channels,
+    * sample_rate, bits_per_sample, n_frames) — real values for WAV
+    * payloads, -1 sentinels otherwise. */
+  final case class AudioMeta(id: Long, is_wav: Boolean, channels: Int,
+      sample_rate: Int, bits_per_sample: Int, n_frames: Long)
+
+  def audioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as(Encoders.product[MediaRecord])
+    ds.mapPartitions(_.map { r =>
+      wavHeader(r.data) match {
+        case Some(wh) =>
+          AudioMeta(r.id, is_wav = true, wh.channels, wh.sampleRate,
+            wh.bitsPerSample, wh.frames)
+        case None => AudioMeta(r.id, is_wav = false, -1, -1, -1, -1L)
+      }
+    })(Encoders.product[AudioMeta]).toDF()
+  }
+
   /** One sampled frame: source id, frame index, byte offset, stub payload. */
   final case class Frame(id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
 
@@ -125,22 +267,26 @@ object Multimodal {
     require(dim > 0)
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
       .as(Encoders.product[MediaRecord])
-    ds.mapPartitions(_.map { r =>
-      val out = new Array[Float](dim)
-      if (r.data.nonEmpty) {
-        val counts = new Array[Int](dim)
-        var i = 0
-        while (i < r.data.length) {
-          // fixed bucket mapping: byte position spread evenly over dim
-          val b = ((i.toLong * dim) / r.data.length).toInt
-          out(b) += (r.data(i) & 0xff) / 255.0f
-          counts(b) += 1
-          i += 1
-        }
-        var j = 0
-        while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+    ds.mapPartitions(_.map(byteBucketVector(_, dim)))(Encoders.product[MediaVec]).toDF()
+  }
+
+  /** Deterministic byte-bucket pooling: position-spread mean of each byte
+    * bucket, scaled to [0, 1]; the zero vector for empty payloads. */
+  private def byteBucketVector(r: MediaRecord, dim: Int): MediaVec = {
+    val out = new Array[Float](dim)
+    if (r.data.nonEmpty) {
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < r.data.length) {
+        // fixed bucket mapping: byte position spread evenly over dim
+        val b = ((i.toLong * dim) / r.data.length).toInt
+        out(b) += (r.data(i) & 0xff) / 255.0f
+        counts(b) += 1
+        i += 1
       }
-      MediaVec(r.id, out)
-    })(Encoders.product[MediaVec]).toDF()
+      var j = 0
+      while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+    }
+    MediaVec(r.id, out)
   }
 }

@@ -247,4 +247,72 @@ class SimilaritySpec extends SparkSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups == Set((1L, 2L)))
   }
+
+  /** Encode a w×h image with the JDK encoder; pixel(x,y) = rgb. */
+  private def encodeImage(fmt: String, w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("real pixel decode: PNG roundtrips exactly, JPEG decodes dims, text does not decode") {
+    // PNG is lossless: decoded pixel sums are exact
+    val png = encodeImage("png", 4, 3, (x, y) => ((x * 20) << 16) | ((y * 30) << 8) | 5)
+    val expectSum = (for (y <- 0 until 3; x <- 0 until 4) yield x * 20 + y * 30 + 5).sum.toLong
+    val jpeg = encodeImage("jpg", 6, 5, (_, _) => 0x808080)
+    val df = Seq((1L, png), (2L, jpeg), (3L, "not an image".getBytes))
+      .toDF("id", "data")
+    val f = Multimodal.pixelFeatures(df, "id", "data").orderBy("id").collect()
+    assert(f(0).getBoolean(1) && f(0).getString(2) == "png" &&
+      f(0).getInt(3) == 4 && f(0).getInt(4) == 3 && f(0).getLong(5) == expectSum)
+    // JPEG is lossy: dims exact, sum present but not asserted bit-for-bit
+    assert(f(1).getBoolean(1) && f(1).getString(2) == "jpeg" &&
+      f(1).getInt(3) == 6 && f(1).getInt(4) == 5 && !f(1).isNullAt(5))
+    assert(!f(2).getBoolean(1) && f(2).getString(2) == "unknown" && f(2).isNullAt(5))
+  }
+
+  test("real resize: uniform image -> uniform thumbnail; undecodable falls back to byte buckets") {
+    val gray = encodeImage("png", 32, 32, (_, _) => 0x646464) // 100,100,100
+    val df = Seq((1L, gray), (2L, "plain text".getBytes)).toDF("id", "data")
+    val t = Multimodal.imageThumbnail(df, "id", "data", w = 4, h = 4)
+      .orderBy("id").collect()
+    val v1 = t(0).getSeq[Float](1)
+    assert(v1.length == 16)
+    // uniform rgb(100) -> one gray level everywhere (any resampling agrees)
+    assert(v1.distinct.length == 1 && math.abs(v1.head - 100 / 255.0f) < 0.02f)
+    // fallback path == resizeToVector at the same dim
+    val fb = Multimodal.resizeToVector(
+      Seq((2L, "plain text".getBytes)).toDF("id", "data"), "id", "data", dim = 16)
+      .head.getSeq[Float](1)
+    assert(t(1).getSeq[Float](1) == fb)
+  }
+
+  test("audio metadata: canonical WAV header parses; junk and truncation stay sentinel") {
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      bb.putInt(rate).putInt(rate * channels * bits / 8)
+      bb.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(dataBytes)
+      bb.array()
+    }
+    val df = Seq((1L, wav(1, 44100, 16, 2000)), (2L, "RIFFnope".getBytes),
+      (3L, wav(2, 8000, 8, 0))).toDF("id", "data")
+    val a = Multimodal.audioMeta(df, "id", "data").orderBy("id").collect()
+    assert(a(0).getBoolean(1) && a(0).getInt(2) == 1 && a(0).getInt(3) == 44100 &&
+      a(0).getInt(4) == 16 && a(0).getLong(5) == 1000L)
+    assert(!a(1).getBoolean(1) && a(1).getInt(2) == -1)
+    assert(a(2).getBoolean(1) && a(2).getInt(2) == 2 && a(2).getInt(4) == 8 &&
+      a(2).getLong(5) == 0L)
+    // truncated header never throws
+    assert(Multimodal.wavHeader("RIFF".getBytes).isEmpty)
+    // keep the fmt chunk, drop the data chunk: layout parses, length unknown
+    assert(Multimodal.wavHeader(wav(2, 8000, 16, 100).take(38)).exists(_.dataBytes == -1L))
+  }
 }
