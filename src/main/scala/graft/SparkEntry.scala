@@ -792,6 +792,21 @@ object SparkEntry {
       Multimodal.pixelFeatures(d, "doc_id", "data")
     }),
 
+    // Incremental near-dup: even doc_ids become the persisted band index
+    // (the historical corpus, signatures paid once at write time), odd
+    // doc_ids are the new ingestion batch probing it. Exact-Jaccard
+    // verified cross pairs only — the production shape for daily-crawl
+    // dedup against an accumulated corpus.
+    "q64_neardup_index" -> ((sp, dir) => {
+      val docs = table(sp, dir, "documents")
+      val hist = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
+      val fresh = docs.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_band_index_" + Integer.toHexString(dir.hashCode)).getPath
+      Dedup.writeBandIndex(hist, "text", "doc_id", path)
+      Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
+    }),
+
     // Multimodal: audio metadata from real RIFF/WAVE headers. Every 7th
     // doc carries a canonical 44-byte WAV header (PCM, 2 ch, 16 kHz,
     // 16-bit) + 320 data bytes -> 80 frames; the rest are the sentinel row.
@@ -1506,6 +1521,30 @@ object SparkEntry {
         |SELECT doc_id AS id, n_tok,
         |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok AS surprisal
         |FROM g""".stripMargin,
+
+    // Same full MinHash->band->Jaccard replay as q17, restricted to
+    // (even index side) x (odd probe side) cross pairs
+    "q64_neardup_index" -> {
+      val bandSqls = (0 until 4).map(bd =>
+        s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
+        .mkString(",\n       ")
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents),
+         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |s AS (SELECT doc_id,
+         |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
+         |             $sigSql AS sig
+         |      FROM d2),
+         |b AS (SELECT doc_id, hs,
+         |       $bandSqls
+         |      FROM s),
+         |p AS (SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+         |             round(len(list_intersect(n.hs, i.hs))
+         |                   / len(list_distinct(list_concat(n.hs, i.hs))), 6) AS jaccard
+         |      FROM b n JOIN b i
+         |        ON n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+         |       AND (n.bh0 = i.bh0 OR n.bh1 = i.bh1 OR n.bh2 = i.bh2 OR n.bh3 = i.bh3))
+         |SELECT new_id, index_id, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+    },
 
     // Lossless decode of a fixed-pixel PNG -> the oracle states the exact
     // decoded constants (3x2, r+g+b total 651); text payloads hit the

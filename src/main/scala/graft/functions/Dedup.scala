@@ -247,6 +247,56 @@ object Dedup {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** Persist a near-dup band index for INCREMENTAL dedup — the production
+    * shape: the historical corpus pays the signature + explode cost once at
+    * write time, and every new ingestion batch probes it without
+    * recomputing anything over the history. One row per (band, bh, id),
+    * carrying the doc's shingle-hash set (`hs`, for exact Jaccard
+    * verification at probe time) and its band-hash array (`bhs`, for
+    * first-agreeing-band pair dedup). Index size is proportional to the
+    * corpus' total shingle count × 8 B × bands — the price of EXACT
+    * verification; drop `hs` and verify by signature agreement if the
+    * estimate suffices. */
+  def writeBandIndex(df: DataFrame, textCol: String, idCol: String, path: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): Unit =
+    signatures(df, textCol, idCol, k, bands, shingleN, seed)
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a [[writeBandIndex]] index with a new document batch: returns
+    * (new_id, index_id, jaccard) for every cross pair whose exact hashed
+    * Jaccard ≥ `threshold`. Same algorithm as [[nearDupPairs]] restricted
+    * to (new × indexed) pairs — candidate generation is ONE equi-join on
+    * (band, bh); a pair colliding in several bands is kept exactly once,
+    * in the first band whose hashes agree (`zip_with` + `array_position`
+    * residual — no distinct shuffle); verification runs once per pair on
+    * the stored hash sets. The history never recomputes: only the index
+    * parquet is read. Parameters must match the index's write-time values
+    * (seed included) or band hashes will never collide. */
+  def nearDupAgainstIndex(newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0, "nearDupAgainstIndex requires a positive threshold")
+    val idx = newDocs.sparkSession.read.parquet(indexPath)
+      .select(col("band"), col("bh"), col("id").as("index_id"),
+        col("hs").as("idx_hs"), col("bhs").as("idx_bhs"))
+    val probe = signatures(newDocs, textCol, idCol, k, bands, shingleN, seed)
+      .where(size(col("hs")) > 0)
+      .select(col("id").as("new_id"), col("hs").as("new_hs"),
+        col("bhs").as("new_bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    probe.join(idx, Seq("band", "bh"))
+      .where(array_position(
+        zip_with(col("new_bhs"), col("idx_bhs"), (x, y) => x === y),
+        true) - 1 === col("band"))
+      .select(col("new_id"), col("index_id"),
+        round(size(array_intersect(col("new_hs"), col("idx_hs")))
+          .cast("double") /
+          size(array_union(col("new_hs"), col("idx_hs"))), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Benchmark decontamination: for every corpus document, the number of
     * distinct token `n`-grams it shares with the benchmark (eval) set —
     * the standard pre-training contamination check (docs with hits get

@@ -89,6 +89,36 @@ class TextDedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("band index probe == cross-split restriction of the batch pipeline, jaccard included") {
+    // larger deterministic fixture: a shared base with id-dependent edits
+    // so both cross- and same-split near-dups exist
+    val corpus = (0L until 60L).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog number ${i % 7} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail$i extra words ${i * 31}")
+    }.toDF("doc_id", "text")
+    val hist = corpus.where(col("doc_id") % 2 === 0)
+    val fresh = corpus.where(col("doc_id") % 2 === 1)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_band_index_spec_${System.nanoTime()}").getPath
+    try {
+      Dedup.writeBandIndex(hist, "text", "doc_id", path)
+      val viaIndex = Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.4)
+        .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+      // batch pipeline over the union, restricted to (even, odd) pairs
+      val batch = Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .filter { case ((a, b), _) => (a % 2 == 0) != (b % 2 == 0) }
+        .map { case ((a, b), j) => (if (a % 2 == 0) (a, b) else (b, a)) -> j }.toMap
+      assert(viaIndex.nonEmpty, "fixture must produce cross-split near-dups")
+      assert(viaIndex == batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("tfidf: exact tf/df counts; rare terms outrank stopwords; top-k bounded") {
     import graft.functions.TfIdf
     val corpus = Seq(
