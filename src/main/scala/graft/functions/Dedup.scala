@@ -258,12 +258,81 @@ object Dedup {
     * verification; drop `hs` and verify by signature agreement if the
     * estimate suffices. */
   def writeBandIndex(df: DataFrame, textCol: String, idCol: String, path: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): Unit =
+      k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): Unit = {
     signatures(df, textCol, idCol, k, bands, shingleN, seed)
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))
       .write.mode("overwrite").parquet(path)
+    // data-then-sidecar: the fresh sidecar must describe the fresh data (an
+    // interrupted overwrite is corrupt parquet with or without a sidecar)
+    writeIndexSidecar(df.sparkSession, path, k, bands, shingleN, seed)
+  }
+
+  private val IndexMetaFile = "_graft_band_index.json"
+
+  /** Atomic sidecar publish (temp + overwriting rename — readers see either
+    * the old or the new complete JSON, never a torn write). Records the
+    * signature parameters so probes can reject a mismatched configuration
+    * instead of silently joining to nothing. */
+  private def writeIndexSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, bands: Int, shingleN: Int, seed: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s".$IndexMetaFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"k":$k,"bands":$bands,"shingleN":$shingleN,"seed":$seed}"""
+      .getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Signature parameters recorded by [[writeBandIndex]], if the index has a
+    * sidecar (indexes written by other tools may not). */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int, Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      val m = """"k":(\d+),"bands":(\d+),"shingleN":(\d+),"seed":(-?\d+)""".r
+        .findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"malformed $IndexMetaFile: $txt"))
+      Some((m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, m.group(4).toLong))
+    }
+  }
+
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, bands: Int, shingleN: Int, seed: Long): Unit =
+    readIndexMeta(spark, path).foreach { case (ik, ib, is, isd) =>
+      require(ik == k && ib == bands && is == shingleN && isd == seed,
+        s"band index at $path was written with (k=$ik, bands=$ib, " +
+          s"shingleN=$is, seed=$isd) but the probe uses (k=$k, bands=$bands, " +
+          s"shingleN=$shingleN, seed=$seed) — hashes would never collide")
+    }
+
+  /** Load a [[writeBandIndex]] index in the streaming corpus-band schema
+    * (`corpus_id`/`corpus_hs`/`corpus_bhs` + (band, bh)), parameters from the
+    * sidecar attached as column metadata — the bridge that lets a document
+    * STREAM probe the persisted historical index via the stateless
+    * stream-static join in `StreamingDedup.nearDupAgainstCorpus`. */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    readIndexMeta(spark, path).foreach { case (k, b, s, _) =>
+      mb.putLong("graft.k", k.toLong).putLong("graft.bands", b.toLong)
+        .putLong("graft.shingleN", s.toLong)
+    }
+    spark.read.parquet(path)
+      .select(col("band"), col("bh"), col("id").as("corpus_id"),
+        col("hs").as("corpus_hs"), col("bhs").as("corpus_bhs", mb.build()))
+  }
 
   /** Probe a [[writeBandIndex]] index with a new document batch: returns
     * (new_id, index_id, jaccard) for every cross pair whose exact hashed
@@ -274,11 +343,13 @@ object Dedup {
     * residual — no distinct shuffle); verification runs once per pair on
     * the stored hash sets. The history never recomputes: only the index
     * parquet is read. Parameters must match the index's write-time values
-    * (seed included) or band hashes will never collide. */
+    * (seed included) or band hashes would never collide — a mismatch is
+    * rejected at plan time via the sidecar written by [[writeBandIndex]]. */
   def nearDupAgainstIndex(newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: String, threshold: Double = 0.5,
       k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0, "nearDupAgainstIndex requires a positive threshold")
+    requireIndexParams(newDocs.sparkSession, indexPath, k, bands, shingleN, seed)
     val idx = newDocs.sparkSession.read.parquet(indexPath)
       .select(col("band"), col("bh"), col("id").as("index_id"),
         col("hs").as("idx_hs"), col("bhs").as("idx_bhs"))

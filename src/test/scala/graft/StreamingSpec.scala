@@ -392,6 +392,56 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming probe of a PERSISTED band index matches the batch index probe") {
+    import graft.functions.Dedup
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    // history on disk via writeBandIndex; the stream probes it through the
+    // loadBandIndex bridge — continuous-ingestion dedup with zero state and
+    // zero recomputation over the history
+    val corpus = (0L until 40L).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog number ${i % 5} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail$i extra words ${i * 31}")
+    }
+    val hist = corpus.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val freshRows = corpus.filter(_._1 % 2 == 1)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_band_index_stream_${System.nanoTime()}").getPath
+    try {
+      Dedup.writeBandIndex(hist, "text", "doc_id", path)
+      val idx = Dedup.loadBandIndex(spark, path)
+      val in = MemoryStream[(Long, String)]
+      val out = StreamingDedup.nearDupAgainstCorpus(
+        in.toDF().toDF("doc_id", "text"), idx, "text", "doc_id", threshold = 0.4)
+      val q = out.writeStream.format("memory").queryName("ip").outputMode("append").start()
+      try {
+        // two micro-batches; union must equal the one-shot batch probe
+        val (b1, b2) = freshRows.splitAt(freshRows.length / 2)
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+        val streamed = spark.sql("SELECT id, corpus_id, jaccard FROM ip").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val batch = Dedup.nearDupAgainstIndex(
+          freshRows.toDF("doc_id", "text"), "text", "doc_id", path, threshold = 0.4)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        assert(streamed.nonEmpty, "fixture must produce matches")
+        assert(streamed == batch)
+        // the sidecar parameters travel through loadBandIndex's metadata:
+        // a mismatched streaming probe is rejected at plan time
+        val e = intercept[IllegalArgumentException] {
+          StreamingDedup.nearDupAgainstCorpus(
+            in.toDF().toDF("doc_id", "text"), idx, "text", "doc_id", k = 8)
+        }
+        assert(e.getMessage.contains("k=8"))
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("streaming interval merge: cross-batch touching runs close on watermark, match batch") {
     import graft.streaming.StreamingIntervalOps
     implicit val sqlCtx = spark.sqlContext

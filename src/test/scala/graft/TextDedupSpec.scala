@@ -111,6 +111,14 @@ class TextDedupSpec extends SparkSuite {
         .map { case ((a, b), j) => (if (a % 2 == 0) (a, b) else (b, a)) -> j }.toMap
       assert(viaIndex.nonEmpty, "fixture must produce cross-split near-dups")
       assert(viaIndex == batch)
+      // sidecar records the write-time parameters...
+      assert(Dedup.readIndexMeta(spark, path).contains((16, 4, 5, 42L)))
+      // ...and a probe under different parameters is rejected at plan time
+      // (a silent band mismatch would just join to nothing)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, seed = 7L)
+      }
+      assert(e.getMessage.contains("seed=7"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
