@@ -481,6 +481,14 @@ object SparkEntry {
           graft.functions.Sampling.hashBucket(col("doc_id"), "split").as("bucket"),
           col("split"))),
 
+    // Mixture reweighting: upsample en 2.5x by repetition (epoch column
+    // decorrelates the copies), keep de/es, downsample fr/zh — the
+    // deterministic domain-mixture step of a training-data pipeline.
+    "q65_mixture_resample" -> ((sp, dir) =>
+      graft.functions.Sampling.resampleByWeight(
+        table(sp, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 0.6, "zh" -> 0.4))),
+
     // Text quality: within-document repetition signals
     "q35_repetition" -> ((sp, dir) =>
       // one-pass imperative ratios (bit-identical to the Column path)
@@ -1024,6 +1032,23 @@ object SparkEntry {
          |            WHEN bucket < 900 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    // Same hash Bernoulli + integer repetition as the Spark side; DuckDB's
+    // range(n) unnests to BIGINT 0..n-1 = the epoch column
+    "q65_mixture_resample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |         (('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |          % ${TF.HashMod}) % 1000 AS bucket,
+         |         CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 1.0
+         |                   WHEN 'fr' THEN 0.6 WHEN 'zh' THEN 0.4 ELSE 1.0 END AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |             CAST(floor(w) AS BIGINT)
+         |               + (CASE WHEN bucket < (w - floor(w)) * 1000 THEN 1 ELSE 0 END) AS n
+         |      FROM b)
+         |SELECT doc_id, lang, unnest(range(n)) AS epoch
+         |FROM c WHERE n > 0""".stripMargin,
 
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

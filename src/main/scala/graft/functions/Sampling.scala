@@ -65,4 +65,35 @@ object Sampling {
     }
     df.where(hashBucket(col(keyCol), salt).cast("double") < frac * Buckets)
   }
+
+  /** Deterministic mixture RESAMPLING — the training-mixture reweighting
+    * step: each row is emitted `floor(w) + Bernoulli(frac(w))` times, where
+    * `w` is its stratum's target weight (w > 1 upsamples a high-value
+    * domain by repetition, w < 1 downsamples; strata absent from the map
+    * keep `defaultWeight`). The Bernoulli draw is the salted key hash, so
+    * the result is reproducible, append-stable, and engine-replayable like
+    * every sampler here. Copies carry a 0-based `epoch` column so
+    * downstream stages can decorrelate repeats (shuffle or pack salted by
+    * (key, epoch)). Zero shuffle: the `explode` of a per-row sequence fuses
+    * into the scan, and at 100 TB the output fan-out is exactly the target
+    * mixture's token multiple — no skew beyond the weights themselves. */
+  def resampleByWeight(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "resample"): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mixture weights must be nonnegative")
+    require(!df.columns.contains("epoch"),
+      "resampleByWeight writes an `epoch` column; rename the existing one")
+    // sorted fold: Map iteration order must not leak into the plan
+    val w = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight): Column) {
+      case ((value, f), acc) => when(col(strataCol) === value, lit(f)).otherwise(acc)
+    }
+    val copies = floor(w).cast("long") +
+      when(hashBucket(col(keyCol), salt).cast("double") < (w - floor(w)) * Buckets,
+        lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
 }

@@ -56,6 +56,43 @@ class SamplingSpec extends SparkSuite {
     assert(s2.where(col("lang") === "de").count() == 0)
   }
 
+  test("resampleByWeight: integer weights repeat exactly; fractional weights are hash-Bernoulli") {
+    val df = keys.withColumn("lang",
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de").otherwise("zh"))
+    val r = Sampling.resampleByWeight(df, "id", "lang",
+      Map("en" -> 3.0, "de" -> 1.5, "zh" -> 0.25))
+    val counts = r.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // en: every row exactly 3 copies (667 keys -> 2001 rows, epochs 0,1,2)
+    assert(counts("en") == 3 * df.where(col("lang") === "en").count())
+    val enEpochs = r.where(col("lang") === "en").groupBy("id")
+      .agg(collect_set("epoch").as("es"))
+    assert(enEpochs.where(size(col("es")) =!= 3).count() == 0)
+    // de: 1.5x -> every key at least once, ~half twice
+    val deKeys = df.where(col("lang") === "de").count()
+    assert(counts("de") > (deKeys * 1.3).toLong && counts("de") < (deKeys * 1.7).toLong,
+      counts.toString)
+    assert(r.where(col("lang") === "de").select("id").distinct().count() == deKeys)
+    // zh: ~quarter of keys kept, epoch always 0
+    assert(counts("zh") > (667 * 0.15).toLong && counts("zh") < (667 * 0.35).toLong,
+      counts.toString)
+    assert(r.where(col("lang") === "zh" && col("epoch") =!= 0).count() == 0)
+    // deterministic + append-stable: re-running yields the identical multiset
+    val r2 = Sampling.resampleByWeight(df, "id", "lang",
+      Map("en" -> 3.0, "de" -> 1.5, "zh" -> 0.25))
+    assert(r.except(r2).count() == 0 && r2.except(r).count() == 0)
+    // unknown strata keep defaultWeight = 1.0 (pass-through, epoch 0)
+    val r3 = Sampling.resampleByWeight(df, "id", "lang", Map("en" -> 2.0))
+    assert(r3.where(col("lang") =!= "en").count() == df.where(col("lang") =!= "en").count())
+    // negative weights and epoch clashes rejected
+    intercept[IllegalArgumentException] {
+      Sampling.resampleByWeight(df, "id", "lang", Map("en" -> -1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.resampleByWeight(df.withColumn("epoch", lit(0)), "id", "lang", Map())
+    }
+  }
+
   test("repetition ratios: exact values on known inputs") {
     val d = Seq(
       (1L, "a a b"),          // 3 tokens, 2 distinct
