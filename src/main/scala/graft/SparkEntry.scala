@@ -481,6 +481,14 @@ object SparkEntry {
           graft.functions.Sampling.hashBucket(col("doc_id"), "split").as("bucket"),
           col("split"))),
 
+    // Deterministic global shuffle: every document gets a contiguous
+    // 0-based position in salted-hash order — the reproducible corpus
+    // shuffle before sequence packing, computed with bucket offsets +
+    // within-bucket ranks (never a single-task global window).
+    "q66_global_shuffle" -> ((sp, dir) =>
+      graft.functions.Sampling.globalShuffle(
+        table(sp, dir, "documents").select("doc_id"), "doc_id")),
+
     // Mixture reweighting: upsample en 2.5x by repetition (epoch column
     // decorrelates the copies), keep de/es, downsample fr/zh — the
     // deterministic domain-mixture step of a training-data pipeline.
@@ -1032,6 +1040,18 @@ object SparkEntry {
          |            WHEN bucket < 900 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    // The global shuffle's contract IS the permutation: idx must equal the
+    // dense rank of (salted hash, key) — one window replays it exactly
+    "q66_global_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |          % ${TF.HashMod} AS hkey
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT) AS idx
+         |FROM h""".stripMargin,
 
     // Same hash Bernoulli + integer repetition as the Spark side; DuckDB's
     // range(n) unnests to BIGINT 0..n-1 = the epoch column

@@ -77,6 +77,82 @@ object Sampling {
     * (key, epoch)). Zero shuffle: the `explode` of a per-row sequence fuses
     * into the scan, and at 100 TB the output fan-out is exactly the target
     * mixture's token multiple — no skew beyond the weights themselves. */
+  /** Contiguous global row index over the total order (bucket, orderCols),
+    * at scale — the distributed `row_number() OVER (ORDER BY ...)`, which
+    * as a bare window would serialize the whole corpus through ONE task.
+    * The caller supplies `bucketCol`, a deterministic coarse bucket that is
+    * MONOTONE in the order (so (bucket, orderCols) sorts like orderCols):
+    * a bounded counts job (one row per bucket to the driver) yields each
+    * bucket's global offset, and the index is offset + within-bucket
+    * row_number — a window PARTITIONED by bucket, so the sort parallelizes
+    * across buckets.
+    *
+    * Why not `repartitionByRange` + physical-partition offsets (the RDD
+    * zipWithIndex idiom): range boundaries are SAMPLED with a
+    * per-execution seed, and the counts job and the final query are
+    * separate executions — their partitionings could disagree, corrupting
+    * every offset. Here the index depends only on the data, never on
+    * physical partitioning, so it is reproducible across runs, cluster
+    * sizes, and AQE decisions; the price is two passes over the input
+    * (the cheap one a map-side-combining count). */
+  private def withGlobalIndexByBucket(df: DataFrame, bucketCol: Column,
+      orderCols: Seq[Column], idxName: String): DataFrame = {
+    require(!df.columns.contains(idxName),
+      s"globalShuffle writes `$idxName`; rename the existing column")
+    val clash = df.columns.toSet.intersect(Set("__bucket", "__off"))
+    require(clash.isEmpty,
+      s"globalShuffle reserves ${clash.mkString(", ")}; rename the input column(s)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df.withColumn("__bucket", bucketCol)
+    // bounded stats pass: map-side-combining count per bucket, one row per
+    // bucket to the driver — the cheap half of the two-pass price
+    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0), "globalShuffle key must be non-null")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }.toSeq
+    val offDf = offsets.toDF("__bucket", "__off")
+    // within-bucket rank + broadcast bucket offset = the global index.
+    // Values depend only on the DATA (bucket is monotone in the order,
+    // orderCols are total within a bucket), never on physical partitioning
+    // — safe under AQE coalescing and any cluster size.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy(orderCols: _*)
+    bucketed.join(broadcast(offDf), "__bucket")
+      .withColumn(idxName,
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__bucket", "__off")
+  }
+
+  /** Number of hash-domain buckets [[globalShuffle]] splits the corpus
+    * into. Each bucket is processed by one task and contributes one row to
+    * the driver-side offset table — size it well above the cluster's task
+    * slots (uniform hash keys keep buckets balanced at any corpus size). */
+  val ShuffleBuckets = 1024L
+
+  /** Deterministic corpus SHUFFLE: a total order by the salted key hash
+    * (key itself as the tiebreak), with a contiguous 0-based `idxName`
+    * position — the reproducible global shuffle a training pipeline runs
+    * before sequence packing, using the same engine-replayable hash as
+    * every sampler here. Because the hash is uniform on [0, HashMod), the
+    * coarse buckets are fixed equal-width slices of the hash domain — no
+    * sampling, no skew, bit-identical across runs and cluster sizes. */
+  def globalShuffle(df: DataFrame, keyCol: String, salt: String = "shuffle",
+      idxName: String = "idx"): DataFrame = {
+    require(!df.columns.contains("__hkey"),
+      "globalShuffle reserves __hkey; rename the input column")
+    val width = (TextFunctions.HashMod + ShuffleBuckets - 1L) / ShuffleBuckets
+    val hkey = tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    withGlobalIndexByBucket(
+      df.withColumn("__hkey", hkey),
+      expr(s"__hkey div ${width}L"), // integer div: no double rounding ever
+      Seq(col("__hkey"), col(keyCol)), idxName)
+      .drop("__hkey")
+  }
+
   def resampleByWeight(df: DataFrame, keyCol: String, strataCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "resample"): DataFrame = {

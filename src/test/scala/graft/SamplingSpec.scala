@@ -93,6 +93,35 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("globalShuffle: contiguous permutation equal to the single-window rank, any bucketing") {
+    import org.apache.spark.sql.expressions.Window
+    val df = keys.repartition(7) // deliberately awkward input layout
+    val s = Sampling.globalShuffle(df, "id")
+    val rows = s.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // exactly 0..n-1, each once
+    assert(rows.map(_._2).sorted.toSeq == (0L until 2000L))
+    // equals the one-task window reference (small data makes it feasible)
+    val hkey = TF.tokenHashMod(concat(lit("shuffle:"), col("id").cast("string")))
+    val ref = keys.withColumn("h", hkey)
+      .withColumn("idx", row_number().over(Window.orderBy(col("h"), col("id"))).cast("long") - 1L)
+      .select("id", "idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.toMap == ref)
+    // deterministic across runs and input partitioning
+    val s2 = Sampling.globalShuffle(keys.repartition(3), "id")
+    assert(s2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == ref)
+    // a different salt is a different permutation of the same id set
+    val s3 = Sampling.globalShuffle(df, "id", salt = "epoch1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s3 != ref && s3.values.toSeq.sorted == (0L until 2000L))
+    // reserved/clashing columns rejected
+    intercept[IllegalArgumentException] {
+      Sampling.globalShuffle(df.withColumn("idx", lit(1)), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.globalShuffle(df.withColumn("__bucket", lit(1)), "id")
+    }
+  }
+
   test("repetition ratios: exact values on known inputs") {
     val d = Seq(
       (1L, "a a b"),          // 3 tokens, 2 distinct
