@@ -66,65 +66,69 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt).cast("double") < frac * Buckets)
   }
 
-  /** Deterministic mixture RESAMPLING — the training-mixture reweighting
-    * step: each row is emitted `floor(w) + Bernoulli(frac(w))` times, where
-    * `w` is its stratum's target weight (w > 1 upsamples a high-value
-    * domain by repetition, w < 1 downsamples; strata absent from the map
-    * keep `defaultWeight`). The Bernoulli draw is the salted key hash, so
-    * the result is reproducible, append-stable, and engine-replayable like
-    * every sampler here. Copies carry a 0-based `epoch` column so
-    * downstream stages can decorrelate repeats (shuffle or pack salted by
-    * (key, epoch)). Zero shuffle: the `explode` of a per-row sequence fuses
-    * into the scan, and at 100 TB the output fan-out is exactly the target
-    * mixture's token multiple — no skew beyond the weights themselves. */
-  /** Contiguous global row index over the total order (bucket, orderCols),
-    * at scale — the distributed `row_number() OVER (ORDER BY ...)`, which
-    * as a bare window would serialize the whole corpus through ONE task.
-    * The caller supplies `bucketCol`, a deterministic coarse bucket that is
-    * MONOTONE in the order (so (bucket, orderCols) sorts like orderCols):
-    * a bounded counts job (one row per bucket to the driver) yields each
-    * bucket's global offset, and the index is offset + within-bucket
-    * row_number — a window PARTITIONED by bucket, so the sort parallelizes
-    * across buckets.
+  /** Global running sum of `valueCol` over the total order
+    * (strataCols, bucket, orderCols), at scale — the distributed
+    * `sum(v) OVER (ORDER BY ...)`, which as a bare window would serialize
+    * the whole corpus through ONE task. The caller supplies `bucketCol`, a
+    * deterministic coarse bucket that is MONOTONE in the order (so
+    * (bucket, orderCols) sorts like orderCols): a bounded totals job (one
+    * row per stratum × bucket to the driver) yields each bucket's global
+    * offset, and the result is offset + within-bucket running sum — a
+    * window PARTITIONED by (strata, bucket), so the sort parallelizes
+    * across buckets. With `valueCol = 1`, the inclusive running sum is the
+    * 1-based global row number.
     *
     * Why not `repartitionByRange` + physical-partition offsets (the RDD
     * zipWithIndex idiom): range boundaries are SAMPLED with a
-    * per-execution seed, and the counts job and the final query are
+    * per-execution seed, and the totals job and the final query are
     * separate executions — their partitionings could disagree, corrupting
-    * every offset. Here the index depends only on the data, never on
+    * every offset. Here the result depends only on the data, never on
     * physical partitioning, so it is reproducible across runs, cluster
     * sizes, and AQE decisions; the price is two passes over the input
-    * (the cheap one a map-side-combining count). */
-  private def withGlobalIndexByBucket(df: DataFrame, bucketCol: Column,
-      orderCols: Seq[Column], idxName: String): DataFrame = {
-    require(!df.columns.contains(idxName),
-      s"globalShuffle writes `$idxName`; rename the existing column")
-    val clash = df.columns.toSet.intersect(Set("__bucket", "__off"))
+    * (the cheap one a map-side-combining aggregation). */
+  private def bucketPrefixSum(df: DataFrame, bucketCol: Column,
+      valueCol: Column, strataCols: Seq[String], orderCols: Seq[Column],
+      outName: String): DataFrame = {
+    require(!df.columns.contains(outName),
+      s"this operator writes `$outName`; rename the existing column")
+    val clash = df.columns.toSet.intersect(Set("__bucket", "__off", "__v"))
     require(clash.isEmpty,
-      s"globalShuffle reserves ${clash.mkString(", ")}; rename the input column(s)")
+      s"this operator reserves ${clash.mkString(", ")}; rename the input column(s)")
     val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
     val bucketed = df.withColumn("__bucket", bucketCol)
-    // bounded stats pass: map-side-combining count per bucket, one row per
-    // bucket to the driver — the cheap half of the two-pass price
-    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("n"))
-      .collect().map { r =>
-        require(!r.isNullAt(0), "globalShuffle key must be non-null")
-        (r.getLong(0), r.getLong(1))
-      }.sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }.toSeq
-    val offDf = offsets.toDF("__bucket", "__off")
-    // within-bucket rank + broadcast bucket offset = the global index.
-    // Values depend only on the DATA (bucket is monotone in the order,
-    // orderCols are total within a bucket), never on physical partitioning
-    // — safe under AQE coalescing and any cluster size.
+      .withColumn("__v", valueCol.cast("long"))
+    val keyCols = strataCols :+ "__bucket"
+    val totals = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(sum("__v").as("__t")).collect()
+    totals.foreach { r =>
+      (0 to strataCols.length).foreach(i => require(!r.isNullAt(i),
+        "shuffle/budget keys and strata must be non-null"))
+    }
+    // driver-side prefix per stratum across its buckets, bucket ascending —
+    // bounded: one row per stratum × bucket
+    val offsets = totals
+      .map(r => (Vector.tabulate(strataCols.length)(r.get),
+        r.getLong(strataCols.length), r.getLong(strataCols.length + 1)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (sv, b, t) =>
+          val o = acc; acc += t; Row.fromSeq(sv ++ Seq(b, o))
+        }
+      }
+    val offSchema = StructType(
+      strataCols.map(c => bucketed.schema(c).copy(name = c)) ++
+        Seq(StructField("__bucket", LongType), StructField("__off", LongType)))
+    val offDf = spark.createDataFrame(offsets.asJava, offSchema)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__bucket").orderBy(orderCols: _*)
-    bucketed.join(broadcast(offDf), "__bucket")
-      .withColumn(idxName,
-        col("__off") + row_number().over(w).cast("long") - 1L)
-      .drop("__bucket", "__off")
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed.join(broadcast(offDf), keyCols)
+      .withColumn(outName, col("__off") + sum(col("__v")).over(w))
+      .drop("__bucket", "__v", "__off")
   }
 
   /** Number of hash-domain buckets [[globalShuffle]] splits the corpus
