@@ -150,10 +150,14 @@ object Sampling {
       "globalShuffle reserves __hkey; rename the input column")
     val width = (TextFunctions.HashMod + ShuffleBuckets - 1L) / ShuffleBuckets
     val hkey = tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string")))
-    withGlobalIndexByBucket(
+    // bucketPrefixSum with valueCol=1 yields the 1-based global row number;
+    // subtract 1 for the 0-based contiguous position the contract promises.
+    bucketPrefixSum(
       df.withColumn("__hkey", hkey),
       expr(s"__hkey div ${width}L"), // integer div: no double rounding ever
-      Seq(col("__hkey"), col(keyCol)), idxName)
+      valueCol = lit(1L), strataCols = Seq.empty,
+      orderCols = Seq(col("__hkey"), col(keyCol)), outName = idxName)
+      .withColumn(idxName, col(idxName) - 1L)
       .drop("__hkey")
   }
 
