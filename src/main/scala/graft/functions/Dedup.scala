@@ -325,9 +325,9 @@ object Dedup {
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val mb = new org.apache.spark.sql.types.MetadataBuilder()
-    readIndexMeta(spark, path).foreach { case (k, b, s, _) =>
+    readIndexMeta(spark, path).foreach { case (k, b, s, seed) =>
       mb.putLong("graft.k", k.toLong).putLong("graft.bands", b.toLong)
-        .putLong("graft.shingleN", s.toLong)
+        .putLong("graft.shingleN", s.toLong).putLong("graft.seed", seed)
     }
     spark.read.parquet(path)
       .select(col("band"), col("bh"), col("id").as("corpus_id"),

@@ -193,18 +193,22 @@ object Multimodal {
       d(i) == s(0).toByte && d(i + 1) == s(1).toByte &&
       d(i + 2) == s(2).toByte && d(i + 3) == s(3).toByte
     if (d.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    // walk chunks: fmt carries the layout, data carries the samples
-    var i = 12
+    // walk chunks: fmt carries the layout, data carries the samples.
+    // The offset is a Long: le32 sizes are unsigned 32-bit, and a malformed
+    // size near 2^31 would wrap an Int offset negative — the guard would
+    // still pass and d(i) would crash the task on one corrupt record. With
+    // Long arithmetic an oversized chunk just walks past d.length and the
+    // loop ends with whatever was parsed so far.
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataBytes = -1L
     while (i + 8 <= d.length) {
-      val size = le32(i + 4)
-      if (tag(i, "fmt ") && i + 24 <= d.length)
-        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
-      else if (tag(i, "data")) dataBytes = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (size < 0 || size > Int.MaxValue) return fmt.map {
-        case (c, sr, b) => WavHeader(c, sr, b, math.max(dataBytes, -1L)) }
+      val at = i.toInt // safe: i + 8 <= d.length <= Int.MaxValue
+      val size = le32(at + 4)
+      if (tag(at, "fmt ") && i + 24 <= d.length)
+        fmt = Some((le16(at + 10), le32(at + 12).toInt, le16(at + 22)))
+      else if (tag(at, "data")) dataBytes = size
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     fmt.map { case (c, sr, b) => WavHeader(c, sr, b, dataBytes) }
   }

@@ -119,8 +119,16 @@ object IntervalJoin {
     require(!points.columns.contains(tmp), s"points frame may not contain `$tmp`")
     val lifted = points.schema(ptName).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        points.withColumn(tmp,
-          interval(col(ptName).cast("long"), col(ptName).cast("long") + lit(1L)))
+        // t = Long.MaxValue has no successor tick: t+1 wraps to a reversed
+        // span the strategies silently drop — raise instead of losing the
+        // point (smaller integral types can never reach the edge)
+        val pt = col(ptName).cast("long")
+        val next = when(pt === lit(Long.MaxValue), raise_error(concat(
+          lit("stab_join: point column `" + ptName + "` holds 9223372036854775807 " +
+            "(Long.MaxValue), which cannot lift to a [t, t+1) span — " +
+            "exclude or re-encode that tick"))).cast("long"))
+          .otherwise(pt + lit(1L))
+        points.withColumn(tmp, interval(pt, next))
       case TimestampType | TimestampNTZType =>
         points.withColumn(tmp, struct(col(ptName).as("start"),
           (col(ptName) + expr("INTERVAL 1 MICROSECOND")).as("stop")))

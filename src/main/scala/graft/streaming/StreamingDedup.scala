@@ -34,11 +34,12 @@ object StreamingDedup {
     * parameters are recorded in the `corpus_bhs` column metadata so the
     * join side can reject a mismatched configuration. */
   def prepareCorpus(corpus: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 5): DataFrame = {
+      k: Int = 16, bands: Int = 4, shingleN: Int = 5,
+      seed: Long = 42L): DataFrame = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.k", k).putLong("graft.bands", bands)
-      .putLong("graft.shingleN", shingleN).build()
-    Dedup.signatures(corpus, textCol, idCol, k, bands, shingleN)
+      .putLong("graft.shingleN", shingleN).putLong("graft.seed", seed).build()
+    Dedup.signatures(corpus, textCol, idCol, k, bands, shingleN, seed)
       .where(size(col("hs")) > 0)
       .select(col("id").as("corpus_id"), col("hs").as("corpus_hs"),
         col("bhs").as("corpus_bhs", meta),
@@ -55,7 +56,7 @@ object StreamingDedup {
   def nearDupAgainstCorpus(stream: DataFrame, corpusBands: DataFrame,
       textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0, "nearDupAgainstCorpus requires a positive threshold")
     // a corpus prepared with different signature parameters would silently
     // join to (almost) nothing — reject the mismatch at plan time
@@ -63,11 +64,12 @@ object StreamingDedup {
     if (cm.contains("graft.k")) {
       val (ck, cb, cs) = (cm.getLong("graft.k"), cm.getLong("graft.bands"),
         cm.getLong("graft.shingleN"))
-      require(ck == k && cb == bands && cs == shingleN,
-        s"corpus prepared with (k=$ck, bands=$cb, shingleN=$cs) but stream " +
-          s"uses (k=$k, bands=$bands, shingleN=$shingleN)")
+      val csd = if (cm.contains("graft.seed")) cm.getLong("graft.seed") else 42L
+      require(ck == k && cb == bands && cs == shingleN && csd == seed,
+        s"corpus prepared with (k=$ck, bands=$cb, shingleN=$cs, seed=$csd) " +
+          s"but stream uses (k=$k, bands=$bands, shingleN=$shingleN, seed=$seed)")
     }
-    val s = Dedup.signatures(stream, textCol, idCol, k, bands, shingleN)
+    val s = Dedup.signatures(stream, textCol, idCol, k, bands, shingleN, seed)
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))

@@ -291,4 +291,19 @@ class IntervalJoinSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("integral or timestamp"))
   }
+
+  test("stab join: Long.MaxValue point raises instead of silently vanishing") {
+    import spark.implicits._
+    // t+1 would wrap to Long.MinValue — a reversed span every strategy
+    // silently drops; the lift must raise so the point can't just vanish
+    val pts = Seq(Long.MaxValue, 25L).toDF("t")
+    val e = intercept[Exception] {
+      IntervalJoin.stabJoin(pts, quarters, "t" -> "span").count()
+    }
+    assert(e.getMessage.contains("9223372036854775807"))
+    // points clear of the edge are unaffected
+    val ok = IntervalJoin.stabJoin(Seq(Long.MaxValue - 1L, 25L).toDF("t"),
+      quarters, "t" -> "span", Options(keepleft = true))
+    assert(ok.count() >= 2)
+  }
 }

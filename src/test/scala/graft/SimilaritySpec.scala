@@ -314,5 +314,22 @@ class SimilaritySpec extends SparkSuite {
     assert(Multimodal.wavHeader("RIFF".getBytes).isEmpty)
     // keep the fmt chunk, drop the data chunk: layout parses, length unknown
     assert(Multimodal.wavHeader(wav(2, 8000, 16, 100).take(38)).exists(_.dataBytes == -1L))
+    // malformed chunk size near Int.MaxValue must not wrap the offset
+    // negative (would AIOOBE-crash the task on one corrupt record): the
+    // oversized chunk walks past the payload and parsing ends cleanly
+    def evilWav(size: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      bb.putInt(8000).putInt(8000 * 2 * 2).putShort(4).putShort(16)
+      bb.put("LIST".getBytes).putInt(size) // bogus chunk with hostile size
+      bb.array()
+    }
+    for (s <- Seq(Int.MaxValue - 5, Int.MaxValue, -1, -8, Int.MinValue)) {
+      val parsed = Multimodal.wavHeader(evilWav(s))
+      assert(parsed.exists(h => h.channels == 2 && h.sampleRate == 8000 &&
+        h.bitsPerSample == 16 && h.dataBytes == -1L), s"size=$s")
+    }
   }
 }

@@ -442,6 +442,56 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("non-default seed travels through the persisted-index streaming bridge") {
+    import graft.functions.Dedup
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    // an index written with seed != 42 probed through the stream path used
+    // to silently join to nothing (the sidecar seed was dropped); now the
+    // seed rides loadBandIndex's metadata: a default-seed probe is rejected
+    // at plan time and a matching-seed probe finds the duplicate
+    val hist = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (200L, "completely different reference material about spark planning"))
+      .toDF("doc_id", "text")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_band_index_seed_${System.nanoTime()}").getPath
+    try {
+      Dedup.writeBandIndex(hist, "text", "doc_id", path, seed = 7L)
+      val idx = Dedup.loadBandIndex(spark, path)
+      val in = MemoryStream[(Long, String)]
+      val e = intercept[IllegalArgumentException] {
+        StreamingDedup.nearDupAgainstCorpus(
+          in.toDF().toDF("doc_id", "text"), idx, "text", "doc_id")
+      }
+      assert(e.getMessage.contains("seed=7") && e.getMessage.contains("seed=42"))
+      val out = StreamingDedup.nearDupAgainstCorpus(
+        in.toDF().toDF("doc_id", "text"), idx, "text", "doc_id", seed = 7L)
+      val q = out.writeStream.format("memory").queryName("sp").outputMode("append").start()
+      try {
+        in.addData((1L, "the quick brown fox jumps over the lazy dog again and again"))
+        q.processAllAvailable()
+        val got = spark.sql("SELECT id, corpus_id, jaccard FROM sp").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == Set((1L, 100L, 1.0)))
+      } finally q.stop()
+      // prepareCorpus records its seed too: mismatch rejected symmetrically
+      val prepared = StreamingDedup.prepareCorpus(hist, "text", "doc_id", seed = 7L)
+      try {
+        val e2 = intercept[IllegalArgumentException] {
+          StreamingDedup.nearDupAgainstCorpus(
+            in.toDF().toDF("doc_id", "text"), prepared, "text", "doc_id", seed = 9L)
+        }
+        assert(e2.getMessage.contains("seed=7") && e2.getMessage.contains("seed=9"))
+      } finally { prepared.unpersist(); () }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("streaming interval merge: cross-batch touching runs close on watermark, match batch") {
     import graft.streaming.StreamingIntervalOps
     implicit val sqlCtx = spark.sqlContext
