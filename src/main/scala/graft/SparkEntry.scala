@@ -554,24 +554,18 @@ object SparkEntry {
 
     // Dedup clusters: connected components over the simhash near-dup graph
     // (hamming <= 2), one representative (min doc_id) per component. Pair
-    // generation here is the exact all-pairs baseline so the oracle can
-    // replicate it; production uses the LSH candidate path + the same CC.
+    // generation is the pigeonhole-banded equi-join (simhashNearDupPairs)
+    // — bucketed, never an all-pairs broadcast — whose pair set is PROVABLY
+    // identical to the all-pairs graph, so the recursive-CTE oracle (which
+    // replays all-pairs, fine at oracle scale) still agrees exactly.
     "q46_dedup_clusters" -> ((sp, dir) => {
       // one-pass imperative simhash (bit-identical to the Column path),
-      // materialized before the self-join so nothing re-inlines into the
-      // join predicate
+      // materialized once before the banded self-join
       val sh = Dedup.simhashFast(table(sp, dir, "documents"), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("sh"))
+        .repartition(sp.sessionState.conf.numShufflePartitions)
         .localCheckpoint(true)
-      // broadcast build side + repartitioned stream side: the all-pairs
-      // predicate then runs on every core instead of one task per source
-      // file (the single-file BNLJ pitfall, cf. q30)
-      val pairs = sh.repartition(sh.sparkSession.sessionState.conf.numShufflePartitions)
-        .as("x").join(broadcast(sh.as("y")),
-          col("x.doc_id") < col("y.doc_id") &&
-            expr("bit_count(x.sh ^ y.sh)") <= 2)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      Dedup.connectedComponents(pairs, sh.select(col("doc_id").as("id")))
+      val pairs = Dedup.simhashNearDupPairs(sh, maxDist = 2, bands = 4)
+      Dedup.connectedComponents(pairs, sh.select(col("id")))
         .select(col("id").as("doc_id"), col("rep"))
     }),
 
@@ -623,8 +617,11 @@ object SparkEntry {
       Dedup.nearDupPairs(table(sp, dir, "documents"), "text", "doc_id",
         k = 16, bands = 4, shingleN = 5, threshold = 0.5)),
 
-    // Dedup: exact embedding-cosine near-dup pairs (all-pairs baseline)
-    "q30_embed_neardup" -> ((sp, dir) =>
+    // Dedup: exact embedding-cosine near-dup pairs. DECLARED BASELINE:
+    // all-pairs by construction (the exactness oracle for q31's LSH path,
+    // which is the plan that ships at scale) — never run this on a big
+    // corpus.
+    "q30_embed_neardup_baseline" -> ((sp, dir) =>
       Similarity.cosineNearDupPairs(table(sp, dir, "embeddings"), 0.4)),
 
     // Dedup: multi-table LSH embedding near-dup — deterministic plane
@@ -1335,7 +1332,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
         |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
 
-    "q30_embed_neardup" ->
+    "q30_embed_neardup_baseline" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |              round(list_dot_product(a.v, b.v)

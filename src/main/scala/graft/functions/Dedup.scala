@@ -247,6 +247,51 @@ object Dedup {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** EXACT Hamming-distance near-dup pairs over SimHash fingerprints
+    * WITHOUT the all-pairs compare, via pigeonhole banding (the web-scale
+    * simhash dedup shape — Manku et al., WWW '07): split the `bits`-bit
+    * fingerprint into `bands` contiguous blocks; two fingerprints within
+    * Hamming distance `maxDist` differ in at most `maxDist` blocks, so with
+    * `bands > maxDist` they agree EXACTLY on at least one block. Candidate
+    * generation is therefore ONE equi-join on (block index, block bits) —
+    * bucketed, never broadcast-all-pairs — and the cheap `bit_count`
+    * verification runs once per candidate, kept in the FIRST agreeing block
+    * (a residual predicate, no distinct shuffle). The output pair set is
+    * PROVABLY identical to the all-pairs plan.
+    *
+    * At very large corpora, widen the fingerprint so block-bucket occupancy
+    * stays low: 32-bit/8-bit blocks hash into only 256 keys per band (each
+    * bucket goes quadratic internally), while 64-bit fingerprints with
+    * 16-bit blocks give 65 536 keys per band.
+    *
+    * Input: (id, sh) as produced by [[simhashFast]]; output (a, b), a < b,
+    * one row per pair with Hamming distance <= `maxDist`. */
+  def simhashNearDupPairs(sh: DataFrame, maxDist: Int = 2, bands: Int = 4,
+      bits: Int = 32): DataFrame = {
+    require(bands > maxDist,
+      s"pigeonhole exactness needs bands > maxDist (got $bands <= $maxDist)")
+    require(bits > 0 && bits <= 64 && bits % bands == 0,
+      s"bits ($bits) must be in (0, 64] and divide evenly into $bands bands")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def block(c: Column, i: Int) = shiftright(c, i * width).bitwiseAND(lit(mask))
+    // static unroll: bands is small, so the block array stays a flat
+    // codegen expression (no lambda-bound shift amounts)
+    val blocks = array((0 until bands).map(i =>
+      struct(lit(i).as("band"), block(col("sh"), i).as("bb"))): _*)
+    val e = sh.select(col("id"), col("sh"), explode(blocks).as("x"))
+      .select(col("id"), col("sh"), col("x.band").as("band"), col("x.bb").as("bb"))
+    val a = e.select(col("id").as("a"), col("sh").as("__sha"), col("band"), col("bb"))
+    val b = e.select(col("id").as("b"), col("sh").as("__shb"), col("band"), col("bb"))
+    val firstAgree = (0 until bands).foldRight(lit(-1): Column) { (i, acc) =>
+      when(block(col("__sha"), i) === block(col("__shb"), i), lit(i)).otherwise(acc)
+    }
+    a.join(b, Seq("band", "bb"))
+      .where(col("a") < col("b") && col("band") === firstAgree &&
+        expr(s"bit_count(__sha ^ __shb)") <= maxDist)
+      .select(col("a"), col("b"))
+  }
+
   /** Persist a near-dup band index for INCREMENTAL dedup — the production
     * shape: the historical corpus pays the signature + explode cost once at
     * write time, and every new ingestion batch probes it without

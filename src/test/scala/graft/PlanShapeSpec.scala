@@ -21,7 +21,7 @@ class PlanShapeSpec extends SparkSuite {
   private val bnljOk = Set(
     "q02_interval_join_inner", "q03_interval_join_left", "q04_interval_join_right",
     "q05_interval_join_full", "q07_grouped_interval_join", "q32_interval_join_ts",
-    "q15_ann_brute", "q30_embed_neardup",
+    "q15_ann_brute", "q30_embed_neardup_baseline",
     // single-row corpus-count broadcast (tf-idf idf factor / surprisal N)
     "q42_tfidf_top", "q59_unigram_surprisal",
     // range-only generalized joins against tiny window frames (nation/region

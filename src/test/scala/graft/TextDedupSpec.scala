@@ -75,6 +75,41 @@ class TextDedupSpec extends SparkSuite {
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
   }
 
+  test("simhashNearDupPairs: banded pair set == all-pairs brute force (pigeonhole exactness)") {
+    // random 32-bit fingerprints plus planted pairs at hamming 0, 1, 2
+    // (kept) and 3 (excluded) — the banded equi-join must reproduce the
+    // all-pairs graph bit-for-bit
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i => (i, rnd.nextLong() & 0xffffffffL))
+    val planted = Seq(
+      (100L, base(0)._2),                       // hamming 0 vs id 0
+      (101L, base(1)._2 ^ 0x10L),               // hamming 1 vs id 1
+      (102L, base(2)._2 ^ 0x80000001L),         // hamming 2 vs id 2 (spans blocks)
+      (103L, base(3)._2 ^ 0x01010100L))         // hamming 3 vs id 3 — excluded
+    val rows = base ++ planted
+    val sh = rows.toDF("id", "sh")
+    val got = Dedup.simhashNearDupPairs(sh, maxDist = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      i <- rows.indices; j <- i + 1 until rows.length
+      if java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2) <= 2
+    } yield {
+      val (a, b) = (rows(i)._1, rows(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(got == brute)
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)) &&
+      got.contains((2L, 102L)) && !got.contains((3L, 103L)))
+    // pigeonhole precondition enforced: bands must exceed maxDist
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sh, maxDist = 4, bands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    // plan shape: candidate generation is an equi-join, not a nested loop
+    val plan = Dedup.simhashNearDupPairs(sh).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("exact dup groups") {
     val g = Dedup.exactDupGroups(docs, "text", "doc_id")
     assert(g.count() == 4) // 5 docs, one exact pair
