@@ -497,6 +497,17 @@ object SparkEntry {
         table(sp, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
         Map("en" -> 2.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 0.6, "zh" -> 0.4))),
 
+    // Token-budget cap: per-language, keep the prefix of the hash-shuffled
+    // corpus whose running token total fits a 2k budget — the "first B
+    // tokens per domain" step of assembling a training mix; bucket-offset
+    // prefix sum, never a one-task global window.
+    "q67_budget_cap" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.functions.Sampling.capByBudget(d, "doc_id", "n_tok", 2000L,
+        strataCols = Seq("lang"))
+    }),
+
     // Text quality: within-document repetition signals
     "q35_repetition" -> ((sp, dir) =>
       // one-pass imperative ratios (bit-identical to the Column path)
@@ -1066,6 +1077,21 @@ object SparkEntry {
          |      FROM b)
          |SELECT doc_id, lang, unnest(range(n)) AS epoch
          |FROM c WHERE n > 0""".stripMargin,
+
+    // The cap's contract IS the windowed running sum: keep rows whose
+    // inclusive per-lang cumulative token count in (salted hash, key)
+    // order fits the budget
+    "q67_budget_cap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |         ${hSql("'budget:' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY lang ORDER BY hkey, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin,
 
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -161,6 +161,39 @@ object Sampling {
       .drop("__hkey")
   }
 
+  /** Deterministic token-budget cap: keep the corpus PREFIX — in the same
+    * salted hash-shuffle order as [[globalShuffle]] — whose inclusive
+    * running `valueCol` total stays within `budget`: "take the first B
+    * tokens of the shuffled corpus", the budget step of a training-data
+    * pipeline. With `strataCols` the budget applies PER STRATUM over the
+    * same order (e.g. a per-language token budget). A row is kept iff
+    * `sum(value) OVER (PARTITION BY strata ORDER BY hash, key) <= budget`
+    * — exactly what a SQL oracle replays — so membership is reproducible
+    * across runs, cluster sizes, and appends that don't disturb kept
+    * hashes' prefix. Computed with the bucket-offset prefix sum
+    * ([[bucketPrefixSum]]): the sort parallelizes across the fixed hash
+    * buckets, never a one-task global window. Null or negative values
+    * raise rather than silently corrupting the running total. */
+  def capByBudget(df: DataFrame, keyCol: String, valueCol: String,
+      budget: Long, strataCols: Seq[String] = Seq.empty,
+      salt: String = "budget"): DataFrame = {
+    require(budget >= 0L, s"budget must be nonnegative: $budget")
+    require(!df.columns.contains("__hkey"),
+      "capByBudget reserves __hkey; rename the input column")
+    val width = (TextFunctions.HashMod + ShuffleBuckets - 1L) / ShuffleBuckets
+    val hkey = tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    val v = when(col(valueCol).isNull || col(valueCol) < 0, raise_error(
+      lit(s"capByBudget requires non-null, nonnegative `$valueCol` values"))
+      .cast("long")).otherwise(col(valueCol).cast("long"))
+    bucketPrefixSum(
+      df.withColumn("__hkey", hkey),
+      expr(s"__hkey div ${width}L"),
+      valueCol = v, strataCols = strataCols,
+      orderCols = Seq(col("__hkey"), col(keyCol)), outName = "__cum")
+      .where(col("__cum") <= budget)
+      .drop("__hkey", "__cum")
+  }
+
   def resampleByWeight(df: DataFrame, keyCol: String, strataCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "resample"): DataFrame = {

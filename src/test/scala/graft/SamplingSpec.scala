@@ -122,6 +122,49 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("capByBudget: kept set == windowed running-sum reference, global and per-stratum") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 1500L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "zh",
+        rnd.nextInt(50).toLong)).toDF("id", "lang", "v").repartition(7)
+    def ref(w: org.apache.spark.sql.expressions.WindowSpec, budget: Long) = {
+      val hkey = TF.tokenHashMod(concat(lit("budget:"), col("id").cast("string")))
+      df.withColumn("h", hkey)
+        .withColumn("cum", sum(col("v")).over(w.orderBy(col("h"), col("id"))))
+        .where(col("cum") <= budget).select("id").as[Long].collect().toSet
+    }
+    // global budget
+    val g = Sampling.capByBudget(df, "id", "v", 5000L)
+    assert(g.columns.toSeq == Seq("id", "lang", "v")) // schema passes through
+    assert(g.select("id").as[Long].collect().toSet == ref(Window.partitionBy(), 5000L))
+    // per-stratum budget over the same order
+    val s = Sampling.capByBudget(df, "id", "v", 3000L, strataCols = Seq("lang"))
+    assert(s.select("id").as[Long].collect().toSet ==
+      ref(Window.partitionBy(col("lang")), 3000L))
+    // every stratum's kept token total fits the budget
+    val totals = s.groupBy("lang").agg(sum("v")).collect().map(_.getLong(1))
+    assert(totals.nonEmpty && totals.forall(_ <= 3000L))
+    // determinism across input partitioning
+    val s2 = Sampling.capByBudget(df.repartition(3), "id", "v", 3000L, Seq("lang"))
+    assert(s2.select("id").as[Long].collect().toSet ==
+      s.select("id").as[Long].collect().toSet)
+    // a zero budget keeps nothing; negative budget rejected
+    assert(Sampling.capByBudget(df, "id", "v", 0L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.capByBudget(df, "id", "v", -1L)
+    }
+    // negative / null values raise instead of corrupting the running sum
+    intercept[Exception] {
+      Sampling.capByBudget(df.withColumn("v", col("v") - 100L), "id", "v", 5000L).count()
+    }
+    intercept[Exception] {
+      Sampling.capByBudget(
+        df.withColumn("v", when(col("id") === 7L, lit(null)).otherwise(col("v"))),
+        "id", "v", 5000L).count()
+    }
+  }
+
   test("repetition ratios: exact values on known inputs") {
     val d = Seq(
       (1L, "a a b"),          // 3 tokens, 2 distinct
