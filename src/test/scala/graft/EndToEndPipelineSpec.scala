@@ -101,10 +101,23 @@ class EndToEndPipelineSpec extends SparkSuite {
         case "zh" => assert(es == Set(0L), s"doc $id: $es")
       }
     }
-    // stage 6: a contiguous permutation over all (doc, epoch) rows
+    // stage 6: a contiguous permutation over all (doc, epoch) rows, and the
+    // PERMUTATION ITSELF equals the one-window row_number()-1 replay — the
+    // 0-based contract the q66 oracle states (regression-locks the
+    // bucket-offset prefix sum's 1-based/0-based adjustment)
     val n = mixed.count()
     val idxs = shuffled.select("idx").collect().map(_.getLong(0)).sorted
     assert(idxs.toSeq == (0L until n))
+    val hkey = TF.tokenHashMod(concat(lit("shuffle:"), col("key").cast("string")))
+    val refIdx = mixed.withColumn("key", concat_ws("#", col("doc_id"), col("epoch")))
+      .withColumn("h", hkey)
+      .withColumn("ref_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("key")))
+        .cast("long") - 1L)
+      .select("key", "ref_idx").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotIdx = shuffled.select("key", "idx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotIdx == refIdx)
     // stage 7: pack budget respected per bucket
     val buckets = packed.groupBy("bucket")
       .agg(sum("n_tok").as("toks"), max("pack_last").as("last"))
