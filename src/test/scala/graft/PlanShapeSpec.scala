@@ -79,6 +79,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(p58.contains("TakeOrderedAndProject"), s"topNgrams should plan top-k, got:\n$p58")
   }
 
+  test("global shuffle / budget cap never plan a single-partition window") {
+    // the bucket-offset prefix sum exists precisely to avoid the one-task
+    // global sort a bare sum(...) OVER (ORDER BY ...) would plan: the
+    // window must stay partitioned (hash exchange), never SinglePartition
+    for (q <- Seq("q66_global_shuffle", "q67_budget_cap")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), s"$q lost its window")
+      assert(!plan.contains("SinglePartition"),
+        s"$q serializes through one task:\n$plan")
+    }
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val q19 = SparkEntry.queries("q19_asof")(spark, dir)
     val plan = q19.queryExecution.executedPlan.toString
