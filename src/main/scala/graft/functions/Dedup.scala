@@ -395,9 +395,18 @@ object Dedup {
       k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0, "nearDupAgainstIndex requires a positive threshold")
     requireIndexParams(newDocs.sparkSession, indexPath, k, bands, shingleN, seed)
-    val idx = newDocs.sparkSession.read.parquet(indexPath)
-      .select(col("band"), col("bh"), col("id").as("index_id"),
-        col("hs").as("idx_hs"), col("bhs").as("idx_bhs"))
+    probeIndex(newDocs.sparkSession.read.parquet(indexPath), newDocs,
+      textCol, idCol, threshold, k, bands, shingleN, seed)
+  }
+
+  /** The shared probe: `idx` carries (band, bh, id, hs, bhs) rows from any
+    * source (path parquet, bucketed table). One (band, bh) equi-join,
+    * first-agreeing-band pair dedup, exact-Jaccard verify. */
+  private def probeIndex(idx0: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      k: Int, bands: Int, shingleN: Int, seed: Long): DataFrame = {
+    val idx = idx0.select(col("band"), col("bh"), col("id").as("index_id"),
+      col("hs").as("idx_hs"), col("bhs").as("idx_bhs"))
     val probe = signatures(newDocs, textCol, idCol, k, bands, shingleN, seed)
       .where(size(col("hs")) > 0)
       .select(col("id").as("new_id"), col("hs").as("new_hs"),
@@ -411,6 +420,54 @@ object Dedup {
           .cast("double") /
           size(array_union(col("new_hs"), col("idx_hs"))), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Bucketed-TABLE band index — the repeated-probe shape at cluster
+    * scale: the index is saved `bucketBy(nBuckets, band, bh)` + sorted, so
+    * every future probe's (band, bh) equi-join reads the history
+    * CO-LOCATED AND PRE-SORTED — only the (small) new batch shuffles; the
+    * historical index never moves again after the one shuffle paid at
+    * write time. Use over [[writeBandIndex]] when the index is probed by
+    * every pipeline run (a daily-crawl dedup service); the parquet-path
+    * variant remains for one-off or filesystem-level workflows. Signature
+    * parameters travel in the catalog schema's `bhs` column metadata;
+    * mismatched probes are rejected at plan time. */
+  def writeBandIndexTable(df: DataFrame, textCol: String, idCol: String,
+      tableName: String, nBuckets: Int, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 5, seed: Long = 42L): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.k", k.toLong).putLong("graft.bands", bands.toLong)
+      .putLong("graft.shingleN", shingleN.toLong).putLong("graft.seed", seed)
+      .build()
+    signatures(df, textCol, idCol, k, bands, shingleN, seed)
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), col("bhs").as("bhs", meta),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** Probe a [[writeBandIndexTable]] index: same contract as
+    * [[nearDupAgainstIndex]], with the history side read from its bucket
+    * layout (no shuffle, no sort on the index side of the join). */
+  def nearDupAgainstIndexTable(newDocs: DataFrame, textCol: String,
+      idCol: String, tableName: String, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0, "nearDupAgainstIndexTable requires a positive threshold")
+    val idx = newDocs.sparkSession.table(tableName)
+    val cm = idx.schema("bhs").metadata
+    if (cm.contains("graft.k")) {
+      val (ik, ib, is, isd) = (cm.getLong("graft.k"), cm.getLong("graft.bands"),
+        cm.getLong("graft.shingleN"), cm.getLong("graft.seed"))
+      require(ik == k && ib == bands && is == shingleN && isd == seed,
+        s"band index table $tableName was written with (k=$ik, bands=$ib, " +
+          s"shingleN=$is, seed=$isd) but the probe uses (k=$k, bands=$bands, " +
+          s"shingleN=$shingleN, seed=$seed) — hashes would never collide")
+    }
+    probeIndex(idx, newDocs, textCol, idCol, threshold, k, bands, shingleN, seed)
   }
 
   /** Benchmark decontamination: for every corpus document, the number of

@@ -162,6 +162,52 @@ class TextDedupSpec extends SparkSuite {
     }
   }
 
+  test("bucketed band-index TABLE: probe == path probe, index side joins with no shuffle") {
+    val corpus = (0L until 60L).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog number ${i % 7} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail$i extra words ${i * 31}")
+    }.toDF("doc_id", "text")
+    val hist = corpus.where(col("doc_id") % 2 === 0)
+    val fresh = corpus.where(col("doc_id") % 2 === 1)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_band_table_spec_${System.nanoTime()}").getPath
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Dedup.writeBandIndexTable(hist, "text", "doc_id", "graft_band_idx",
+        nBuckets = 4, seed = 7L)
+      Dedup.writeBandIndex(hist, "text", "doc_id", path, seed = 7L)
+      val viaTable = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
+        "graft_band_idx", threshold = 0.4, seed = 7L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val viaPath = Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path,
+        threshold = 0.4, seed = 7L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(viaTable.nonEmpty && viaTable == viaPath)
+      // the point of the bucket layout: force the big-big join path and the
+      // history side must come back CO-LOCATED — exactly ONE Exchange in the
+      // whole plan (the probe side), none under the index scan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
+        "graft_band_idx", threshold = 0.4, seed = 7L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan must use buckets:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"only the probe side may shuffle:\n$plan")
+      // parameters ride the catalog schema: mismatched probe rejected
+      val e = intercept[IllegalArgumentException] {
+        Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id", "graft_band_idx")
+      }
+      assert(e.getMessage.contains("seed=7") && e.getMessage.contains("seed=42"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_band_idx")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("tfidf: exact tf/df counts; rare terms outrank stopwords; top-k bounded") {
     import graft.functions.TfIdf
     val corpus = Seq(
