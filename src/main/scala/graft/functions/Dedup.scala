@@ -78,26 +78,33 @@ object Dedup {
   }
 
   /** Fast path for [[simhash32]]: one imperative pass computing each token's
-    * md5 hash ONCE and voting all 32 bits from it. Bit-identical to the
-    * Column path (pinned by DedupParitySpec) — the pure-Column expression
-    * references the token-hash array in 32 aggregate terms and Catalyst
-    * re-inlines it, paying 32 md5 passes per document (measured 14 s for
-    * 5 k docs at sf0.1 vs ~0.3 s here). Output: (id, sh). */
-  def simhashFast(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * md5 hash ONCE and voting all `bits` bits from it. At the default 32 it
+    * is bit-identical to the Column path (pinned by DedupParitySpec) — the
+    * pure-Column expression references the token-hash array in 32 aggregate
+    * terms and Catalyst re-inlines it, paying 32 md5 passes per document
+    * (measured 14 s for 5 k docs at sf0.1 vs ~0.3 s here). Output: (id, sh).
+    *
+    * `bits` up to 60 (the md5-derived hash width): WIDER fingerprints are
+    * the scale knob for [[simhashNearDupPairs]] — 60-bit fingerprints with
+    * 15-bit blocks hash into 32 768 candidate keys per band where 32/8-bit
+    * gives only 256, keeping block buckets small as the corpus grows. */
+  def simhashFast(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits > 0 && bits <= 60, s"simhash bits must be in (0, 60]: $bits")
     import org.apache.spark.sql.Encoders
     val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     val out = in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, text) =>
-        val votes = new Array[Int](32)
+        val votes = new Array[Int](bits)
         // NULL text = no tokens (the Column path's when(...) yields sh 0)
         val safe = if (text == null) "" else text
         safe.split("\\s+").foreach { t =>
           if (t.nonEmpty) {
             val h = md5H60(md, t)
             var j = 0
-            while (j < 32) {
+            while (j < bits) {
               votes(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt
               j += 1
             }
@@ -105,7 +112,7 @@ object Dedup {
         }
         var sh = 0L
         var j = 0
-        while (j < 32) { if (votes(j) > 0) sh |= 1L << j; j += 1 }
+        while (j < bits) { if (votes(j) > 0) sh |= 1L << j; j += 1 }
         (id, sh)
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))

@@ -108,6 +108,35 @@ class TextDedupSpec extends SparkSuite {
     // plan shape: candidate generation is an equi-join, not a nested loop
     val plan = Dedup.simhashNearDupPairs(sh).queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    // the 60-bit scale variant: same pigeonhole exactness at 15-bit blocks
+    val rnd60 = new scala.util.Random(13)
+    val rows60 = (0L until 50L).map(i => (i, rnd60.nextLong() & ((1L << 60) - 1))) ++
+      Seq((200L, 0L), (201L, 1L << 59))               // planted hamming-1 pair
+    val got60 = Dedup.simhashNearDupPairs(rows60.toDF("id", "sh"),
+      maxDist = 2, bands = 4, bits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute60 = (for {
+      i <- rows60.indices; j <- i + 1 until rows60.length
+      if java.lang.Long.bitCount(rows60(i)._2 ^ rows60(j)._2) <= 2
+    } yield (math.min(rows60(i)._1, rows60(j)._1),
+      math.max(rows60(i)._1, rows60(j)._1))).toSet
+    assert(got60 == brute60 && got60.contains((200L, 201L)))
+  }
+
+  test("simhashFast: 60-bit fingerprint extends the 32-bit one (shared low bits)") {
+    // the vote loop is identical for bits 0..31, so the wide fingerprint's
+    // low 32 bits must equal the oracle-pinned 32-bit simhash exactly
+    val sh32 = Dedup.simhashFast(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh60 = Dedup.simhashFast(docs, "text", "doc_id", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh32.keySet == sh60.keySet)
+    sh32.foreach { case (id, s) => assert((sh60(id) & 0xffffffffL) == s, s"doc $id") }
+    // and the wide bits are actually populated (not zero-padded)
+    assert(sh60.values.exists(_ >>> 32 != 0L))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashFast(docs, "text", "doc_id", bits = 61)
+    }
   }
 
   test("exact dup groups") {
