@@ -492,6 +492,41 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming budget admission: single batch == batch cap; total carries across batches") {
+    import graft.functions.Sampling
+    import graft.streaming.StreamingSampling
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", rnd.nextInt(20).toLong))
+    val in = MemoryStream[(Long, String, Long)]
+    val out = StreamingSampling.capByBudgetOnline(
+      in.toDF().toDF("id", "lang", "v"), "id", "v", 300L, Some("lang"))
+    val q = out.writeStream.format("memory").queryName("bo").outputMode("append").start()
+    try {
+      // one batch holding everything == the batch operator's strict prefix
+      in.addData(rows)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM bo").collect().map(_.getLong(0)).toSet
+      val batch = Sampling.capByBudget(rows.toDF("id", "lang", "v"),
+        "id", "v", 300L, Seq("lang"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got.nonEmpty && got == batch)
+      // the cumulative total persists: after a stratum's seen total passes
+      // the budget, even a tiny later arrival is rejected (fixture strata
+      // totals far exceed 300)
+      assert(rows.filter(_._2 == "en").map(_._3).sum > 300L)
+      in.addData(Seq((1000L, "en", 1L)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM bo").collect()
+        .map(_.getLong(0)).toSet == got)
+      // per-stratum admitted totals respect the budget
+      val perLang = spark.sql("SELECT stratum, sum(v) FROM bo GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perLang.values.forall(_ <= 300L))
+    } finally q.stop()
+  }
+
   test("streaming interval merge: cross-batch touching runs close on watermark, match batch") {
     import graft.streaming.StreamingIntervalOps
     implicit val sqlCtx = spark.sqlContext
