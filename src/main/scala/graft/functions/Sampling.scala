@@ -194,6 +194,36 @@ object Sampling {
       .drop("__hkey", "__cum")
   }
 
+  /** [[capByBudget]] with a DIFFERENT budget per stratum value (strata
+    * absent from the map keep `defaultBudget`) — the per-domain token
+    * budgets of a real training mix (e.g. en 1B, fr 200M). Same order,
+    * same running-sum membership rule, one strata column. */
+  def capByBudgetPerStratum(df: DataFrame, keyCol: String, valueCol: String,
+      strataCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, salt: String = "budget"): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets must be nonnegative")
+    require(!df.columns.contains("__hkey"),
+      "capByBudgetPerStratum reserves __hkey; rename the input column")
+    val width = (TextFunctions.HashMod + ShuffleBuckets - 1L) / ShuffleBuckets
+    val hkey = tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    val v = when(col(valueCol).isNull || col(valueCol) < 0, raise_error(
+      lit(s"capByBudgetPerStratum requires non-null, nonnegative `$valueCol` values"))
+      .cast("long")).otherwise(col(valueCol).cast("long"))
+    // sorted fold: Map iteration order must not leak into the plan
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBudget): Column) { case ((value, b), acc) =>
+        when(col(strataCol) === value, lit(b)).otherwise(acc)
+      }
+    bucketPrefixSum(
+      df.withColumn("__hkey", hkey),
+      expr(s"__hkey div ${width}L"),
+      valueCol = v, strataCols = Seq(strataCol),
+      orderCols = Seq(col("__hkey"), col(keyCol)), outName = "__cum")
+      .where(col("__cum") <= budget)
+      .drop("__hkey", "__cum")
+  }
+
   def resampleByWeight(df: DataFrame, keyCol: String, strataCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "resample"): DataFrame = {

@@ -163,6 +163,19 @@ class SamplingSpec extends SparkSuite {
         df.withColumn("v", when(col("id") === 7L, lit(null)).otherwise(col("v"))),
         "id", "v", 5000L).count()
     }
+    // per-stratum budget MAP: each stratum keeps its own windowed prefix;
+    // a stratum absent from the map gets the default (here 0 -> dropped)
+    val m = Sampling.capByBudgetPerStratum(df, "id", "v", "lang",
+      Map("en" -> 4000L, "fr" -> 1000L))
+    val mt = m.groupBy("lang").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!mt.contains("zh") && mt("en") <= 4000L && mt("fr") <= 1000L)
+    assert(m.where(col("lang") === "en").select("id").as[Long].collect().toSet ==
+      ref(Window.partitionBy(col("lang")), 4000L)
+        .intersect(df.where(col("lang") === "en").select("id").as[Long].collect().toSet))
+    assert(m.where(col("lang") === "fr").select("id").as[Long].collect().toSet ==
+      ref(Window.partitionBy(col("lang")), 1000L)
+        .intersect(df.where(col("lang") === "fr").select("id").as[Long].collect().toSet))
   }
 
   test("repetition ratios: exact values on known inputs") {
