@@ -849,6 +849,17 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(7L)) === 0L, lit(testWav))
           .otherwise(col("text").cast("binary")).as("data"))
       Multimodal.audioMeta(d, "doc_id", "data")
+    }),
+
+    // Multimodal: video container metadata from a real ISO-BMFF box walk.
+    // Every 6th doc carries a minimal mp4 (ftyp isom + moov/mvhd v0 with
+    // timescale 1000, duration 5000 ticks, 2 trak boxes); the rest are
+    // text bytes -> the sentinel row.
+    "q68_video_meta" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(6L)) === 0L, lit(testMp4))
+          .otherwise(col("text").cast("binary")).as("data"))
+      Multimodal.videoMeta(d, "doc_id", "data")
     })
   )
 
@@ -865,6 +876,22 @@ object SparkEntry {
     javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** A minimal ISO-BMFF (mp4) container: ftyp major brand `isom`, moov
+    * holding an mvhd v0 with timescale 1000 and duration 5000 ticks, and
+    * two empty trak boxes (the q68 oracle constants). */
+  private lazy val testMp4: Array[Byte] = {
+    val mvhd = java.nio.ByteBuffer.allocate(28)
+    mvhd.putInt(28).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5000)
+    val moovSize = 8 + 28 + 8 * 2
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII")).put(mvhd.array())
+    (0 until 2).foreach(_ => bb.putInt(8).put("trak".getBytes("US-ASCII")))
+    bb.array()
   }
 
   /** A canonical PCM WAV: 2 channels, 16 kHz, 16-bit, 320 data bytes
@@ -1643,6 +1670,15 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 16000 ELSE -1 END AS INTEGER) AS sample_rate,
         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 16 ELSE -1 END AS INTEGER) AS bits_per_sample,
         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 80 ELSE -1 END AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q68_video_meta" ->
+      """SELECT doc_id AS id,
+        |       doc_id % 6 = 0 AS is_mp4,
+        |       CASE WHEN doc_id % 6 = 0 THEN 'isom' ELSE '' END AS major_brand,
+        |       CAST(CASE WHEN doc_id % 6 = 0 THEN 1000 ELSE -1 END AS BIGINT) AS timescale,
+        |       CAST(CASE WHEN doc_id % 6 = 0 THEN 5000 ELSE -1 END AS BIGINT) AS duration_ticks,
+        |       CAST(CASE WHEN doc_id % 6 = 0 THEN 2 ELSE -1 END AS INTEGER) AS n_tracks
         |FROM documents""".stripMargin,
 
     // q61_ann_ivf_probe intentionally absent: nProbe < nLists results

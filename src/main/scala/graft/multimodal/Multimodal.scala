@@ -232,6 +232,103 @@ object Multimodal {
     })(Encoders.product[AudioMeta]).toDF()
   }
 
+  /** ISO-BMFF (MP4/MOV) container metadata — the video modality's real
+    * metadata path, pure byte inspection like [[wavHeader]]: major brand
+    * from the leading `ftyp` box, movie timescale + duration from
+    * `moov/mvhd` (versions 0 and 1, 64-bit `largesize` boxes included),
+    * and the `trak` count. Offsets are Longs throughout, so a malformed
+    * box size walks past the payload and parsing ends cleanly instead of
+    * wrapping negative. */
+  final case class Mp4Header(majorBrand: String, timescale: Long,
+      durationTicks: Long, nTracks: Int) {
+    def durationSeconds: Double =
+      if (timescale > 0) durationTicks.toDouble / timescale else -1.0
+  }
+
+  def mp4Header(d: Array[Byte]): Option[Mp4Header] = {
+    def be32(i: Int): Long = ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
+      ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
+    def be64(i: Int): Long =
+      (0 until 8).foldLeft(0L)((a, j) => (a << 8) | (d(i + j) & 0xffL))
+    def typ(i: Int): String = new String(d, i, 4, "US-ASCII")
+    // (box size, header length) at offset i, or None when malformed /
+    // truncated; size==0 means "to end of enclosure", size==1 carries a
+    // 64-bit largesize after the type
+    def box(i: Long, end: Long): Option[(Long, Long)] = {
+      if (i + 8 > end) return None
+      val sz0 = be32(i.toInt)
+      if (sz0 == 1L) {
+        if (i + 16 > end) None
+        else {
+          val sz = be64(i.toInt + 8)
+          if (sz < 16L) None else Some((sz, 16L))
+        }
+      } else if (sz0 == 0L) Some((end - i, 8L))
+      else if (sz0 < 8L) None
+      else Some((sz0, 8L))
+    }
+    if (d.length < 12 || typ(4) != "ftyp") return None
+    val brand = typ(8)
+    // top level: find moov
+    var i = 0L
+    var moov: Option[(Long, Long)] = None // payload [start, end)
+    while (i + 8 <= d.length && moov.isEmpty) {
+      box(i, d.length.toLong) match {
+        case Some((size, hdr)) =>
+          if (typ(i.toInt + 4) == "moov")
+            moov = Some((i + hdr, math.min(i + size, d.length.toLong)))
+          i += size
+        case None => return None
+      }
+    }
+    moov.flatMap { case (s0, e0) =>
+      var ts = -1L
+      var dur = -1L
+      var tracks = 0
+      var j = s0
+      var ok = true
+      while (ok && j + 8 <= e0) {
+        box(j, e0) match {
+          case Some((size, hdr)) =>
+            val p = (j + hdr).toInt // payload start
+            typ(j.toInt + 4) match {
+              case "mvhd" if j + hdr + 4 <= e0 =>
+                val version = d(p) & 0xff
+                if (version == 0 && j + hdr + 20 <= e0) {
+                  ts = be32(p + 12); dur = be32(p + 16)
+                } else if (version == 1 && j + hdr + 32 <= e0) {
+                  ts = be32(p + 20); dur = be64(p + 24)
+                }
+              case "trak" => tracks += 1
+              case _ => ()
+            }
+            j += size
+          case None => ok = false
+        }
+      }
+      if (ts > 0) Some(Mp4Header(brand, ts, dur, tracks)) else None
+    }
+  }
+
+  /** Video metadata over a binary column: (id, is_mp4, major_brand,
+    * timescale, duration_ticks, n_tracks) — real values for ISO-BMFF
+    * payloads, sentinels otherwise. */
+  final case class VideoMeta(id: Long, is_mp4: Boolean, major_brand: String,
+      timescale: Long, duration_ticks: Long, n_tracks: Int)
+
+  def videoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as(Encoders.product[MediaRecord])
+    ds.mapPartitions(_.map { r =>
+      mp4Header(r.data) match {
+        case Some(h) =>
+          VideoMeta(r.id, is_mp4 = true, h.majorBrand, h.timescale,
+            h.durationTicks, h.nTracks)
+        case None => VideoMeta(r.id, is_mp4 = false, "", -1L, -1L, -1)
+      }
+    })(Encoders.product[VideoMeta]).toDF()
+  }
+
   /** One sampled frame: source id, frame index, byte offset, stub payload. */
   final case class Frame(id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
 

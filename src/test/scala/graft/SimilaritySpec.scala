@@ -332,4 +332,57 @@ class SimilaritySpec extends SparkSuite {
         h.bitsPerSample == 16 && h.dataBytes == -1L), s"size=$s")
     }
   }
+
+  test("video metadata: ISO-BMFF box walk parses mvhd v0/v1; junk and hostile sizes stay sentinel") {
+    import java.nio.ByteBuffer
+    def ftyp(brand: String): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put(brand.getBytes("US-ASCII")).putInt(0x200)
+      bb.array()
+    }
+    // minimal moov: mvhd v0 (ts, dur) + nTraks empty trak boxes
+    def mp4(ts: Int, dur: Int, nTraks: Int): Array[Byte] = {
+      val mvhd = ByteBuffer.allocate(28)
+      mvhd.putInt(28).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      val moovSize = 8 + 28 + 8 * nTraks
+      val bb = ByteBuffer.allocate(16 + moovSize)
+      bb.put(ftyp("isom"))
+      bb.putInt(moovSize).put("moov".getBytes("US-ASCII")).put(mvhd.array())
+      (0 until nTraks).foreach(_ =>
+        bb.putInt(8).put("trak".getBytes("US-ASCII")))
+      bb.array()
+    }
+    val h = Multimodal.mp4Header(mp4(1000, 5000, 2))
+    assert(h.contains(Multimodal.Mp4Header("isom", 1000L, 5000L, 2)))
+    assert(h.exists(x => math.abs(x.durationSeconds - 5.0) < 1e-12))
+    // mvhd version 1 (64-bit times) under a largesize moov box
+    val mvhd1 = ByteBuffer.allocate(40)
+    mvhd1.putInt(40).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000).putLong(0L).putLong(0L).putInt(90000).putLong(123456789L)
+    val moov1 = ByteBuffer.allocate(16 + 40)
+    moov1.putInt(1).put("moov".getBytes("US-ASCII")).putLong(16L + 40L)
+      .put(mvhd1.array())
+    val v1 = Multimodal.mp4Header(ftyp("mp42") ++ moov1.array())
+    assert(v1.contains(Multimodal.Mp4Header("mp42", 90000L, 123456789L, 0)))
+    // junk, truncation, wrong leading box: sentinel, never a throw
+    assert(Multimodal.mp4Header("not a video at all".getBytes).isEmpty)
+    assert(Multimodal.mp4Header(ftyp("isom").take(10)).isEmpty)
+    assert(Multimodal.mp4Header(mp4(1000, 5000, 1).take(30)).isEmpty)
+    // hostile box sizes: sub-header (4) and giant unsigned (0xFFFFFFFF)
+    for (sz <- Seq(4, 0xffffffff)) {
+      val bb = ByteBuffer.allocate(16 + 8)
+      bb.put(ftyp("isom")).putInt(sz).put("moov".getBytes("US-ASCII"))
+      assert(Multimodal.mp4Header(bb.array()).isEmpty, s"size=$sz")
+    }
+    // the DataFrame operator: real rows + sentinel rows
+    val df = Seq((1L, mp4(600, 1800, 3)), (2L, "plain".getBytes))
+      .toDF("id", "data")
+    val rows = Multimodal.videoMeta(df, "id", "data").orderBy("id").collect()
+    assert(rows(0).getBoolean(1) && rows(0).getString(2) == "isom" &&
+      rows(0).getLong(3) == 600L && rows(0).getLong(4) == 1800L &&
+      rows(0).getInt(5) == 3)
+    assert(!rows(1).getBoolean(1) && rows(1).getLong(3) == -1L)
+  }
 }
