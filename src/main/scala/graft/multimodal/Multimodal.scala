@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Pixel decode is REAL too: [[decodeImage]] / [[pixelFeatures]] /
   * [[imageThumbnail]] run the JDK's own `javax.imageio` readers (PNG,
-  * JPEG, GIF, BMP, WBMP — present in every JRE, no external library), and
-  * [[audioMeta]] parses RIFF/WAVE audio headers. Only formats the JRE has
-  * no reader for (e.g. video containers, webp) fall back to header/byte
-  * features — a JNI/FFI codec for those drops into the same
-  * one-record→features `mapPartitions` without touching the pipeline
-  * shape.
+  * JPEG, GIF, BMP, WBMP — present in every JRE, no external library),
+  * [[audioMeta]] parses RIFF/WAVE audio headers, [[videoMeta]] walks
+  * ISO-BMFF (mp4/mov) boxes for container metadata, and [[imageHeader]]
+  * additionally reads webp dimensions (VP8/VP8L/VP8X bitstream headers).
+  * Only pixel/frame CONTENT of formats the JRE has no reader for (webp
+  * pixels, video frames) falls back to deterministic byte features — a
+  * JNI/FFI codec for those drops into the same one-record→features
+  * `mapPartitions` without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -66,7 +68,29 @@ object Multimodal {
       ("gif",
         (d(6) & 0xff) | ((d(7) & 0xff) << 8),   // little-endian
         (d(8) & 0xff) | ((d(9) & 0xff) << 8))
-    else ("unknown", -1, -1)
+    else if (d.length >= 16 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
+        d(3) == 'F' && d(8) == 'W' && d(9) == 'E' && d(10) == 'B' && d(11) == 'P') {
+      // WEBP is a RIFF container; dims live in the first chunk's bitstream
+      // header — VP8X (extended: 24-bit canvas-1), VP8L (lossless: packed
+      // 14+14 bits after the 0x2F signature), VP8 (lossy: 14-bit LE pair
+      // after the 9D 01 2A sync). No JRE decoder exists, but the header is
+      // plain bytes like the others.
+      val ct = new String(d, 12, 4, "US-ASCII")
+      def u8(i: Int) = d(i) & 0xff
+      ct match {
+        case "VP8X" if d.length >= 30 =>
+          ("webp", 1 + (u8(24) | (u8(25) << 8) | (u8(26) << 16)),
+            1 + (u8(27) | (u8(28) << 8) | (u8(29) << 16)))
+        case "VP8L" if d.length >= 25 && u8(20) == 0x2f =>
+          val bits = u8(21).toLong | (u8(22).toLong << 8) |
+            (u8(23).toLong << 16) | (u8(24).toLong << 24)
+          ("webp", (bits & 0x3fff).toInt + 1, ((bits >> 14) & 0x3fff).toInt + 1)
+        case "VP8 " if d.length >= 30 && u8(23) == 0x9d && u8(24) == 0x01 &&
+            u8(25) == 0x2a =>
+          ("webp", (u8(26) | (u8(27) << 8)) & 0x3fff, (u8(28) | (u8(29) << 8)) & 0x3fff)
+        case _ => ("webp", -1, -1)
+      }
+    } else ("unknown", -1, -1)
   }
 
   /** The decoder: byte stats + real header parse. A full pixel decoder

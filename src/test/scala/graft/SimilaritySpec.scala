@@ -216,6 +216,25 @@ class SimilaritySpec extends SparkSuite {
     // GIF89a logical screen descriptor is little-endian: 320 x 200
     val gif = b('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xC8, 0x00)
     assert(Multimodal.imageHeader(gif) == (("gif", 320, 200)))
+    // WEBP: RIFF container, dims from the first chunk's bitstream header
+    def riffWebp(chunk: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBP".getBytes ++
+        chunk.getBytes ++ b(0, 0, 0, 0) ++ payload
+    // VP8X: flags(1) reserved(3) then 24-bit LE canvas-1: 639x479 -> 640x480
+    val vp8x = riffWebp("VP8X", b(0, 0, 0, 0, 0x7F, 0x02, 0x00, 0xDF, 0x01, 0x00))
+    assert(Multimodal.imageHeader(vp8x) == (("webp", 640, 480)))
+    // VP8L: 0x2F then packed 14+14 bits (w-1=319, h-1=239) -> 320x240
+    val lbits = 319L | (239L << 14)
+    val vp8l = riffWebp("VP8L", Array(0x2F.toByte) ++
+      (0 until 4).map(i => ((lbits >> (8 * i)) & 0xff).toByte))
+    assert(Multimodal.imageHeader(vp8l) == (("webp", 320, 240)))
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A sync, then 14-bit LE dims
+    val vp8 = riffWebp("VP8 ", b(0, 0, 0, 0x9D, 0x01, 0x2A, 0x40, 0x01, 0xF0, 0x00))
+    assert(Multimodal.imageHeader(vp8) == (("webp", 320, 240)))
+    // recognizable container but truncated/unknown chunk: format, no dims
+    assert(Multimodal.imageHeader(riffWebp("VP8L", Array(0x2F.toByte))) ==
+      (("webp", -1, -1)))
+    assert(Multimodal.imageHeader("RIFF0000WEBPXXXX".getBytes) == (("webp", -1, -1)))
     // junk / truncated payloads never throw
     assert(Multimodal.imageHeader("notanimage".getBytes) == (("unknown", -1, -1)))
     assert(Multimodal.imageHeader(Array.empty[Byte]) == (("unknown", -1, -1)))
