@@ -5,11 +5,11 @@ import graft.functions.{Dedup, Packing, Sampling, TextFunctions => TF}
 
 /** The whole training-data pipeline, composed from the library's operators
   * on one deterministic fixture: quality filter → exact dedup → near-dup
-  * clustering → benchmark decontamination → mixture reweighting → global
-  * shuffle → sequence packing. Every stage's survivors are asserted
-  * exactly, and the full pipeline re-runs to an identical result — the
-  * end-to-end reproducibility claim the per-operator specs only make
-  * individually.
+  * clustering → benchmark decontamination → mixture reweighting →
+  * per-language token budget → global shuffle → sequence packing. Every
+  * stage's survivors are asserted exactly, and the full pipeline re-runs
+  * to an identical result — the end-to-end reproducibility claim the
+  * per-operator specs only make individually.
   */
 class EndToEndPipelineSpec extends SparkSuite {
   import spark.implicits._
@@ -27,7 +27,7 @@ class EndToEndPipelineSpec extends SparkSuite {
       if (j % 2 == 0) vocab(((i * 3 + j) % vocab.length).toInt) else s"t${i}_$j"
     }.mkString(" ")
 
-  test("filter -> dedup -> decontaminate -> mixture -> shuffle -> pack, end to end, twice") {
+  test("filter -> dedup -> decontaminate -> mixture -> budget -> shuffle -> pack, end to end, twice") {
     val langs = Seq("en", "de", "zh")
     val base = (0L until 30L).map(i => (i, baseText(i), langs((i % 3).toInt)))
     val planted = Seq(
@@ -63,17 +63,22 @@ class EndToEndPipelineSpec extends SparkSuite {
       // 5. mixture: integer weight for en makes its repetition exact
       val mixed = Sampling.resampleByWeight(clean, "doc_id", "lang",
         Map("en" -> 2.0, "de" -> 1.0, "zh" -> 0.5))
-      // 6. deterministic global shuffle of (doc, epoch)
+      // 6. per-language token budget over the (doc, epoch) stream: en is
+      //    capped tight (strict hash-order prefix), other langs unbounded
       val keyed = mixed.withColumn("key",
         concat_ws("#", col("doc_id"), col("epoch")))
-      val shuffled = Sampling.globalShuffle(keyed, "key")
-      // 7. sequence packing by token budget
+        .withColumn("ntok", TF.tokenCount(col("text")).cast("long"))
+      val budgeted = Sampling.capByBudgetPerStratum(keyed, "key", "ntok",
+        "lang", Map("en" -> 120L), defaultBudget = Long.MaxValue)
+      // 7. deterministic global shuffle of the surviving (doc, epoch) rows
+      val shuffled = Sampling.globalShuffle(budgeted, "key")
+      // 8. sequence packing by token budget
       val packed = Packing.packStream(shuffled, "key",
         TF.tokenCount(col("text")), capacity = 24L, nBuckets = 4)
-      (filtered, exact, deduped, clean, mixed, shuffled, packed)
+      (filtered, exact, deduped, clean, mixed, budgeted, shuffled, packed)
     }
 
-    val (filtered, exact, deduped, clean, mixed, shuffled, packed) = runPipeline()
+    val (filtered, exact, deduped, clean, mixed, budgeted, shuffled, packed) = runPipeline()
 
     // stage 1: junk gone, everything else intact
     val fIds = filtered.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -101,15 +106,24 @@ class EndToEndPipelineSpec extends SparkSuite {
         case "zh" => assert(es == Set(0L), s"doc $id: $es")
       }
     }
-    // stage 6: a contiguous permutation over all (doc, epoch) rows, and the
+    // stage 6: the en stream is budget-capped to the strict hash-order
+    // prefix (<= 120 tokens); other languages pass through untouched
+    val enToks = budgeted.where(col("lang") === "en")
+      .agg(sum("ntok")).head().getLong(0)
+    assert(enToks <= 120L && enToks > 0L)
+    assert(budgeted.where(col("lang") === "en").count() <
+      mixed.where(col("lang") === "en").count(), "the en budget must bind")
+    assert(budgeted.where(col("lang") =!= "en").count() ==
+      mixed.where(col("lang") =!= "en").count())
+    // stage 7: a contiguous permutation over the surviving rows, and the
     // PERMUTATION ITSELF equals the one-window row_number()-1 replay — the
     // 0-based contract the q66 oracle states (regression-locks the
     // bucket-offset prefix sum's 1-based/0-based adjustment)
-    val n = mixed.count()
+    val n = budgeted.count()
     val idxs = shuffled.select("idx").collect().map(_.getLong(0)).sorted
     assert(idxs.toSeq == (0L until n))
     val hkey = TF.tokenHashMod(concat(lit("shuffle:"), col("key").cast("string")))
-    val refIdx = mixed.withColumn("key", concat_ws("#", col("doc_id"), col("epoch")))
+    val refIdx = budgeted
       .withColumn("h", hkey)
       .withColumn("ref_idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("key")))
@@ -118,7 +132,7 @@ class EndToEndPipelineSpec extends SparkSuite {
     val gotIdx = shuffled.select("key", "idx").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotIdx == refIdx)
-    // stage 7: pack budget respected per bucket
+    // stage 8: pack budget respected per bucket
     val buckets = packed.groupBy("bucket")
       .agg(sum("n_tok").as("toks"), max("pack_last").as("last"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
@@ -128,7 +142,7 @@ class EndToEndPipelineSpec extends SparkSuite {
     assert(packed.count() == n)
 
     // the whole pipeline is deterministic: a second run is row-identical
-    val (_, _, _, _, _, shuffled2, packed2) = runPipeline()
+    val (_, _, _, _, _, _, shuffled2, packed2) = runPipeline()
     assert(shuffled.except(shuffled2).count() == 0 &&
       shuffled2.except(shuffled).count() == 0)
     assert(packed.except(packed2).count() == 0 &&
