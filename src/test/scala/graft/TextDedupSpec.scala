@@ -123,6 +123,34 @@ class TextDedupSpec extends SparkSuite {
     assert(got60 == brute60 && got60.contains((200L, 201L)))
   }
 
+  test("property: banded simhash pairs == brute force across (maxDist, bands, bits) configs") {
+    // the pigeonhole argument must hold at every legal configuration, not
+    // just the default — clustered fingerprints maximize near-threshold
+    // pairs (flip up to 4 random bits of a few base patterns)
+    val rnd = new scala.util.Random(17)
+    for ((maxDist, bands, bits) <- Seq((1, 2, 32), (2, 8, 32), (2, 4, 60),
+        (3, 4, 60), (1, 4, 16))) {
+      val mask = if (bits == 64) -1L else (1L << bits) - 1L
+      val bases = Array.fill(4)(rnd.nextLong() & mask)
+      val rows = (0L until 120L).map { i =>
+        var v = bases(rnd.nextInt(bases.length))
+        (0 until rnd.nextInt(5)).foreach(_ => v ^= 1L << rnd.nextInt(bits))
+        (i, v)
+      }
+      val got = Dedup.simhashNearDupPairs(rows.toDF("id", "sh"),
+        maxDist = maxDist, bands = bands, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        i <- rows.indices; j <- i + 1 until rows.length
+        if java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2) <= maxDist
+      } yield (rows(i)._1, rows(j)._1)).toSet
+      assert(got == brute,
+        s"config (maxDist=$maxDist, bands=$bands, bits=$bits): " +
+          s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+      assert(brute.nonEmpty, s"fixture must produce pairs at maxDist=$maxDist")
+    }
+  }
+
   test("simhashFast: 60-bit fingerprint extends the 32-bit one (shared low bits)") {
     // the vote loop is identical for bits 0..31, so the wide fingerprint's
     // low 32 bits must equal the oracle-pinned 32-bit simhash exactly
