@@ -860,6 +860,62 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(6L)) === 0L, lit(testMp4))
           .otherwise(col("text").cast("binary")).as("data"))
       Multimodal.videoMeta(d, "doc_id", "data")
+    }),
+
+    // Temperature-scaled mixture weights: the alpha-smoothed language mix
+    // (alpha = 0.5) every multilingual pretraining recipe computes — one
+    // corpus-count pass, then per-stratum math on a handful of rows.
+    "q69_temperature_mix" -> ((sp, dir) =>
+      graft.functions.Sampling.temperatureWeights(
+        table(sp, dir, "documents").select("lang"), "lang", 0.5)),
+
+    // Segment-level exact dedup (RefinedWeb/C4-style): segments delimited
+    // by the corpus's commonest token keep only their global first
+    // occurrence; docs reassemble from the survivors. First-occurrence is
+    // a min-struct aggregate (map-side combining), never a rank window.
+    "q70_segment_dedup" -> ((sp, dir) =>
+      Dedup.dedupSegments(table(sp, dir, "documents"), "doc_id", "text",
+          delim = " the ", joiner = " | ")
+        .select(col("id").as("doc_id"), col("n_segs"), col("n_kept"),
+          col("clean_text"))),
+
+    // Count-min sketch: 4x64 sketch over the corpus token stream, probed
+    // with the full vocabulary — (token, exact count, CMS estimate);
+    // est >= true always, overestimates mark bucket collisions. The
+    // sketch shuffle is at most depth*width cells per map partition.
+    "q71_cms_counts" -> ((sp, dir) => {
+      val toks = table(sp, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val sketch = graft.functions.Sketches.cmsSketch(toks, "tok", 4, 64, "q71")
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      graft.functions.Sketches.cmsLookup(sketch, truth.select("tok"), "tok", 4, 64, "q71")
+        .join(truth, "tok")
+        .select(col("tok"), col("true_cnt"), col("est"))
+    }),
+
+    // HyperLogLog: 2^8-register distinct-token estimate next to the exact
+    // count — registers are a max aggregate (sketch-sized shuffle), the
+    // estimator folds registers in order (bit-exact, oracle-replayable).
+    "q72_hll_distinct" -> ((sp, dir) => {
+      val toks = table(sp, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val est = graft.functions.Sketches.hllEstimate(
+        graft.functions.Sketches.hllSketch(toks, "tok", 8, "q72"), 8)
+      est.crossJoin(broadcast(
+        toks.agg(countDistinct(col("tok")).as("exact_distinct"))))
+    }),
+
+    // Bloom-filter membership: filter built from even docs' texts (4096
+    // bits, k=3), probed with every doc's text — evens always present (no
+    // false negatives), odds only on text collision or designed-rate false
+    // positives. The cheap "seen in history?" pre-filter for crawl dedup.
+    "q73_bloom_probe" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val bits = graft.functions.Sketches.bloomBits(
+        d.where(pmod(col("doc_id"), lit(2L)) === 0L), "text", 4096L, 3, "q73")
+      graft.functions.Sketches.bloomProbe(bits,
+        d.select(col("doc_id"), col("text")), "text", 4096L, 3, "q73")
+        .select(col("doc_id"), col("present"))
     })
   )
 
@@ -1716,6 +1772,105 @@ object SparkEntry {
         |            WHEN doc_id % 10 = 5 THEN 'jpeg' ELSE 'unknown' END AS format,
         |       CASE WHEN doc_id % 10 IN (0, 5) THEN 640 ELSE -1 END AS width,
         |       CASE WHEN doc_id % 10 IN (0, 5) THEN 480 ELSE -1 END AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Both engines fold the pow terms over strata in sorted-lang order
+    // from a 0.0 seed; p/weight rounded to 6 dp on both sides so pow ulp
+    // differences cannot surface.
+    "q69_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |a AS (SELECT list(pow(cnt, 0.5) ORDER BY lang) AS ps,
+        |             CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |d AS (SELECT list_reduce(list_prepend(0.0, ps), (x, y) -> x + y) AS den,
+        |             n FROM a)
+        |SELECT lang, cnt,
+        |       round(pow(cnt, 0.5) / den, 6) AS p,
+        |       round(pow(cnt, 0.5) / den * n / cnt, 6) AS weight
+        |FROM c, d""".stripMargin,
+
+    // First occurrence = rank 1 over (doc_id, idx) per segment hash —
+    // the same membership as the Spark side's min-struct winner.
+    "q70_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' the ') AS parts
+        |           FROM documents),
+        |u AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i FROM t),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |             trim(parts[CAST(i+1 AS INT)]) AS seg
+        |      FROM u),
+        |s2 AS (SELECT doc_id, idx, seg FROM s WHERE seg <> ''),
+        |k AS (SELECT doc_id, idx, seg,
+        |             row_number() OVER (PARTITION BY md5(seg)
+        |                                ORDER BY doc_id, idx) AS rn
+        |      FROM s2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' | '
+        |                           ORDER BY idx), '') AS clean_text
+        |FROM k GROUP BY 1""".stripMargin,
+
+    // Full CMS replay: same salted md5 buckets, same sketch counts, same
+    // min-over-rows estimate (left join: an absent cell estimates 0).
+    "q71_cms_counts" -> {
+      val cmsH = (v: String) =>
+        s"(${hSql(s"'cms:q71:' || CAST(r AS VARCHAR) || ':' || $v")}) % 64"
+      s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+         |          FROM tok GROUP BY 1),
+         |cells AS (SELECT r, ${cmsH("tok")} AS bucket
+         |          FROM tok, range(4) t(r)),
+         |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM cells GROUP BY 1, 2),
+         |probe AS (SELECT tok, r, ${cmsH("tok")} AS bucket
+         |          FROM truth, range(4) t(r)),
+         |est AS (SELECT tok, min(coalesce(cnt, 0)) AS est
+         |        FROM probe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+         |SELECT tok, true_cnt, est
+         |FROM truth JOIN est USING (tok)""".stripMargin
+    },
+
+    // Full HLL replay: 60-bit md5 hash, low-8 register, rho from the
+    // binary-string bit length (exact in both engines), registers folded
+    // in order from a 0.0 seed; the alpha constant is inlined from the
+    // same Scala double so both engines use the identical literal.
+    "q72_hll_distinct" -> {
+      val m = 256
+      val est0 = graft.functions.Sketches.hllAlpha(m) * m * m
+      s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT ('0x' || substr(md5('hll:q72:' || tok),1,15))::BIGINT AS h
+         |      FROM tok),
+         |rr AS (SELECT h % $m AS register,
+         |              CASE WHEN (h >> 8) = 0 THEN 53
+         |                   ELSE 53 - length(bin(h >> 8)) END AS rho
+         |       FROM h),
+         |regs AS (SELECT register, max(rho) AS rho FROM rr GROUP BY 1),
+         |allr AS (SELECT r AS register, coalesce(rho, 0) AS rho
+         |         FROM range($m) t(r) LEFT JOIN regs ON r = register),
+         |agg AS (SELECT list(pow(2.0, -rho) ORDER BY register) AS hs,
+         |               CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |                 AS n_zero
+         |        FROM allr),
+         |f AS (SELECT list_reduce(list_prepend(0.0, hs), (a, b) -> a + b)
+         |               AS hsum, n_zero FROM agg)
+         |SELECT $m AS m, n_zero,
+         |       round(CASE WHEN $est0 / hsum <= ${2.5 * m} AND n_zero > 0
+         |                  THEN ${m.toDouble} * ln(${m.toDouble} / n_zero)
+         |                  ELSE $est0 / hsum END, 6) AS est,
+         |       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tok)
+         |         AS exact_distinct
+         |FROM f""".stripMargin
+    },
+
+    // Bloom replay: distinct set bits from the even docs, probe = all
+    // docs' k positions, present iff every position joined.
+    "q73_bloom_probe" -> {
+      val bloomH = (v: String) =>
+        s"(${hSql(s"'bloom:q73:' || CAST(i AS VARCHAR) || ':' || $v")}) % 4096"
+      s"""WITH bits AS (SELECT DISTINCT ${bloomH("text")} AS pos
+         |              FROM documents, range(3) t(i) WHERE doc_id % 2 = 0),
+         |probe AS (SELECT doc_id, ${bloomH("text")} AS pos
+         |          FROM documents, range(3) t(i))
+         |SELECT p.doc_id, min(b.pos IS NOT NULL) AS present
+         |FROM probe p LEFT JOIN bits b ON p.pos = b.pos GROUP BY 1""".stripMargin
+    }
   )
 }

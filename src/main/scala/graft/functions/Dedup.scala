@@ -126,6 +126,50 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
 
+  /** Segment-level (line/paragraph) exact dedup — the RefinedWeb/C4-style
+    * pass that strips boilerplate REPEATED ACROSS documents (cookie
+    * banners, nav bars, license headers) while keeping each segment's first
+    * occurrence. Documents split on `delim` (a regex: "\\n{2,}" for
+    * paragraphs, "\\n" for lines); segments are trimmed and empties
+    * dropped; a segment SURVIVES iff it is the corpus-global first
+    * occurrence of its content, "first" = smallest (document id, position).
+    * Output: one row per document with >= 1 non-empty segment —
+    * (id, n_segs, n_kept, clean_text) with the survivors rejoined by
+    * `joiner` in original position order ("" when nothing survived).
+    *
+    * Scale shape: first-occurrence is a MIN-STRUCT AGGREGATE per content
+    * hash — map-side combining, so a segment repeated a billion times
+    * (exactly the boilerplate this targets) collapses to one row per map
+    * partition BEFORE the shuffle, where a rank-1 window would funnel every
+    * copy through one task. Then one equi-join back on the hash (AQE
+    * splits residual probe-side skew) and one per-document regroup.
+    * Reassembly cost is bounded by document size, never corpus size. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\\n{2,}", joiner: String = "\n\n"): DataFrame = {
+    val segs = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), delim)).as(Seq("idx", "seg")))
+      .withColumn("seg", trim(col("seg")))
+      .where(col("seg") =!= "")
+      .withColumn("__h", md5(col("seg")))
+    val first = segs.groupBy("__h")
+      .agg(min(struct(col("id"), col("idx"))).as("__w"))
+    segs.join(first, "__h")
+      .withColumn("__keep",
+        col("id") === col("__w.id") && col("idx") === col("__w.idx"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(
+                struct(col("idx"), col("__keep").as("k"), col("seg")))),
+              x => x.getField("k")),
+            x => x.getField("seg")),
+          joiner).as("clean_text"))
+  }
+
   /** Jaccard over pre-hashed shingle sets (hash-set intersect/union — O(n),
     * no string rehashing; collisions at P ≈ 1e9 are negligible). */
   def hashJaccard(a: Column, b: Column): Column =

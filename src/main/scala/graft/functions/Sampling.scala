@@ -224,6 +224,56 @@ object Sampling {
       .drop("__hkey", "__cum")
   }
 
+  /** Temperature-scaled mixture weights — the data-mix step behind
+    * multilingual / multi-domain sampling (alpha-smoothing of the natural
+    * distribution, as in multilingual pretraining recipes): given
+    * per-stratum counts `c_s`, the target mixture is
+    * `p_s = c_s^alpha / sum_t c_t^alpha`, and the per-row repetition weight
+    * that realizes it at unchanged corpus size is `w_s = p_s * N / c_s`
+    * (alpha = 1 keeps the natural mix, w = 1 everywhere; alpha = 0 targets
+    * the uniform mix; alpha in between upsamples the tail). Output: one row
+    * per stratum — (stratum, cnt, p, weight), p/weight rounded to 6 dp so
+    * cross-engine `pow` ulp differences cannot surface.
+    *
+    * Scale shape: the corpus contributes ONE map-side-combining count
+    * aggregate; everything after runs on one row per stratum (strata are
+    * languages/domains — bounded small by construction, documented). The
+    * denominator folds over strata in SORTED stratum order from a 0.0 seed,
+    * so the float addition order is engine-identical and a SQL oracle
+    * replays it exactly. */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("cnt"))
+    def pa(c: Column): Column = pow(c.cast("double"), lit(alpha))
+    counts
+      .agg(sort_array(collect_list(struct(col(strataCol).as("s"), col("cnt"))))
+        .as("__xs"))
+      .select(col("__xs"),
+        aggregate(transform(col("__xs"), x => pa(x.getField("cnt"))),
+          lit(0.0), (a, v) => a + v).as("__den"),
+        aggregate(transform(col("__xs"), x => x.getField("cnt")),
+          lit(0L), (a, v) => a + v).as("__n"))
+      .select(explode(col("__xs")).as("__x"), col("__den"), col("__n"))
+      .select(col("__x.s").as(strataCol), col("__x.cnt").as("cnt"),
+        round(pa(col("__x.cnt")) / col("__den"), 6).as("p"),
+        round(pa(col("__x.cnt")) / col("__den") * col("__n") / col("__x.cnt"), 6)
+          .as("weight"))
+  }
+
+  /** [[resampleByWeight]] driven by [[temperatureWeights]]: resample the
+    * corpus toward the alpha-smoothed mixture. The weights table (one row
+    * per stratum, bounded small) is collected to the driver and applied as
+    * the deterministic repetition map — same hash-Bernoulli semantics, so
+    * the result is reproducible and append-stable like every sampler here. */
+  def resampleToTemperature(df: DataFrame, keyCol: String, strataCol: String,
+      alpha: Double, salt: String = "resample"): DataFrame = {
+    val w = temperatureWeights(df, strataCol, alpha)
+      .select(col(strataCol).cast("string"), col("weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    resampleByWeight(df, keyCol, strataCol, w, defaultWeight = 1.0, salt = salt)
+  }
+
   def resampleByWeight(df: DataFrame, keyCol: String, strataCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "resample"): DataFrame = {

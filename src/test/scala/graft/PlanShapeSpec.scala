@@ -22,8 +22,9 @@ class PlanShapeSpec extends SparkSuite {
     "q02_interval_join_inner", "q03_interval_join_left", "q04_interval_join_right",
     "q05_interval_join_full", "q07_grouped_interval_join", "q32_interval_join_ts",
     "q15_ann_brute", "q30_embed_neardup_baseline",
-    // single-row corpus-count broadcast (tf-idf idf factor / surprisal N)
-    "q42_tfidf_top", "q59_unigram_surprisal",
+    // single-row corpus-count broadcast (tf-idf idf factor / surprisal N /
+    // the HLL estimate row x exact-distinct row)
+    "q42_tfidf_top", "q59_unigram_surprisal", "q72_hll_distinct",
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
     "q52_interval_join_bounded", "q53_interval_join_float")

@@ -193,4 +193,53 @@ class SamplingSpec extends SparkSuite {
     assert(r(3L) == ((0.0, 0.0)))
     assert(r(4L) == ((0.0, 0.0)))
   }
+
+  lazy val mixFixture = (0L until 1000L).toDF("id")
+    .withColumn("lang",
+      when(col("id") < 640, "en").when(col("id") < 840, "de")
+        .when(col("id") < 960, "fr").otherwise("zh"))
+
+  test("temperatureWeights: alpha=1 is the natural mix (all weights 1)") {
+    val w = Sampling.temperatureWeights(mixFixture, "lang", 1.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(w("en") == ((640L, 0.64, 1.0)))
+    assert(w("zh") == ((40L, 0.04, 1.0)))
+  }
+
+  test("temperatureWeights: alpha=0 targets the uniform mix") {
+    val w = Sampling.temperatureWeights(mixFixture, "lang", 0.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(w.values.forall(_._1 == 0.25))
+    // weight = (N/k)/c: en 250/640, zh 250/40
+    assert(w("en")._2 == 0.390625 && w("zh")._2 == 6.25)
+  }
+
+  test("temperatureWeights: alpha=0.5 matches the closed form") {
+    val w = Sampling.temperatureWeights(mixFixture, "lang", 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val cs = Map("en" -> 640.0, "de" -> 200.0, "fr" -> 120.0, "zh" -> 40.0)
+    // fold in sorted-lang order, like the operator
+    val den = cs.toSeq.sortBy(_._1).map { case (_, c) => math.sqrt(c) }
+      .foldLeft(0.0)(_ + _)
+    cs.foreach { case (l, c) =>
+      val exp = BigDecimal(math.sqrt(c) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(w(l) == exp, s"$l: ${w(l)} vs $exp")
+    }
+  }
+
+  test("resampleToTemperature: realized mix moves toward the target") {
+    val out = Sampling.resampleToTemperature(mixFixture, "id", "lang", 0.5)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // sqrt-scaled targets: en .446 de .249 fr .193 zh .111 (from natural
+    // shares .64/.20/.12/.04) — zh must rise, en must fall
+    assert(counts("zh") / total > 0.08, counts.toString)
+    assert(counts("en") / total < 0.56, counts.toString)
+    // deterministic
+    val again = Sampling.resampleToTemperature(mixFixture, "id", "lang", 0.5)
+    assertSameRows(out, again)
+  }
 }
