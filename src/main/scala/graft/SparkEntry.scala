@@ -916,6 +916,31 @@ object SparkEntry {
       graft.functions.Sketches.bloomProbe(bits,
         d.select(col("doc_id"), col("text")), "text", 4096L, 3, "q73")
         .select(col("doc_id"), col("present"))
+    }),
+
+    // BM25 retrieval: every 50th doc's first 8 tokens as a query, top-10
+    // docs per query over the corpus inverted index. Postings stay put
+    // (term-keyed join against a broadcast query set); scores fold
+    // contributions in sorted term order — engine-exact, rounded 6 dp.
+    "q74_bm25" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      graft.functions.TfIdf.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", 10)
+    }),
+
+    // Dedup policy: MinHash near-dup clusters (q17's pair graph) keep the
+    // HIGHEST-QUALITY member, ties to smallest id — "keep the best copy",
+    // not "drop every collision". One cluster-keyed window shuffle.
+    "q75_cluster_canonical" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val pairs = Dedup.nearDupPairs(d, "text", "doc_id",
+          k = 16, bands = 4, shingleN = 5, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val docs = d.select(col("doc_id").as("id"),
+        round(TF.qualityScore(col("text")), 6).as("quality"))
+      Dedup.canonicalByQuality(pairs, docs)
     })
   )
 
@@ -1871,6 +1896,96 @@ object SparkEntry {
          |          FROM documents, range(3) t(i))
          |SELECT p.doc_id, min(b.pos IS NOT NULL) AS present
          |FROM probe p LEFT JOIN bits b ON p.pos = b.pos GROUP BY 1""".stripMargin
+    },
+
+    // Full BM25 replay: same lowercase tokens, same idf/tf/length math in
+    // the same float op order, contributions folded in sorted term order
+    // from 0.0 — bit-exact pre-round; rank on the 6-dp-rounded score.
+    "q74_bm25" -> {
+      val toksLower =
+        """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+      s"""WITH toks AS (SELECT doc_id AS id, unnest($toksLower) AS term
+         |              FROM documents),
+         |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+         |                / (SELECT count(*) FROM documents) AS avgdl),
+         |q AS (SELECT qid, unnest(qt) AS term
+         |      FROM (SELECT doc_id AS qid,
+         |                   list_distinct(($toksLower)[1:8]) AS qt
+         |            FROM documents WHERE doc_id % 50 = 0)),
+         |j AS (SELECT q.qid, tf.id, tf.term,
+         |             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |               * (tf * ${1.2 + 1.0})
+         |               / (tf + 1.2 * (${1.0 - 0.75} + (0.75 * dl) / avgdl)) AS c
+         |      FROM q JOIN tf USING (term) JOIN dl USING (id)
+         |             JOIN dfr USING (term), st),
+         |s AS (SELECT qid, id, list(c ORDER BY term) AS cs FROM j GROUP BY 1, 2),
+         |f AS (SELECT qid, id AS doc_id,
+         |             round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+         |               AS score
+         |      FROM s),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY score DESC, doc_id) AS rank
+         |      FROM f)
+         |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    // q17's pair pipeline -> recursive min-reachability closure -> q10's
+    // quality formula -> first_value window picks the (quality DESC, id)
+    // winner per cluster.
+    "q75_cluster_canonical" -> {
+      val bandSqls = (0 until 4).map(bd =>
+        s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
+        .mkString(",\n       ")
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents),
+         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |s AS (SELECT doc_id,
+         |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
+         |             $sigSql AS sig
+         |      FROM d2),
+         |b AS (SELECT doc_id, hs,
+         |       $bandSqls
+         |      FROM s),
+         |p AS (SELECT a.doc_id AS pa, b2.doc_id AS pb,
+         |             round(len(list_intersect(a.hs, b2.hs))
+         |                   / len(list_distinct(list_concat(a.hs, b2.hs))), 6) AS jac
+         |      FROM b a JOIN b b2
+         |        ON a.doc_id < b2.doc_id
+         |       AND (a.bh0 = b2.bh0 OR a.bh1 = b2.bh1 OR a.bh2 = b2.bh2 OR a.bh3 = b2.bh3)),
+         |e0 AS (SELECT pa, pb FROM p WHERE jac >= 0.5),
+         |edges AS (SELECT pa AS a, pb AS b FROM e0
+         |          UNION ALL SELECT pb, pa FROM e0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cc AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY 1),
+         |t AS (SELECT doc_id, len(${toksSql}) AS n_tok, len(text) AS n_chars,
+         |             len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+         |      FROM documents),
+         |t2 AS (SELECT *, CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok
+         |                      ELSE 0.0 END AS avgtok
+         |       FROM t),
+         |qual AS (SELECT doc_id AS id,
+         |  round(least(n_tok/100.0, 1.0)*0.4
+         |      + (1.0 - least(n_punct/greatest(n_chars, 1)*5.0, 1.0))*0.3
+         |      + (CASE WHEN avgtok >= 3.0 AND avgtok <= 10.0
+         |              THEN 1.0 ELSE 0.0 END)*0.3, 6) AS quality
+         |  FROM t2),
+         |jn AS (SELECT cc.id AS doc_id, cluster, quality
+         |       FROM cc JOIN qual ON cc.id = qual.id),
+         |w AS (SELECT doc_id, cluster,
+         |             first_value(doc_id) OVER (PARTITION BY cluster
+         |               ORDER BY quality DESC, doc_id) AS canon_id,
+         |             count(*) OVER (PARTITION BY cluster) AS csize
+         |      FROM jn)
+         |SELECT doc_id, cluster, canon_id, CAST(csize AS BIGINT) AS csize,
+         |       doc_id = canon_id AS kept
+         |FROM w""".stripMargin
     }
   )
 }

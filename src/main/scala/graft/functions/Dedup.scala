@@ -590,6 +590,38 @@ object Dedup {
     componentsDistributed(edgesDf, nodes, maxIter)
   }
 
+  /** Near-dup cluster canonicalization — the dedup POLICY step: given the
+    * near-dup pair graph and a per-document quality score, cluster by
+    * connected components and keep ONE representative per cluster — the
+    * highest-quality member, ties broken by smallest id (so "first wins"
+    * among equals, matching [[dedupSegments]]' rule).
+    *
+    * This is what production pipelines actually do with near-dup output:
+    * not "drop everything that collided", but "keep the best copy". The
+    * selection is a max-struct over an unordered window partitioned by
+    * cluster — ONE cluster-keyed shuffle for both the winner and the
+    * cluster size (a groupBy + join-back would shuffle the same rows
+    * twice). Cluster count ~ doc count, so the representative frame is
+    * never broadcast.
+    *
+    * `pairs`: (a, b) long edge list (e.g. [[nearDupPairs]] ids or
+    * [[simhashNearDupPairs]]); `docs`: (id, quality) with one row per
+    * document (docs absent from every pair become singleton clusters and
+    * keep themselves). Output: (doc_id, cluster, canon_id, csize, kept).
+    */
+  def canonicalByQuality(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, docs.select(col("id")))
+    val w = Window.partitionBy("cluster")
+    cc.join(docs, "id")
+      .select(col("id").as("doc_id"), col("rep").as("cluster"), col("quality"))
+      .withColumn("__w", max(struct(col("quality"), (-col("doc_id")).as("negid"))).over(w))
+      .withColumn("csize", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster"),
+        (-col("__w.negid")).as("canon_id"), col("csize"),
+        (col("doc_id") === -col("__w.negid")).as("kept"))
+  }
+
   private def componentsViaUnionFind(
       edges: Array[(Long, Long)], nodes: DataFrame): DataFrame = {
     val spark = nodes.sparkSession

@@ -44,4 +44,60 @@ object TfIdf {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Okapi BM25 top-`k` retrieval: score every document against every query
+    * and keep the `k` best per query.
+    *
+    * Distributed shape — the retrieval plan that holds at corpus scale:
+    * postings (tf per (doc, term)), document lengths, and document
+    * frequencies are ONE tokenize pass plus map-side-combining aggregates;
+    * the query set (small by nature) is broadcast into a term-keyed
+    * equi-join against the postings, so the corpus never moves except by
+    * its own term/doc keys; the single-row (N, avgdl) stats frame is a
+    * broadcast cross. Per-(query, doc) scores fold the per-term
+    * contributions in sorted term order from 0.0 — the same deterministic
+    * summation an external replay produces, so results are engine-exact
+    * (then rounded to 6 dp so `ln` ulp noise cannot surface). Ranking ties
+    * break by doc id; `row_number` bounds output to k rows per query via
+    * TakeOrderedAndProject-shaped window pruning.
+    *
+    * Tokens are lowercase whitespace words (matching [[docTermScores]]);
+    * query term multiplicity is ignored (standard for short queries).
+    * Output: `(qid, doc_id, score, rank)`, rank 1-based, rank <= k.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK requires k >= 1, got $k")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N counts ALL docs (token-less docs score nothing but shift idf/avgdl)
+    val stats = docs.agg(count(lit(1)).as("__n"))
+      .crossJoin(toks.agg(count(lit(1)).as("__s")))
+      .select(col("__n"), (col("__s").cast("double") / col("__n")).as("__avgdl"))
+    val qterms = queries.select(col(qidCol).cast("long").as("qid"),
+      explode(array_distinct(TextFunctions.tokens(lower(col(qtextCol))))).as("term"))
+    // contribution per matched (query, doc, term); float op order mirrors
+    // the SQL replay exactly: (1-b) is a plan-time constant, b*dl divides
+    // by avgdl left-to-right
+    val contrib =
+      (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * (col("tf") * lit(k1 + 1.0))
+        / (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("__avgdl"))))
+    val matched = broadcast(qterms)
+      .join(tf, "term").join(dl, "id").join(dfr, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"), struct(col("term"), contrib.as("c")).as("x"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    matched.groupBy("qid", "id")
+      .agg(sort_array(collect_list(col("x"))).as("__xs"))
+      .select(col("qid"), col("id").as("doc_id"),
+        round(aggregate(transform(col("__xs"), x => x.getField("c")),
+          lit(0.0), (acc, v) => acc + v), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TfIdf
+
+/** BM25 retrieval: checked against an independent plain-Scala reference
+  * (same tokenization, same k1/b), plus ranking/shape properties. */
+class Bm25Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the lazy dog sleeps all day long in the sun",
+    3L -> "quick quick quick repetition of the word quick",
+    4L -> "an entirely unrelated document about spark plans",
+    5L -> "brown foxes and brown bears share the brown woods")
+
+  private val queries = Seq(10L -> "quick brown fox", 20L -> "lazy dog")
+
+  /** Plain-Scala BM25 with the exact contract: lowercase whitespace tokens,
+    * distinct query terms, idf = ln(1 + (N - df + .5)/(df + .5)),
+    * contributions summed in sorted term order, rounded to 6 dp. */
+  private def reference(k1: Double, b: Double): Map[(Long, Long), Double] = {
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }.toMap
+    val n = corpus.size
+    val avgdl = docToks.values.map(_.size).sum.toDouble / n
+    val df = docToks.values.flatMap(_.distinct).groupBy(identity).map {
+      case (t, xs) => t -> xs.size
+    }
+    val out = for {
+      (qid, qt) <- queries
+      (id, dt) <- docToks
+      contribs = qt.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq.flatMap { term =>
+        val tf = dt.count(_ == term)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+          Some(idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + (b * dt.size) / avgdl)))
+        }
+      }
+      if contribs.nonEmpty
+      score = BigDecimal(contribs.foldLeft(0.0)(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (qid, id) -> score
+    out.toMap
+  }
+
+  private def run(k: Int, k1: Double = 1.2, b: Double = 0.75) =
+    TfIdf.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("qid", "qtext"), "qid", "qtext", k, k1, b)
+
+  test("scores match the independent reference exactly (default k1/b)") {
+    val got = run(k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == reference(1.2, 0.75))
+  }
+
+  test("non-default k1/b also match (parameters actually thread through)") {
+    val got = run(k = 10, k1 = 2.0, b = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == reference(2.0, 0.3))
+  }
+
+  test("ranks are dense 1..n per query, ordered by (score desc, doc_id)") {
+    val rows = run(k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to g.length).toSeq)
+      assert(sorted.sameElements(g.sortBy(x => (-x._3, x._2))))
+    }
+  }
+
+  test("k bounds the rows per query") {
+    val rows = run(k = 1).collect()
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 1))
+    // the top hit for "quick brown fox" must contain at least one query term
+    val top10 = rows.find(_.getLong(0) == 10L).get.getLong(1)
+    assert(Set(1L, 3L, 5L).contains(top10))
+  }
+
+  test("docs sharing no query term never appear") {
+    assert(!run(k = 10).collect().exists(r =>
+      r.getLong(0) == 20L && r.getLong(1) == 4L))
+  }
+
+  test("result is invariant to input partitioning") {
+    val a = run(k = 10).collect().map(_.toSeq).toSet
+    val shuffled = TfIdf.bm25TopK(
+      corpus.toDF("doc_id", "text").repartition(7), "doc_id", "text",
+      queries.toDF("qid", "qtext").repartition(3), "qid", "qtext", 10)
+    assert(shuffled.collect().map(_.toSeq).toSet == a)
+  }
+}

@@ -23,8 +23,8 @@ class PlanShapeSpec extends SparkSuite {
     "q05_interval_join_full", "q07_grouped_interval_join", "q32_interval_join_ts",
     "q15_ann_brute", "q30_embed_neardup_baseline",
     // single-row corpus-count broadcast (tf-idf idf factor / surprisal N /
-    // the HLL estimate row x exact-distinct row)
-    "q42_tfidf_top", "q59_unigram_surprisal", "q72_hll_distinct",
+    // the HLL estimate row x exact-distinct row / BM25's (N, avgdl) row)
+    "q42_tfidf_top", "q59_unigram_surprisal", "q72_hll_distinct", "q74_bm25",
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
     "q52_interval_join_bounded", "q53_interval_join_float")
