@@ -941,6 +941,24 @@ object SparkEntry {
       val docs = d.select(col("doc_id").as("id"),
         round(TF.qualityScore(col("text")), 6).as("quality"))
       Dedup.canonicalByQuality(pairs, docs)
+    }),
+
+    // Fixed-size stratified take: exactly 20 docs per language by salted-
+    // hash order — the deterministic eval-set quota. WindowGroupLimit keeps
+    // the per-stratum shuffle bounded at n rows per map partition.
+    "q76_stratified_take" -> ((sp, dir) =>
+      graft.functions.Sampling.takeNPerStratum(
+        table(sp, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", 20)),
+
+    // Exact 1/30-share heavy hitters via the sketch-gated two-pass plan:
+    // CMS nominates (complete by est >= true), the exact pass counts only
+    // candidate rows and re-applies the threshold. Oracle is the plain
+    // exact HAVING — the sketch shapes the plan, never the answer.
+    "q77_heavy_hitters" -> ((sp, dir) => {
+      val toks = table(sp, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      graft.functions.Sketches.heavyHittersByShare(toks, "tok", 30L, 4, 64, "q77")
     })
   )
 
@@ -1986,6 +2004,26 @@ object SparkEntry {
          |SELECT doc_id, cluster, canon_id, CAST(csize AS BIGINT) AS csize,
          |       doc_id = canon_id AS kept
          |FROM w""".stripMargin
-    }
+    },
+
+    // Same salted hash, same (hash, id) order, same row_number cut.
+    "q76_stratified_take" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             ${hSql("'taken:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |             row_number() OVER (PARTITION BY lang
+         |                                ORDER BY hv, doc_id) AS rank
+         |      FROM h)
+         |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20""".stripMargin,
+
+    // The exact contract the sketch-gated plan must honor: plain counts,
+    // integer-division threshold, >= cut.
+    "q77_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |thr AS (SELECT count(*) // 30 AS mc FROM t)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |FROM t, thr GROUP BY tok, mc HAVING count(*) >= mc""".stripMargin
   )
 }

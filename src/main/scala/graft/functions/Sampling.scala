@@ -66,6 +66,31 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt).cast("double") < frac * Buckets)
   }
 
+  /** Exactly `min(n, |stratum|)` rows per stratum value, chosen by salted-
+    * hash order over the key (ties by key) — the fixed-size eval-set /
+    * per-domain-quota primitive that [[stratifiedSampleByHash]]'s
+    * fraction-based filter can't give. Deterministic like everything here:
+    * no RNG, stable across runs, engines, and cluster sizes; appending new
+    * keys preserves the relative hash order of existing keys (a new key can
+    * push ranks up and displace the hash-latest survivors, never reorder
+    * or demote-below the ones that remain).
+    *
+    * Scale shape: a `row_number` window partitioned by stratum would be a
+    * handful of giant partitions, but Spark's WindowGroupLimit inserts a
+    * PARTIAL top-n per stratum on every map partition before the shuffle,
+    * so the exchange carries at most n rows per (stratum, map partition) —
+    * never the corpus. Output keeps the input columns plus a 1-based
+    * `rank` within the stratum's hash order. */
+  def takeNPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      n: Int, salt: String = "taken"): DataFrame = {
+    require(n >= 1, s"takeNPerStratum requires n >= 1, got $n")
+    val h = tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h, col(keyCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
+  }
+
   /** Global running sum of `valueCol` over the total order
     * (strataCols, bucket, orderCols), at scale — the distributed
     * `sum(v) OVER (ORDER BY ...)`, which as a bare window would serialize

@@ -131,6 +131,38 @@ object Sketches {
           6).as("est"))
   }
 
+  // ------------------------------------------------------------ heavy hitters
+
+  /** EXACT heavy hitters — every value whose multiset count reaches
+    * `total div shareDivisor` (e.g. divisor 30 = the 1/30-share hitters) —
+    * found with a sketch-gated two-pass plan: a count-min pass nominates
+    * candidates (COMPLETE by the CMS one-sided guarantee: est >= true, so
+    * no true hitter can be missed), then the exact pass counts ONLY rows
+    * whose value survived the gate (a broadcast semi-join — the candidate
+    * set is at most a heavy-hitter bound `shareDivisor · depth`-ish, tiny)
+    * and re-applies the threshold to discard the sketch's false positives.
+    * The contract is exact; the sketch only shapes the plan: the final
+    * aggregate's shuffle carries candidate rows alone, and the threshold is
+    * a single broadcast row — no driver-side state anywhere.
+    *
+    * Output: (valueCol, cnt), exactly the values with cnt >= threshold. */
+  def heavyHittersByShare(items: DataFrame, valueCol: String,
+      shareDivisor: Long, depth: Int = 4, width: Int = 64,
+      salt: String = "hh"): DataFrame = {
+    require(shareDivisor >= 1, s"shareDivisor must be >= 1: $shareDivisor")
+    val thr = items.agg(count(lit(1)).as("__t"))
+      .select(expr(s"__t div $shareDivisor").as("__thr"))
+    val ests = cmsLookup(cmsSketch(items, valueCol, depth, width, salt),
+      items.select(valueCol).distinct(), valueCol, depth, width, salt)
+    val cands = ests.crossJoin(broadcast(thr))
+      .where(col("est") >= col("__thr")).select(col(valueCol))
+    items.join(broadcast(cands), Seq(valueCol), "left_semi")
+      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(thr))
+      .where(col("cnt") >= col("__thr"))
+      .select(col(valueCol), col("cnt"))
+  }
+
   // ------------------------------------------------------------- Bloom filter
 
   /** The k salted bit positions of a value in an m-bit Bloom filter. */

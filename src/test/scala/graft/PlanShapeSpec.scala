@@ -25,6 +25,8 @@ class PlanShapeSpec extends SparkSuite {
     // single-row corpus-count broadcast (tf-idf idf factor / surprisal N /
     // the HLL estimate row x exact-distinct row / BM25's (N, avgdl) row)
     "q42_tfidf_top", "q59_unigram_surprisal", "q72_hll_distinct", "q74_bm25",
+    // single-row threshold broadcast into the sketch gate + exact cut
+    "q77_heavy_hitters",
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
     "q52_interval_join_bounded", "q53_interval_join_float")

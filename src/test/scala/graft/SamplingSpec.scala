@@ -178,6 +178,47 @@ class SamplingSpec extends SparkSuite {
         .intersect(df.where(col("lang") === "fr").select("id").as[Long].collect().toSet))
   }
 
+  test("takeNPerStratum: exact quota, window-rank reference, append stability") {
+    val docs = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val got = Sampling.takeNPerStratum(docs, "id", "lang", 10)
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly 10 per stratum, ranks dense 1..10
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.length == 10)
+      assert(g.map(_._3).sorted.toSeq == (1L to 10L).toSeq)
+    }
+    // matches the single-window row_number reference
+    val ref = docs
+      .withColumn("hv", TF.tokenHashMod(concat(lit("taken:"), col("id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("hv"), col("id"))).cast("long"))
+      .where(col("rank") <= 10).select("id", "lang", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.toSet == ref)
+    // n >= stratum size keeps the whole stratum
+    assert(Sampling.takeNPerStratum(docs, "id", "lang", 1000).count() == 300)
+    // append stability: new keys can only push an existing key's rank UP
+    // (insert earlier in hash order), never down — and the surviving old
+    // keys keep their relative hash order
+    val more = (300L until 400L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val after = Sampling.takeNPerStratum(docs.union(more), "id", "lang", 10)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    rows.foreach { case (id, l, rk) =>
+      after.get((id, l)).foreach(rk2 => assert(rk2 >= rk))
+    }
+    rows.groupBy(_._2).foreach { case (l, g) =>
+      val stillIn = g.filter(x => after.contains((x._1, l))).sortBy(_._3)
+      val ranksAfter = stillIn.map(x => after((x._1, l))).toSeq
+      assert(ranksAfter == ranksAfter.sorted &&
+        ranksAfter.distinct.length == ranksAfter.length)
+    }
+    // partitioning invariance
+    val rep = Sampling.takeNPerStratum(docs.repartition(17), "id", "lang", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rep == rows.toSet)
+  }
+
   test("repetition ratios: exact values on known inputs") {
     val d = Seq(
       (1L, "a a b"),          // 3 tokens, 2 distinct

@@ -106,6 +106,43 @@ class SketchesSpec extends SparkSuite {
 
   // ------------------------------------------------------------- Bloom filter
 
+  // ------------------------------------------------------------ heavy hitters
+
+  test("heavy hitters: exact set and counts for every threshold share") {
+    // skewed multiset: "big" 60x, "mid" 20x, the rest 1-7x (total 305)
+    val rows = Seq.fill(60)("big") ++ Seq.fill(20)("mid") ++
+      (0 until 200).flatMap(i => Seq.fill(i % 7 + 1)(s"v$i"))
+    val df = rows.toDF("v")
+    val total = rows.size
+    for (div <- Seq(2L, 10L, 50L, 300L)) {
+      val got = Sketches.heavyHittersByShare(df, "v", div, 4, 16, "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val thr = total / div
+      val want = rows.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        .filter(_._2 >= thr)
+      assert(got == want, s"divisor $div (threshold $thr)")
+    }
+  }
+
+  test("heavy hitters: tight sketch (many collisions) still yields the exact answer") {
+    // width 2 x depth 1: nearly everything collides — false positives must
+    // be discarded by the exact pass, no false negatives possible
+    val rows = Seq.fill(50)("hot") ++ (0 until 100).map(i => s"v$i")
+    val got = Sketches.heavyHittersByShare(rows.toDF("v"), "v", 10L,
+      depth = 1, width = 2, salt = "t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 50L)) // threshold = 150/10 = 15
+  }
+
+  test("heavy hitters: result invariant to partitioning") {
+    val rows = Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ (0 until 60).map(i => s"v$i")
+    val one = Sketches.heavyHittersByShare(rows.toDF("v"), "v", 5L)
+      .collect().map(_.toSeq).toSet
+    val many = Sketches.heavyHittersByShare(rows.toDF("v").repartition(13), "v", 5L)
+      .collect().map(_.toSeq).toSet
+    assert(one == many && one.nonEmpty)
+  }
+
   test("Bloom: no false negatives, ever") {
     val corpus = (0 until 500).map(i => s"doc$i").toDF("v")
     val bits = Sketches.bloomBits(corpus, "v", numBits = 8192L, k = 3, "t")
