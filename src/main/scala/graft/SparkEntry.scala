@@ -959,6 +959,22 @@ object SparkEntry {
       val toks = table(sp, dir, "documents")
         .select(explode(TF.tokens(col("text"))).as("tok"))
       graft.functions.Sketches.heavyHittersByShare(toks, "tok", 30L, 4, 64, "q77")
+    }),
+
+    // BM25 through the PERSISTED term-bucketed index: the corpus pays
+    // tokenize+aggregate once at write time, the probe is one broadcast
+    // join against the layout. Same corpus + query set as q74, so the
+    // oracle is q74's replay verbatim — probe == direct, bit for bit.
+    // Built once per session (Verify/Bench run every query in one).
+    "q78_bm25_index" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!sp.catalog.tableExists(tbl))
+        graft.functions.TfIdf.writeBm25Index(d, "doc_id", "text", tbl, nBuckets = 8)
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      graft.functions.TfIdf.bm25AgainstIndex(q, "qid", "qtext", tbl, 10)
     })
   )
 
@@ -1018,6 +1034,42 @@ object SparkEntry {
 
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+
+  /** Full BM25 replay shared by q74 (direct) and q78 (persisted index —
+    * must equal the direct path bit for bit): same lowercase tokens, same
+    * idf/tf/length math in the same float op order, contributions folded
+    * in sorted term order from 0.0, rank on the 6-dp-rounded score. */
+  private lazy val bm25ReplaySql = {
+    val toksLower =
+      """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+    s"""WITH toks AS (SELECT doc_id AS id, unnest($toksLower) AS term
+       |              FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+       |                / (SELECT count(*) FROM documents) AS avgdl),
+       |q AS (SELECT qid, unnest(qt) AS term
+       |      FROM (SELECT doc_id AS qid,
+       |                   list_distinct(($toksLower)[1:8]) AS qt
+       |            FROM documents WHERE doc_id % 50 = 0)),
+       |j AS (SELECT q.qid, tf.id, tf.term,
+       |             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |               * (tf * ${1.2 + 1.0})
+       |               / (tf + 1.2 * (${1.0 - 0.75} + (0.75 * dl) / avgdl)) AS c
+       |      FROM q JOIN tf USING (term) JOIN dl USING (id)
+       |             JOIN dfr USING (term), st),
+       |s AS (SELECT qid, id, list(c ORDER BY term) AS cs FROM j GROUP BY 1, 2),
+       |f AS (SELECT qid, id AS doc_id,
+       |             round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+       |               AS score
+       |      FROM s),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY score DESC, doc_id) AS rank
+       |      FROM f)
+       |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   private def shinglesSql(n: Int) =
     s"list_distinct(list_transform(range(1, greatest(len(lower(text))-${n - 1}, 0)+1), " +
@@ -1919,37 +1971,11 @@ object SparkEntry {
     // Full BM25 replay: same lowercase tokens, same idf/tf/length math in
     // the same float op order, contributions folded in sorted term order
     // from 0.0 — bit-exact pre-round; rank on the 6-dp-rounded score.
-    "q74_bm25" -> {
-      val toksLower =
-        """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
-      s"""WITH toks AS (SELECT doc_id AS id, unnest($toksLower) AS term
-         |              FROM documents),
-         |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
-         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
-         |              (SELECT CAST(count(*) AS DOUBLE) FROM toks)
-         |                / (SELECT count(*) FROM documents) AS avgdl),
-         |q AS (SELECT qid, unnest(qt) AS term
-         |      FROM (SELECT doc_id AS qid,
-         |                   list_distinct(($toksLower)[1:8]) AS qt
-         |            FROM documents WHERE doc_id % 50 = 0)),
-         |j AS (SELECT q.qid, tf.id, tf.term,
-         |             ln(1.0 + (n - df + 0.5) / (df + 0.5))
-         |               * (tf * ${1.2 + 1.0})
-         |               / (tf + 1.2 * (${1.0 - 0.75} + (0.75 * dl) / avgdl)) AS c
-         |      FROM q JOIN tf USING (term) JOIN dl USING (id)
-         |             JOIN dfr USING (term), st),
-         |s AS (SELECT qid, id, list(c ORDER BY term) AS cs FROM j GROUP BY 1, 2),
-         |f AS (SELECT qid, id AS doc_id,
-         |             round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
-         |               AS score
-         |      FROM s),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |                                   ORDER BY score DESC, doc_id) AS rank
-         |      FROM f)
-         |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
-    },
+    "q74_bm25" -> bm25ReplaySql,
+
+    // The index probe must equal the direct path bit for bit — same
+    // corpus, same queries, same oracle.
+    "q78_bm25_index" -> bm25ReplaySql,
 
     // q17's pair pipeline -> recursive min-reachability closure -> q10's
     // quality formula -> first_value window picks the (quality DESC, id)

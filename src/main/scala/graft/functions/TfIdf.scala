@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,19 +78,84 @@ object TfIdf {
     val stats = docs.agg(count(lit(1)).as("__n"))
       .crossJoin(toks.agg(count(lit(1)).as("__s")))
       .select(col("__n"), (col("__s").cast("double") / col("__n")).as("__avgdl"))
-    val qterms = queries.select(col(qidCol).cast("long").as("qid"),
-      explode(array_distinct(TextFunctions.tokens(lower(col(qtextCol))))).as("term"))
-    // contribution per matched (query, doc, term); float op order mirrors
-    // the SQL replay exactly: (1-b) is a plan-time constant, b*dl divides
-    // by avgdl left-to-right
-    val contrib =
-      (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-        * (col("tf") * lit(k1 + 1.0))
-        / (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("__avgdl"))))
-    val matched = broadcast(qterms)
+    val matched = broadcast(bm25QueryTerms(queries, qidCol, qtextCol))
       .join(tf, "term").join(dl, "id").join(dfr, "term")
       .crossJoin(broadcast(stats))
-      .select(col("qid"), col("id"), struct(col("term"), contrib.as("c")).as("x"))
+      .select(col("qid"), col("id"),
+        struct(col("term"),
+          bm25Contrib(col("__n"), col("__avgdl"), k1, b).as("c")).as("x"))
+    bm25FoldAndRank(matched, k)
+  }
+
+  /** Persist the corpus BM25 inverted index as a term-bucketed, term-sorted
+    * catalog table: one row per posting `(term, id, tf, dl, df)` (df
+    * denormalized onto the posting so the probe needs no second frame), and
+    * the corpus constants (doc count, total token count) on the `term`
+    * column's metadata. The expensive part of retrieval at 100 TB is the
+    * tokenize + aggregate over the corpus — this pays it ONCE; every later
+    * query batch is a join against the layout. Bucketing by term keeps
+    * postings co-located for shuffle-free sort-merge joins when the query
+    * workload is itself too big to broadcast, and for index maintenance
+    * merges; broadcast probes read it shuffle-free either way. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the two corpus constants the scorer needs; N counts ALL docs
+    val nDocs = docs.count()
+    val sumDl = toks.count()
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.n", nDocs).putLong("graft.sumdl", sumDl).build()
+    tf.join(dl, "id").join(dfr, "term")
+      .select(col("term").as("term", meta), col("id"), col("tf"), col("dl"),
+        col("df"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** BM25 top-`k` against a [[writeBm25Index]] table — bit-identical to
+    * [[bm25TopK]] over the same corpus (same float op order; the corpus
+    * constants ride the catalog metadata). Rejects tables that are not
+    * graft BM25 indexes at plan time. */
+  def bm25AgainstIndex(queries: DataFrame, qidCol: String, qtextCol: String,
+      tableName: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25AgainstIndex requires k >= 1, got $k")
+    val idx = queries.sparkSession.table(tableName)
+    val m = idx.schema("term").metadata
+    require(m.contains("graft.n") && m.contains("graft.sumdl"),
+      s"table $tableName was not written by writeBm25Index (missing corpus stats)")
+    val n = m.getLong("graft.n")
+    val avgdl = m.getLong("graft.sumdl").toDouble / n
+    val matched = broadcast(bm25QueryTerms(queries, qidCol, qtextCol))
+      .join(idx, "term")
+      .select(col("qid"), col("id"),
+        struct(col("term"), bm25Contrib(lit(n), lit(avgdl), k1, b).as("c")).as("x"))
+    bm25FoldAndRank(matched, k)
+  }
+
+  /** Distinct lowercase query terms: (qid, term). */
+  private def bm25QueryTerms(queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    queries.select(col(qidCol).cast("long").as("qid"),
+      explode(array_distinct(TextFunctions.tokens(lower(col(qtextCol))))).as("term"))
+
+  /** Per-(query, doc, term) BM25 contribution over posting columns
+    * `tf`/`df`/`dl`; float op order mirrors the SQL replay exactly:
+    * (1-b) is a plan-time constant, b*dl divides by avgdl left-to-right. */
+  private def bm25Contrib(nCol: Column, avgdlCol: Column,
+      k1: Double, b: Double): Column =
+    (log(lit(1.0) + (nCol - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      * (col("tf") * lit(k1 + 1.0))
+      / (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdlCol)))
+
+  /** Fold per-term contributions in sorted term order from 0.0 (engine-
+    * exact), round to 6 dp, rank per query (ties by doc id), keep top k. */
+  private def bm25FoldAndRank(matched: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     matched.groupBy("qid", "id")
       .agg(sort_array(collect_list(col("x"))).as("__xs"))

@@ -93,4 +93,40 @@ class Bm25Spec extends SparkSuite {
       queries.toDF("qid", "qtext").repartition(3), "qid", "qtext", 10)
     assert(shuffled.collect().map(_.toSeq).toSet == a)
   }
+
+  test("persisted index probe == direct path bit for bit; layout is bucketed") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      TfIdf.writeBm25Index(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        "graft_bm25_spec_idx", nBuckets = 4)
+      val direct = run(k = 10).collect().map(_.toSeq).toSet
+      val viaIdx = TfIdf.bm25AgainstIndex(queries.toDF("qid", "qtext"),
+        "qid", "qtext", "graft_bm25_spec_idx", 10)
+      assert(viaIdx.collect().map(_.toSeq).toSet == direct)
+      // big-query-workload path: with broadcast off, the term-bucketed index
+      // side of the sort-merge join must read in place — no Exchange over it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = TfIdf.bm25AgainstIndex(queries.toDF("qid", "qtext"),
+        "qid", "qtext", "graft_bm25_spec_idx", 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan must use buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_bm25_spec_idx")
+    }
+  }
+
+  test("probing a non-index table is rejected at plan time") {
+    try {
+      corpus.toDF("term", "text").write.mode("overwrite")
+        .saveAsTable("graft_bm25_not_idx")
+      val e = intercept[IllegalArgumentException] {
+        TfIdf.bm25AgainstIndex(queries.toDF("qid", "qtext"),
+          "qid", "qtext", "graft_bm25_not_idx", 10)
+      }
+      assert(e.getMessage.contains("writeBm25Index"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bm25_not_idx")
+    }
+  }
 }
