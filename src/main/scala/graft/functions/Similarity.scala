@@ -177,6 +177,66 @@ object Similarity {
     slice(transform(array_sort(array(scored.toIndexedSeq: _*)), _.getField("i")), 1, nProbe)
   }
 
+  /** Persist an IVF-assigned corpus as a list-bucketed catalog table: one
+    * row per corpus vector with its precomputed double vector, L2 norm and
+    * nearest-centroid `list_id`, saved `bucketBy(list_id)` + sorted so a
+    * probe join reads each inverted list CO-LOCATED; the coarse quantizer
+    * itself (dim + flattened centroids) rides the `list_id` column
+    * metadata, so the table is self-describing — a probe physically cannot
+    * run against the wrong centroids. The 100 TB shape (the third persisted
+    * retrieval layout, after the BM25 and near-dup band indexes): centroid
+    * assignment — the full corpus scan — is paid ONCE at write; every later
+    * query batch joins its probe lists against the layout, broadcast
+    * probes shuffle-free and oversized query workloads sort-merge against
+    * the buckets with no Exchange over the index side. */
+  def writeIvfIndexTable(corpus: DataFrame, index: IvfIndex,
+      tableName: String, nBuckets: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val dim = index.centroids.head.length
+    require(index.centroids.forall(_.length == dim), "ragged centroids")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.ivf.dim", dim.toLong)
+      .putDoubleArray("graft.ivf.centroids", index.centroids.flatten)
+      .build()
+    withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "__vd", "__n")
+      .withColumn("__list", ivfListId(col(vecCol), index))
+      .select(col(idCol), col("__vd").as("vec"), col("__n").as("norm"),
+        col("__list").as("list_id", meta))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "list_id").sortBy("list_id")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** IVF approximate top-k against a [[writeIvfIndexTable]] table —
+    * bit-identical to [[ivfTopK]] over the same corpus and index (stored
+    * doubles round-trip exactly through parquet; the probe replays the same
+    * join/score/rank plan over the precomputed columns). Rejects tables
+    * that are not graft IVF indexes at plan time. */
+  def ivfTopKAgainstIndexTable(queries: DataFrame, k: Int, tableName: String,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"ivfTopKAgainstIndexTable requires k >= 1, got $k")
+    val idx = queries.sparkSession.table(tableName)
+    val m = idx.schema.find(_.name == "list_id").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    require(m.contains("graft.ivf.dim") && m.contains("graft.ivf.centroids"),
+      s"table $tableName was not written by writeIvfIndexTable (missing centroids)")
+    require(idx.columns.contains(idCol),
+      s"index table $tableName has no id column `$idCol`")
+    val dim = m.getLong("graft.ivf.dim").toInt
+    val index = IvfIndex(m.getDoubleArray("graft.ivf.centroids").grouped(dim).toArray)
+    val q = withNorm(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        "q_vec", "__qvd", "__qn")
+      .withColumn("list_id", explode(ivfProbeLists(col("q_vec"), index, nProbe)))
+    val sim = idx.join(broadcast(q), Seq("list_id"))
+      .where(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        pairSim(col("vec"), col("norm"), col("__qvd"), col("__qn")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
+    sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Exact embedding-cosine near-dup pairs: every (a, b) with `id_a < id_b`
     * and `cosine >= threshold`. All-pairs comparison — the correctness
     * baseline (the scale path is [[lshNearDupPairs]]); sim rounded to 4

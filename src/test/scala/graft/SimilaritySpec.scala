@@ -154,6 +154,44 @@ class SimilaritySpec extends SparkSuite {
     assert(perQ.forall(_.getLong(1) <= 10))
   }
 
+  test("persisted IVF index probe == direct ivfTopK bit for bit; layout is bucketed") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 100 === 0)
+    val index = Similarity.ivfTrain(e, nLists = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Similarity.writeIvfIndexTable(e, index, "graft_ivf_spec_idx", nBuckets = 4)
+      val direct = Similarity.ivfTopK(e, q, 10, index, nProbe = 3)
+        .collect().map(_.toSeq).toSet
+      val viaIdx = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_spec_idx", nProbe = 3)
+      assert(viaIdx.collect().map(_.toSeq).toSet == direct)
+      // big-query-workload path: with broadcast off, the list-bucketed index
+      // side of the sort-merge join must read in place — no Exchange over it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_spec_idx", nProbe = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan must use buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_idx")
+    }
+  }
+
+  test("probing a non-IVF-index table is rejected at plan time") {
+    try {
+      vecs.withColumnRenamed("vec_id", "list_id").write.mode("overwrite")
+        .saveAsTable("graft_ivf_not_idx")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKAgainstIndexTable(vecs, 10, "graft_ivf_not_idx")
+      }
+      assert(e.getMessage.contains("writeIvfIndexTable"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_not_idx")
+    }
+  }
+
   test("cosine near-dup: exact pairs match a driver-side brute force; LSH pairs are a verified subset") {
     val exact = Similarity.cosineNearDupPairs(vecs, 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
