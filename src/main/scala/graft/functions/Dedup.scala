@@ -491,6 +491,7 @@ object Dedup {
       .putLong("graft.k", k.toLong).putLong("graft.bands", bands.toLong)
       .putLong("graft.shingleN", shingleN.toLong).putLong("graft.seed", seed)
       .build()
+    graft.sources.ManagedTables.clearOrphanedLocation(df.sparkSession, tableName)
     signatures(df, textCol, idCol, k, bands, shingleN, seed)
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), col("bhs").as("bhs", meta),

@@ -199,6 +199,7 @@ object Similarity {
       .putLong("graft.ivf.dim", dim.toLong)
       .putDoubleArray("graft.ivf.centroids", index.centroids.flatten)
       .build()
+    graft.sources.ManagedTables.clearOrphanedLocation(corpus.sparkSession, tableName)
     withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "__vd", "__n")
       .withColumn("__list", ivfListId(col(vecCol), index))
       .select(col(idCol), col("__vd").as("vec"), col("__n").as("norm"),

@@ -110,6 +110,7 @@ object TfIdf {
     val sumDl = toks.count()
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.n", nDocs).putLong("graft.sumdl", sumDl).build()
+    graft.sources.ManagedTables.clearOrphanedLocation(docs.sparkSession, tableName)
     tf.join(dl, "id").join(dfr, "term")
       .select(col("term").as("term", meta), col("id"), col("tf"), col("dl"),
         col("df"))

@@ -131,6 +131,7 @@ object IntervalLayout {
   def writeBinnedTable(df: DataFrame, tableName: String, spancol: String,
       binWidth: Long, nBuckets: Int, mode: String = "overwrite"): Unit = {
     require(binWidth > 0 && nBuckets > 0, "binWidth and nBuckets must be positive")
+    ManagedTables.clearOrphanedLocation(df.sparkSession, tableName)
     val bins = expr(
       s"case when ($spancol.start) < ($spancol.stop) " +
         s"then sequence(${floorDivSql(s"$spancol.start", binWidth)}, " +

@@ -116,6 +116,26 @@ class Bm25Spec extends SparkSuite {
     }
   }
 
+  test("an orphaned warehouse location from a dead JVM does not block index writes") {
+    // in-memory catalogs forget tables at JVM exit; warehouse dirs don't —
+    // a rerun must clear the catalog-orphaned location, not die on
+    // LOCATION_ALREADY_EXISTS (this bit Verify-then-test sequences)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, "graft_bm25_orphan_idx")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "stale-part"))
+    try {
+      TfIdf.writeBm25Index(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        "graft_bm25_orphan_idx", nBuckets = 2)
+      assert(spark.catalog.tableExists("graft_bm25_orphan_idx"))
+      val viaIdx = TfIdf.bm25AgainstIndex(queries.toDF("qid", "qtext"),
+        "qid", "qtext", "graft_bm25_orphan_idx", 10)
+      assert(viaIdx.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bm25_orphan_idx")
+    }
+  }
+
   test("probing a non-index table is rejected at plan time") {
     try {
       corpus.toDF("term", "text").write.mode("overwrite")
