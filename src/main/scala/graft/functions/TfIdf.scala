@@ -69,14 +69,19 @@ object TfIdf {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"bm25TopK requires k >= 1, got $k")
+    // dl/df/token-total all derive from the ONE tf aggregate (dl = Σ tf per
+    // doc, token total = Σ tf) so the three branches are structurally
+    // identical subplans — ReuseExchange computes the tokenize+explode+agg
+    // once instead of re-executing the corpus scan per branch. Values are
+    // identical: integer counts either way.
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N counts ALL docs (token-less docs score nothing but shift idf/avgdl)
     val stats = docs.agg(count(lit(1)).as("__n"))
-      .crossJoin(toks.agg(count(lit(1)).as("__s")))
+      .crossJoin(tf.agg(sum("tf").as("__s")))
       .select(col("__n"), (col("__s").cast("double") / col("__n")).as("__avgdl"))
     val matched = broadcast(bm25QueryTerms(queries, qidCol, qtextCol))
       .join(tf, "term").join(dl, "id").join(dfr, "term")
@@ -100,14 +105,17 @@ object TfIdf {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
       tableName: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // dl and the token total derive from tf (same values, see bm25TopK) so
+    // the corpus is tokenized once per job, not once per derived frame
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // the two corpus constants the scorer needs; N counts ALL docs
+    // the two corpus constants the scorer needs; N counts ALL docs (a
+    // parquet metadata count — no tokenize)
     val nDocs = docs.count()
-    val sumDl = toks.count()
+    val sumDl = tf.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.n", nDocs).putLong("graft.sumdl", sumDl).build()
     graft.sources.ManagedTables.clearOrphanedLocation(docs.sparkSession, tableName)
