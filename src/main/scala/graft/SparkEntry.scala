@@ -16,12 +16,15 @@ import graft.multimodal.Multimodal
   * (SURVEY.md §2), with DuckDB-oracle SQL for each (SURVEY §2.3).
   *
   * Interval convention: canonical `struct<start,stop>` long nanoseconds,
-  * half-open. `events.ts` is Parquet TIMESTAMP(NANOS) and is read as long ns
-  * via `spark.sql.legacy.parquet.nanosAsLong` (set by every session builder
-  * here and defensively at query time); the DuckDB side uses `epoch_ns`.
-  * Timestamp-ms columns (orders/lineitem) go through `unix_micros × 1000` /
-  * `epoch_us × 1000`. All oracle comparisons are order-insensitive; every
-  * aggregate/computed column carries the same alias on both sides.
+  * half-open. All timestamp columns (`events.ts`, orders/lineitem dates)
+  * are Parquet TIMESTAMP(MICROS), read as TIMESTAMP_NTZ and converted to
+  * long ns via `unix_micros(cast(.. as timestamp)) × 1000` under the
+  * UTC-pinned session; the DuckDB side uses `epoch_ns` / `epoch_us × 1000`
+  * on the same naive values. (Round-6-and-earlier testdata wrote `ts` as
+  * TIMESTAMP(NANOS) and was read as long ns via the `nanosAsLong` conf the
+  * builders still set — inert on today's µs files.) All oracle
+  * comparisons are order-insensitive; every aggregate/computed column
+  * carries the same alias on both sides.
   */
 object SparkEntry {
 
@@ -37,13 +40,25 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     s(spark).read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-free per-dataset suffix for session-cached index names: the
+    * FULL sanitized dir path (a 32-bit `String.hashCode` can collide two
+    * data dirs onto one cached index) plus the `documents` parquet's latest
+    * mtime, so data regenerated mid-session can never be served a stale
+    * index. */
+  private def datasetStamp(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val stamp = Option(src.listFiles).filter(_.nonEmpty)
+      .map(_.map(_.lastModified).max).getOrElse(src.lastModified)
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") + "_" + stamp
+  }
+
   /** Interval fixture: per user, consecutive event timestamps become
     * half-open spans (FIXTURES.md `event_spans`). */
   private def eventSpans(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
       // DuckDB (the oracle) reads Parquet TIMESTAMP(NANOS) at µs precision;
       // truncate to µs boundaries so both engines see identical longs.
-      .withColumn("tsq", expr("(ts div 1000) * 1000"))
+      .withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
     val w = Window.partitionBy("user_id").orderBy("tsq", "event_id")
     ev.select(col("user_id"), col("event_type"), col("value"), col("tsq").as("st"),
         lead("tsq", 1).over(w).as("en"))
@@ -380,7 +395,7 @@ object SparkEntry {
 
     // Sessionization: gap-based event sessions per user (30 min gap)
     "q29_sessionize" -> ((sp, dir) => {
-      val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
+      val ev = table(sp, dir, "events").withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
       graft.operators.IntervalOps.sessionize(ev, Seq("user_id"), "tsq",
           gapNs = 1800000000000L, orderTiebreak = Seq("event_id"))
         .select(col("user_id"), col("session"), col("span.start").as("sstart"),
@@ -644,7 +659,7 @@ object SparkEntry {
     // As-of join (beyond the reference): latest purchase at or before each
     // click, per user — one shuffle + one window pass, no range join
     "q19_asof" -> ((sp, dir) => {
-      val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
+      val ev = table(sp, dir, "events").withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("tsq").as("ts"), col("event_id").as("click_id"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -656,7 +671,7 @@ object SparkEntry {
 
     // Forward as-of: for each click, the FIRST purchase at/after it per user
     "q41_asof_forward" -> ((sp, dir) => {
-      val ev = table(sp, dir, "events").withColumn("tsq", expr("(ts div 1000) * 1000"))
+      val ev = table(sp, dir, "events").withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("tsq").as("ts"), col("event_id").as("click_id"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -765,7 +780,7 @@ object SparkEntry {
       val win = windowsOver(es, 1000, "idx")
       val pts = table(sp, dir, "events")
         .select(col("event_id"), col("user_id"),
-          expr("(ts div 1000) * 1000").as("t"))
+          expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"))
       IntervalJoin.stabJoin(pts, win, "t" -> "span")
         .select(col("event_id"), col("user_id"), col("idx"),
           col("span_right.start").as("ws"), col("span_right.stop").as("we"))
@@ -827,15 +842,12 @@ object SparkEntry {
       val fresh = docs.where(pmod(col("doc_id"), lit(2L)) === 1L)
       // The index is built ONCE per testdata version — the production cost
       // model (history pays signatures at write time, each batch only
-      // probes). The cache key folds in the source parquet's latest mtime,
-      // so regenerated testdata can never be served a stale index; the
-      // sidecar is written after the data, so its presence implies a
-      // complete index.
-      val src = new java.io.File(dir, "documents.parquet")
-      val stamp = Option(src.listFiles).filter(_.nonEmpty)
-        .map(_.map(_.lastModified).max).getOrElse(src.lastModified)
+      // probes). The cache key is the full sanitized dir path + the source
+      // parquet's latest mtime, so neither a path-hash collision nor
+      // regenerated testdata can ever serve a stale index; the sidecar is
+      // written after the data, so its presence implies a complete index.
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_band_index_${Integer.toHexString(dir.hashCode)}_$stamp").getPath
+        s"graft_band_index_${datasetStamp(dir)}").getPath
       if (Dedup.readIndexMeta(sp, path).isEmpty)
         Dedup.writeBandIndex(hist, "text", "doc_id", path)
       Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
@@ -965,10 +977,12 @@ object SparkEntry {
     // tokenize+aggregate once at write time, the probe is one broadcast
     // join against the layout. Same corpus + query set as q74, so the
     // oracle is q74's replay verbatim — probe == direct, bit for bit.
-    // Built once per session (Verify/Bench run every query in one).
+    // Built once per dataset version (Verify/Bench run every query in one
+    // session); the name carries the full sanitized dir path + source
+    // mtime, so path collisions and stale in-session rebuilds can't alias.
     "q78_bm25_index" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
-      val tbl = s"graft_bm25_idx_${Integer.toHexString(dir.hashCode)}"
+      val tbl = s"graft_bm25_idx_${datasetStamp(dir)}"
       if (!sp.catalog.tableExists(tbl))
         graft.functions.TfIdf.writeBm25Index(d, "doc_id", "text", tbl, nBuckets = 8)
       val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)

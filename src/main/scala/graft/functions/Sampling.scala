@@ -84,10 +84,46 @@ object Sampling {
   def takeNPerStratum(df: DataFrame, keyCol: String, strataCol: String,
       n: Int, salt: String = "taken"): DataFrame = {
     require(n >= 1, s"takeNPerStratum requires n >= 1, got $n")
+    require(!df.columns.contains("rank"),
+      "this operator writes `rank`; rename the existing column")
     val h = tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(h, col(keyCol))
     df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
+  }
+
+  /** Weighted sampling WITHOUT replacement, n per stratum — the
+    * Efraimidis–Spiliotopoulos A-ES scheme made deterministic: each key
+    * draws an exponential race time `E = -ln(u)/w` from the salted-hash
+    * uniform `u ∈ (0,1]` and the n smallest per stratum win. Heavier rows
+    * win proportionally more often across salts, no row can win twice
+    * (without replacement by construction), and like every sampler here
+    * the draw is a pure function of (salt, key) — reproducible across
+    * runs, engines, and cluster sizes, so a SQL oracle replays it.
+    *
+    * The race time is rounded to 6 dp (ties then break by key) so the only
+    * float op (`ln`) can never let a sub-ulp engine difference reorder the
+    * rank — same exactness discipline as the BM25/surprisal scores.
+    * Weights must be non-null and > 0 (a zero weight has no valid race
+    * time; filter those rows first). Scale shape: identical to
+    * [[takeNPerStratum]] — WindowGroupLimit keeps a partial top-n per map
+    * partition, so the per-stratum shuffle carries ≤ n rows per partition.
+    * Output: input columns + the 1-based `rank` in race order. */
+  def weightedTakeN(df: DataFrame, keyCol: String, weightCol: String,
+      strataCol: String, n: Int, salt: String = "wtake"): DataFrame = {
+    require(n >= 1, s"weightedTakeN requires n >= 1, got $n")
+    require(!df.columns.contains("rank"),
+      "this operator writes `rank`; rename the existing column")
+    val w = when(col(weightCol).isNull || col(weightCol) <= 0, raise_error(
+      lit(s"weightedTakeN requires non-null, positive `$weightCol` weights"))
+      .cast("double")).otherwise(col(weightCol).cast("double"))
+    val u = (tokenHashMod(concat(lit(s"$salt:"), col(keyCol).cast("string"))) + 1L)
+      .cast("double") / lit((TextFunctions.HashMod + 1L).toDouble)
+    val race = round(-log(u) / w, 6)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(race, col(keyCol))
+    df.withColumn("rank", row_number().over(win).cast("long"))
       .where(col("rank") <= n)
   }
 

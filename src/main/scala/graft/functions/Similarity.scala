@@ -213,10 +213,17 @@ object Similarity {
     * bit-identical to [[ivfTopK]] over the same corpus and index (stored
     * doubles round-trip exactly through parquet; the probe replays the same
     * join/score/rank plan over the precomputed columns). Rejects tables
-    * that are not graft IVF indexes at plan time. */
+    * that are not graft IVF indexes at plan time. `broadcastQueries = true`
+    * (the default, right for interactive batches) hints the query side into
+    * a broadcast hash join so the bucketed index never shuffles;
+    * pass `false` for an oversized query workload — the probe then
+    * sort-merge-joins against the buckets (still no index-side Exchange:
+    * the table is bucketed by `list_id`) instead of force-broadcasting a
+    * frame that could OOM the executors. */
   def ivfTopKAgainstIndexTable(queries: DataFrame, k: Int, tableName: String,
       nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1, s"ivfTopKAgainstIndexTable requires k >= 1, got $k")
     val idx = queries.sparkSession.table(tableName)
     val m = idx.schema.find(_.name == "list_id").map(_.metadata)
@@ -230,7 +237,8 @@ object Similarity {
     val q = withNorm(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
         "q_vec", "__qvd", "__qn")
       .withColumn("list_id", explode(ivfProbeLists(col("q_vec"), index, nProbe)))
-    val sim = idx.join(broadcast(q), Seq("list_id"))
+    val probeSide = if (broadcastQueries) broadcast(q) else q
+    val sim = idx.join(probeSide, Seq("list_id"))
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
         pairSim(col("vec"), col("norm"), col("__qvd"), col("__qn")).as("sim"))

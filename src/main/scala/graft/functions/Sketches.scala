@@ -187,17 +187,26 @@ object Sketches {
     * are set — no false negatives ever; false positives at the designed
     * rate. The production shape of "is this document's content already in
     * the history?" when the history is too big to join directly: the bit
-    * table is tiny (≤ numBits rows) and broadcasts. Output: one row per
-    * probe row — (id, value columns..., present). */
+    * table is tiny (≤ numBits rows) and broadcasts. Output: exactly one
+    * row per probe row (duplicate probe rows stay duplicated) —
+    * (probe columns..., present). Shape: k broadcast hash joins, one per
+    * bit position — the probe side never shuffles and never collapses, so
+    * there is no unique-key requirement on the probe frame. */
   def bloomProbe(bits: DataFrame, probe: DataFrame, valueCol: String,
       numBits: Long, k: Int, salt: String = ""): DataFrame = {
+    val reserved = Set("pos", "present") ++ (0 until k).map(i => s"__set$i")
+    val clash = probe.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"this operator reserves ${clash.mkString(", ")}; rename the probe column(s)")
     val cells = bloomCells(col(valueCol), numBits, k, salt)
-    val marked = bits.withColumn("__set", lit(true))
-    val exploded = probe.withColumn("__pos", explode(array(cells: _*)))
-    exploded
-      .join(broadcast(marked), exploded("__pos") === marked("pos"), "left")
-      .drop("pos", "__pos")
-      .groupBy(probe.columns.toIndexedSeq.map(col): _*)
-      .agg(min(coalesce(col("__set"), lit(false))).as("present"))
+    val marked = broadcast(bits.withColumn("__set", lit(true)))
+    val joined = cells.zipWithIndex.foldLeft(probe) { case (cur, (cell, i)) =>
+      cur.join(marked, cell === marked("pos"), "left")
+        .drop("pos").withColumnRenamed("__set", s"__set$i")
+    }
+    joined
+      .withColumn("present", (0 until k)
+        .map(i => coalesce(col(s"__set$i"), lit(false))).reduce(_ && _))
+      .drop((0 until k).map(i => s"__set$i"): _*)
   }
 }

@@ -108,6 +108,51 @@ object TextFunctions {
       6)
   }
 
+  /** Feature-hashing linear classifier score in (0,1) — the fastText-style
+    * model-based quality filter shape: every lowercase token hashes into
+    * one of `dim` feature buckets, the bucket weights dot the document's
+    * token counts, and the logit maps through a sigmoid. The per-doc dot
+    * product is a PURE INTEGER sum (weights are integer-valued by
+    * construction below), so it is exact in any engine and any addition
+    * order; the only float ops are the final normalize + sigmoid on that
+    * agreed integer, rounded to 6 dp — the q59/q74 exactness discipline.
+    *
+    * The default weights are a deterministic multiplicative-hash formula,
+    * `w(b) = (b * 2654435761) mod HashMod - HashMod/2` — a stand-in with
+    * the exact plumbing of a trained model (no trained weights ship in
+    * this library); swap in real weights with [[linearScoreWithWeights]].
+    * Zero shuffle: one codegen'd fold over the token array, fuses into the
+    * scan. Empty docs score sigmoid(bias). */
+  def hashedLinearScore(c: Column, dim: Int, salt: String = "qclf",
+      bias: Double = 0.0, scale: Double = 4.0): Column = {
+    require(dim >= 1, s"hashedLinearScore requires dim >= 1, got $dim")
+    val half = HashMod / 2L
+    val raw = aggregate(tokens(lower(c)), lit(0L), (acc, t) =>
+      acc + ((tokenHashMod(concat(lit(s"$salt:"), t)) % dim) * 2654435761L
+        % HashMod - half))
+    val nTok = tokenCount(c)
+    val mean = when(nTok > 0, raw.cast("double") /
+      (nTok.cast("double") * half.toDouble)).otherwise(lit(0.0))
+    round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + lit(scale) * mean))), 6)
+  }
+
+  /** [[hashedLinearScore]] with REAL model weights: `weights(b)` is the
+    * trained coefficient of feature bucket `b` (`dim = weights.length`).
+    * The fold adds per-token contributions in document token order — a
+    * fixed, engine-replayable order (SQL: `list_reduce` over the token
+    * list) — and the result rounds to 6 dp. */
+  def linearScoreWithWeights(c: Column, weights: Array[Double],
+      salt: String = "qclf", bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "need at least one weight")
+    val warr = lit(weights)
+    val raw = aggregate(tokens(lower(c)), lit(0.0), (acc, t) =>
+      acc + element_at(warr,
+        (tokenHashMod(concat(lit(s"$salt:"), t)) % weights.length).cast("int") + 1))
+    val nTok = tokenCount(c)
+    val mean = when(nTok > 0, raw / nTok.cast("double")).otherwise(lit(0.0))
+    round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + mean))), 6)
+  }
+
   /** Fraction of repeated whitespace tokens: `1 - distinct/total` (0 for
     * empty text) — the classic within-document repetition quality signal. */
   def dupTokenRatio(c: Column): Column = {

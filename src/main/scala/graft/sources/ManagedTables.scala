@@ -16,10 +16,15 @@ object ManagedTables {
   def clearOrphanedLocation(spark: SparkSession, tableName: String): Unit = {
     require(!tableName.contains("."),
       s"simple (default-database) table names only, got $tableName")
-    if (!spark.catalog.tableExists(tableName)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // The existence check MUST be against the qualified default-db name: the
+    // unqualified form resolves against the CURRENT database (and is shadowed
+    // by temp views), so with a non-default current database a live
+    // default-db table would look absent here while the path below is the
+    // default-db layout — and we'd delete registered data.
+    if (!spark.catalog.tableExists("default." + tableName)) {
+      val dbLoc = spark.catalog.getDatabase("default").locationUri
       val p = new org.apache.hadoop.fs.Path(
-        wh, tableName.toLowerCase(java.util.Locale.ROOT))
+        dbLoc, tableName.toLowerCase(java.util.Locale.ROOT))
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
     }

@@ -163,4 +163,48 @@ class ApiAndIOSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_binned_r")
     }
   }
+
+  test("clearOrphanedLocation never deletes a live default-db table from a non-default database") {
+    import graft.sources.ManagedTables
+    import spark.implicits._
+    try {
+      Seq((1L, "keep")).toDF("id", "v").write.mode("overwrite")
+        .saveAsTable("graft_mt_live")
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_mt_other")
+      spark.catalog.setCurrentDatabase("graft_mt_other")
+      // from here, tableExists("graft_mt_live") unqualified is FALSE —
+      // the pre-fix check would have rm -rf'd the registered data
+      ManagedTables.clearOrphanedLocation(spark, "graft_mt_live")
+      spark.catalog.setCurrentDatabase("default")
+      assert(spark.table("graft_mt_live").collect().map(_.getString(1)).toSeq ==
+        Seq("keep"))
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP TABLE IF EXISTS graft_mt_live")
+      spark.sql("DROP DATABASE IF EXISTS graft_mt_other")
+    }
+  }
+
+  test("clearOrphanedLocation cleans an orphaned dir even when a temp view shadows the name") {
+    import graft.sources.ManagedTables
+    import spark.implicits._
+    try {
+      // fabricate an orphan: a directory at the default-db location with
+      // no catalog entry (a previous JVM's managed table)
+      val dbLoc = spark.catalog.getDatabase("default").locationUri
+      val p = new org.apache.hadoop.fs.Path(dbLoc, "graft_mt_orphan")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(p)
+      // an unqualified tableExists would see the temp view and skip the
+      // cleanup, leaving saveAsTable to die on LOCATION_ALREADY_EXISTS
+      Seq((1L, "view")).toDF("id", "v").createOrReplaceTempView("graft_mt_orphan")
+      ManagedTables.clearOrphanedLocation(spark, "graft_mt_orphan")
+      assert(!fs.exists(p), "orphaned location must be cleared")
+      Seq((2L, "tbl")).toDF("id", "v").write.saveAsTable("graft_mt_orphan")
+      assert(spark.table("default.graft_mt_orphan").count() == 1)
+    } finally {
+      spark.catalog.dropTempView("graft_mt_orphan")
+      spark.sql("DROP TABLE IF EXISTS default.graft_mt_orphan")
+    }
+  }
 }

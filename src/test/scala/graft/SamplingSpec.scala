@@ -217,6 +217,12 @@ class SamplingSpec extends SparkSuite {
     val rep = Sampling.takeNPerStratum(docs.repartition(17), "id", "lang", 10)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(rep == rows.toSet)
+    // reserved output name: a pre-existing `rank` column is rejected, not
+    // silently overwritten
+    val clash = intercept[IllegalArgumentException] {
+      Sampling.takeNPerStratum(docs.withColumn("rank", lit(0)), "id", "lang", 10)
+    }
+    assert(clash.getMessage.contains("rank"))
   }
 
   test("repetition ratios: exact values on known inputs") {

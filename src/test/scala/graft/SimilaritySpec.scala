@@ -166,12 +166,18 @@ class SimilaritySpec extends SparkSuite {
       val viaIdx = Similarity.ivfTopKAgainstIndexTable(q, 10,
         "graft_ivf_spec_idx", nProbe = 3)
       assert(viaIdx.collect().map(_.toSeq).toSet == direct)
-      // big-query-workload path: with broadcast off, the list-bucketed index
-      // side of the sort-merge join must read in place — no Exchange over it
+      // big-query-workload path: broadcastQueries = false must NOT hint the
+      // query side into a broadcast (a force-broadcast hint overrides the
+      // threshold and could OOM on a huge query batch); the list-bucketed
+      // index side then sort-merges in place — no Exchange over it
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = Similarity.ivfTopKAgainstIndexTable(q, 10,
-        "graft_ivf_spec_idx", nProbe = 3)
-        .queryExecution.executedPlan.toString
+      val big = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_spec_idx", nProbe = 3, broadcastQueries = false)
+      assert(big.collect().map(_.toSeq).toSet == direct,
+        "sort-merge path must return the identical result")
+      val plan = big.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcastQueries=false must not broadcast the query batch:\n$plan")
       assert(plan.contains("Bucketed: true"), s"index scan must use buckets:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)

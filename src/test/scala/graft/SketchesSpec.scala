@@ -160,6 +160,25 @@ class SketchesSpec extends SparkSuite {
     assert(fp <= 25, s"fp=$fp of 1000")
   }
 
+  test("Bloom probe: one output row per probe row (duplicates preserved), no shuffle, reserved names rejected") {
+    val corpus = (0 until 100).map(i => s"doc$i").toDF("v")
+    val bits = Sketches.bloomBits(corpus, "v", 4096L, 3, "t")
+    val dup = Seq("doc1", "doc1", "absent-val").toDF("v")
+    val got = Sketches.bloomProbe(bits, dup, "v", 4096L, 3, "t")
+    assert(got.count() == 3, "duplicate probe rows must not collapse")
+    assert(got.where(col("v") === "doc1" && col("present")).count() == 2)
+    // probe plan: k broadcast hash joins — the probe stream is never
+    // shuffled or aggregated (the only Exchange is inside the bit-table
+    // build under the BroadcastExchange)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"probe must stream through broadcast joins:\n$plan")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(bits, dup.withColumn("pos", lit(1)), "v", 4096L, 3, "t")
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("Bloom: the bit table is small and merges by union") {
     val a = (0 until 100).map(i => s"a$i").toDF("v")
     val b = (0 until 100).map(i => s"b$i").toDF("v")
