@@ -989,7 +989,24 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
       graft.functions.TfIdf.bm25AgainstIndex(q, "qid", "qtext", tbl, 10)
-    })
+    }),
+
+    // Weighted sampling WITHOUT replacement: 15 docs per language, win
+    // probability ∝ doc length — the A-ES exponential race over the salted
+    // hash, fully SQL-replayable (race times rounded 6 dp, ties by id).
+    "q79_weighted_take" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"), col("lang"),
+        greatest(col("n_chars"), lit(1L)).as("w"))
+      graft.functions.Sampling.weightedTakeN(d, "doc_id", "w", "lang", 15, salt = "q79")
+    }),
+
+    // Model-based quality filter shape: feature-hashing linear classifier
+    // score per doc. The dot product is a pure integer sum (engine-exact in
+    // any addition order); only the final normalize + sigmoid are floats,
+    // rounded 6 dp. Zero shuffle — one codegen'd fold fused into the scan.
+    "q80_quality_classifier" -> ((sp, dir) =>
+      table(sp, dir, "documents").select(col("doc_id"),
+        TF.hashedLinearScore(col("text"), dim = 64, salt = "q80").as("qscore")))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -2064,6 +2081,44 @@ object SparkEntry {
       s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
          |thr AS (SELECT count(*) // 30 AS mc FROM t)
          |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-         |FROM t, thr GROUP BY tok, mc HAVING count(*) >= mc""".stripMargin
+         |FROM t, thr GROUP BY tok, mc HAVING count(*) >= mc""".stripMargin,
+
+    // A-ES race replay: u from the salted hash, E = -ln(u)/w rounded 6 dp,
+    // row_number over (race, id) per language, top 15.
+    "q79_weighted_take" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+         |         round(-ln(((${hSql("'q79:' || CAST(doc_id AS VARCHAR)")}) + 1)
+         |                   / ${TF.HashMod + 1L}.0)
+         |               / greatest(n_chars, 1), 6) AS race
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, w,
+         |             CAST(row_number() OVER (PARTITION BY lang
+         |                                     ORDER BY race, doc_id) AS BIGINT) AS rank
+         |      FROM w)
+         |SELECT doc_id, lang, w, rank FROM r WHERE rank <= 15""".stripMargin,
+
+    // Integer-exact feature-hash dot product, then the one float step:
+    // sigmoid(4 * mean) rounded 6 dp. Empty docs -> sigmoid(0) = 0.5.
+    "q80_quality_classifier" -> {
+      val half = TF.HashMod / 2L
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS ntok,
+         |         CAST(coalesce(list_sum(list_transform(toks, tok ->
+         |           ((${hSql("'q80:' || tok")} % 64) * 2654435761)
+         |             % ${TF.HashMod} - $half)), 0) AS BIGINT) AS raw
+         |  FROM t)
+         |SELECT doc_id,
+         |       round(1.0 / (1.0 + exp(-(0.0 + 4.0 *
+         |         (CASE WHEN ntok > 0
+         |               THEN raw / (CAST(ntok AS DOUBLE) * $half.0)
+         |               ELSE 0.0 END)))), 6) AS qscore
+         |FROM s""".stripMargin
+    }
   )
 }

@@ -225,6 +225,53 @@ class SamplingSpec extends SparkSuite {
     assert(clash.getMessage.contains("rank"))
   }
 
+  test("weightedTakeN: quota, window-race reference, weight-proportional wins, guards") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"lang${i % 2}", 1.0 + (i % 5)))
+      .toDF("id", "lang", "w")
+    val got = Sampling.weightedTakeN(docs, "id", "w", "lang", 10)
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.length == 10)
+      assert(g.map(_._3).sorted.toSeq == (1L to 10L).toSeq)
+    }
+    // matches the single-window exponential-race reference
+    val u = (TF.tokenHashMod(concat(lit("wtake:"), col("id").cast("string"))) + 1L)
+      .cast("double") / lit((TF.HashMod + 1L).toDouble)
+    val race = round(-log(u) / col("w"), 6)
+    val ref = docs.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(race, col("id"))).cast("long"))
+      .where(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(rows.toSet == ref)
+    // heavier rows win more often: weight-9 vs weight-1 head-to-head across
+    // 40 salts — expect ~36 heavy wins; 28 is >4 sigma below that
+    val duel = Seq((1L, "g", 9.0), (2L, "g", 1.0)).toDF("id", "g", "w")
+    val heavyWins = (0 until 40).count { s =>
+      Sampling.weightedTakeN(duel, "id", "w", "g", 1, salt = s"duel$s")
+        .head.getLong(0) == 1L
+    }
+    assert(heavyWins >= 28, s"heavy won only $heavyWins/40")
+    // partitioning invariance
+    val rep = Sampling.weightedTakeN(docs.repartition(17), "id", "w", "lang", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(rep == rows.toSet)
+    // guards: reserved rank column; non-positive / null weights raise
+    intercept[IllegalArgumentException] {
+      Sampling.weightedTakeN(docs.withColumn("rank", lit(0)), "id", "w", "lang", 1)
+    }
+    intercept[Exception] {
+      Sampling.weightedTakeN(docs.withColumn("w", col("w") - 10.0),
+        "id", "w", "lang", 1).count()
+    }
+    intercept[Exception] {
+      Sampling.weightedTakeN(
+        docs.withColumn("w", when(col("id") === 7L, lit(null)).otherwise(col("w"))),
+        "id", "w", "lang", 1).count()
+    }
+  }
+
   test("repetition ratios: exact values on known inputs") {
     val d = Seq(
       (1L, "a a b"),          // 3 tokens, 2 distinct

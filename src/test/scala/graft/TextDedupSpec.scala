@@ -393,6 +393,46 @@ class TextDedupSpec extends SparkSuite {
     assert(got == Map(1L -> 2L, 3L -> 2L), got.toString)
   }
 
+  test("hashedLinearScore: integer-exact dot product matches a driver-side replica; empty doc scores 0.5") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, ""), (3L, "ALPHA beta")).toDF("id", "text")
+    val got = docs.select(col("id"),
+        TF.hashedLinearScore(col("text"), dim = 64, salt = "t").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side replica of the exact integer formula
+    def hmod(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TF.HashMod
+    }
+    def score(text: String): Double = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val raw = toks.map(t =>
+        (hmod(s"t:$t") % 64) * 2654435761L % TF.HashMod - TF.HashMod / 2L).sum
+      val mean = if (toks.isEmpty) 0.0
+        else raw.toDouble / (toks.length.toDouble * (TF.HashMod / 2L).toDouble)
+      BigDecimal(1.0 / (1.0 + math.exp(-(0.0 + 4.0 * mean))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == score("alpha beta beta gamma"))
+    assert(got(2L) == 0.5) // empty doc -> sigmoid(0)
+    assert(got(3L) == score("ALPHA beta")) // case-folded features
+    assert(got.values.forall(v => v > 0.0 && v < 1.0))
+  }
+
+  test("linearScoreWithWeights: closed form on a single-bucket model") {
+    import spark.implicits._
+    // dim = 1: every token hits bucket 0, mean contribution = weights(0)
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("id", "text")
+    val got = docs.select(col("id"),
+        TF.linearScoreWithWeights(col("text"), Array(2.0), salt = "t").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = BigDecimal(1.0 / (1.0 + math.exp(-2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == expect)
+    assert(got(2L) == 0.5)
+  }
+
   test("no UDFs: text ops stay codegen expressions (plan contains no BatchEvalPython/ScalaUDF)") {
     val plan = docs.select(TF.fingerprint(col("text")), Dedup.simhash32(col("text")))
       .queryExecution.executedPlan.toString
