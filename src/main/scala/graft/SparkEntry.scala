@@ -1006,7 +1006,14 @@ object SparkEntry {
     // rounded 6 dp. Zero shuffle — one codegen'd fold fused into the scan.
     "q80_quality_classifier" -> ((sp, dir) =>
       table(sp, dir, "documents").select(col("doc_id"),
-        TF.hashedLinearScore(col("text"), dim = 64, salt = "q80").as("qscore")))
+        TF.hashedLinearScore(col("text"), dim = 64, salt = "q80").as("qscore"))),
+
+    // Exact-substring dedup metric: per doc, the fraction of token
+    // positions covered by a 5-token window that occurs more than once in
+    // the corpus. Gram counting is one map-side-combining aggregate;
+    // coverage is the per-doc running-max interval merge.
+    "q81_dup_span_fraction" -> ((sp, dir) =>
+      Dedup.dupSpanFraction(table(sp, dir, "documents"), "doc_id", "text", 5))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -2119,6 +2126,49 @@ object SparkEntry {
          |               THEN raw / (CAST(ntok AS DOUBLE) * $half.0)
          |               ELSE 0.0 END)))), 6) AS qscore
          |FROM s""".stripMargin
-    }
+    },
+
+    // Window explode -> duplicated-gram filter -> per-doc running-max merge
+    // of [p, p+5) spans — the same interval-merge replay as q28/q36.
+    "q81_dup_span_fraction" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |wins0 AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, CAST(ntok AS INTEGER) - 4)) AS p
+        |  FROM sized WHERE ntok >= 5),
+        |wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |         array_to_string(toks[p : p + 4], ' ') AS gram
+        |  FROM wins0),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+        |dw AS (SELECT w.doc_id, w.p FROM wins w
+        |       WHERE w.gram IN (SELECT gram FROM dup)),
+        |seg AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR p > max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS newseg
+        |  FROM dw),
+        |grp AS (
+        |  SELECT doc_id, p,
+        |         sum(newseg) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM seg),
+        |runs AS (SELECT doc_id, g, min(p) AS s, max(p) + 5 AS e
+        |         FROM grp GROUP BY doc_id, g),
+        |cov AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered
+        |        FROM runs GROUP BY doc_id)
+        |SELECT s.doc_id, s.ntok,
+        |       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+        |       round(CASE WHEN s.ntok > 0
+        |                  THEN coalesce(c.covered, 0) / CAST(s.ntok AS DOUBLE)
+        |                  ELSE 0.0 END, 6) AS dup_frac
+        |FROM sized s LEFT JOIN cov c USING (doc_id)""".stripMargin
   )
 }

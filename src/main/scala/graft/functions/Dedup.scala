@@ -170,6 +170,59 @@ object Dedup {
           joiner).as("clean_text"))
   }
 
+  /** Cross-document duplicated-SPAN fraction at token n-gram granularity —
+    * the fixed-width relational form of exact-substring dedup (Lee et al.,
+    * ACL '22, "Deduplicating Training Data Makes Language Models Better"):
+    * every length-`n` token window occurring more than once in the corpus
+    * (anywhere — a second document OR a repeat inside the same one) is
+    * duplicated; a document's `dup_frac` is the fraction of its token
+    * positions covered by at least one duplicated window. The standard
+    * corpus-health metric deciding whether substring-level dedup is worth
+    * running, and the marking pass of the removal itself.
+    *
+    * Shape: windows explode straight off the token array (fused into the
+    * scan), the occurrence count is ONE map-side-combining aggregate keyed
+    * by the gram string (exact — no hash collisions; boilerplate grams
+    * collapse per map partition before the shuffle), candidates
+    * semi-join back, and per-doc coverage is the running-max interval
+    * merge of [p, p+n) position spans — the
+    * [[graft.operators.IntervalOps.mergeIntervals]] trick partitioned by
+    * document, so no per-doc work exceeds document length. Docs shorter
+    * than `n` tokens have no windows and score 0.
+    * Output: (idCol, ntok, covered, dup_frac). */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"dupSpanFraction requires n >= 1, got $n")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    val wins = base.where(col("__ntok") >= n)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1L), col("__ntok") - (n - 1))).as("__p"))
+      .select(col(idCol), col("__p"),
+        concat_ws(" ", slice(col("__toks"), col("__p").cast("int"), lit(n)))
+          .as("__gram"))
+    val dupGrams = wins.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select("__gram")
+    val dwins = wins.join(dupGrams, Seq("__gram"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val runMax = max(col("__p") + n)
+      .over(byDoc.rowsBetween(Long.MinValue, -1))
+    val isNew = when(runMax.isNull || col("__p") > runMax, 1L).otherwise(0L)
+    val grp = sum(isNew).over(byDoc.rowsBetween(Long.MinValue, 0))
+    val cov = dwins.withColumn("__grp", grp)
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__p")).as("__s"), (max(col("__p")) + n).as("__e"))
+      .groupBy(col(idCol)).agg(sum(col("__e") - col("__s")).as("covered"))
+    base.select(col(idCol), col("__ntok").as("ntok"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("ntok"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(when(col("ntok") > 0,
+          coalesce(col("covered"), lit(0L)).cast("double") /
+            col("ntok").cast("double")).otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
   /** Jaccard over pre-hashed shingle sets (hash-set intersect/union — O(n),
     * no string rehashing; collisions at P ≈ 1e9 are negligible). */
   def hashJaccard(a: Column, b: Column): Column =

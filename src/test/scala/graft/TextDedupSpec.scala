@@ -393,6 +393,30 @@ class TextDedupSpec extends SparkSuite {
     assert(got == Map(1L -> 2L, 3L -> 2L), got.toString)
   }
 
+  test("dupSpanFraction: hand-computed coverage, within-doc repeats, short docs, partitioning invariance") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-gram "x y z" at positions 2 and 1; doc 3
+    // repeats "a a a" INSIDE itself (positions 1 and 4 -> merged coverage
+    // [1,4)∪[4,7) = 6 of 6); doc 4 is unique; doc 5 is too short
+    val docs = Seq(
+      (1L, "q x y z r s"),   // dup window at p=2 covers [2,5) -> 3 of 6
+      (2L, "x y z r2 s2"),   // dup window at p=1 covers [1,4) -> 3 of 5
+      (3L, "a a a a a a"),   // windows p=1..4 all "a a a" -> covered 6 of 6
+      (4L, "u v w only here once"),
+      (5L, "xy")).toDF("id", "text")
+    val got = graft.functions.Dedup.dupSpanFraction(docs, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((6L, 3L, 0.5)))
+    assert(got(2L) == ((5L, 3L, 0.6)))
+    assert(got(3L) == ((6L, 6L, 1.0)))
+    assert(got(4L) == ((6L, 0L, 0.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    // invariant to physical partitioning
+    val rep = graft.functions.Dedup.dupSpanFraction(docs.repartition(7), "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep == got)
+  }
+
   test("hashedLinearScore: integer-exact dot product matches a driver-side replica; empty doc scores 0.5") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta beta gamma"), (2L, ""), (3L, "ALPHA beta")).toDF("id", "text")
