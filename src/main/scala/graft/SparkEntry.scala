@@ -1013,7 +1013,17 @@ object SparkEntry {
     // the corpus. Gram counting is one map-side-combining aggregate;
     // coverage is the per-doc running-max interval merge.
     "q81_dup_span_fraction" -> ((sp, dir) =>
-      Dedup.dupSpanFraction(table(sp, dir, "documents"), "doc_id", "text", 5))
+      Dedup.dupSpanFraction(table(sp, dir, "documents"), "doc_id", "text", 5)),
+
+    // SemDeDup-shaped semantic dedup: 8 hash-selected anchors define the
+    // cells (anchor literals folded into one codegen'd assignment — zero
+    // shuffle), then within-cell cosine >= 0.4 drops the larger id.
+    // Survivors + their cell, fully SQL-replayable.
+    "q82_semantic_dedup" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val anchors = graft.functions.Similarity.hashAnchors(e, 8, salt = "q82")
+      graft.functions.Similarity.semanticDedup(e, anchors, 0.4)
+    })
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -2169,6 +2179,38 @@ object SparkEntry {
         |       round(CASE WHEN s.ntok > 0
         |                  THEN coalesce(c.covered, 0) / CAST(s.ntok AS DOUBLE)
         |                  ELSE 0.0 END, 6) AS dup_frac
-        |FROM sized s LEFT JOIN cov c USING (doc_id)""".stripMargin
+        |FROM sized s LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // Anchor selection by hash order, argmax-cosine cell assignment
+    // (row_number replay of the fold's (sim desc, aid asc) rule), within-
+    // cell pair kill, survivors. Cosines rounded 4 dp like q30/q31.
+    "q82_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, v FROM (
+        |    SELECT vec_id, v,
+        |           ${hSql("'q82:' || CAST(vec_id AS VARCHAR)")} AS hk
+        |    FROM c) ORDER BY hk, vec_id LIMIT 8),
+        |sims AS (
+        |  SELECT c.vec_id AS id, a.aid,
+        |         round(list_dot_product(c.v, a.v)
+        |               / (sqrt(list_dot_product(c.v, c.v))
+        |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS s
+        |  FROM c CROSS JOIN anch a),
+        |cellq AS (
+        |  SELECT id, aid AS cell FROM (
+        |    SELECT id, aid,
+        |           row_number() OVER (PARTITION BY id ORDER BY s DESC, aid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT y.id AS id_b
+        |  FROM cellq x JOIN cellq y ON x.cell = y.cell AND x.id < y.id
+        |  JOIN c ca ON ca.vec_id = x.id
+        |  JOIN c cb ON cb.vec_id = y.id
+        |  WHERE round(list_dot_product(ca.v, cb.v)
+        |              / (sqrt(list_dot_product(ca.v, ca.v))
+        |                 * sqrt(list_dot_product(cb.v, cb.v))), 4) >= 0.4)
+        |SELECT q.id AS vec_id, q.cell FROM cellq q
+        |WHERE q.id NOT IN (SELECT id_b FROM pairs)""".stripMargin
   )
 }

@@ -335,4 +335,67 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
     sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Deterministic anchor selection for [[semanticDedup]]: the `k` corpus
+    * rows with the smallest salted key hash (ties by id) — unbiased,
+    * reproducible, and cheap (TakeOrderedAndProject: per-partition heaps,
+    * no global sort; `k` rows to the driver). For production-scale corpora
+    * pass k-means centroids ([[ivfTrain]]) instead — any small
+    * `(anchorId, vector)` list works. */
+  def hashAnchors(df: DataFrame, k: Int, salt: String = "anchors",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Array[Double])] = {
+    require(k >= 1, s"hashAnchors requires k >= 1, got $k")
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__hk", graft.functions.TextFunctions.tokenHashMod(
+        concat(lit(s"$salt:"), col("id").cast("string"))))
+      .orderBy(col("__hk"), col("id"))
+      .limit(k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+  }
+
+  /** SemDeDup-style semantic dedup (cluster, then drop near-identical
+    * cell-mates): every vector is assigned to the anchor with the highest
+    * rounded cosine (ties to the smallest anchor id), and within a cell a
+    * vector is DROPPED iff some smaller-id cell-mate has cosine >=
+    * `threshold`. The drop rule is relational and deterministic (any
+    * smaller-id near-dup kills, whether or not that one survives) — not
+    * the sequential keep-surviving variant, which has no bounded-depth
+    * distributed form.
+    *
+    * Scale shape: anchors are a SMALL driver-side list embedded as
+    * literals, so assignment is one codegen'd fold — zero shuffle, no
+    * broadcast join, no UDF. The pair scan is an equi-join on the cell id
+    * with within-cell all-pairs (the SemDeDup contract): size the anchor
+    * count so cells stay bounded (corpus/k vectors per cell; at 100 TB use
+    * [[ivfTrain]] centroids in the tens of thousands, not [[hashAnchors]]
+    * handfuls). Output: survivors as (idCol, cell). */
+  def semanticDedup(df: DataFrame, anchors: Seq[(Long, Array[Double])],
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(anchors.nonEmpty, "semanticDedup requires at least one anchor")
+    val dim = anchors.head._2.length
+    require(anchors.forall(_._2.length == dim), "ragged anchor vectors")
+    val c = withNorm(df.select(col(idCol).cast("long").as("id"), col(vecCol)),
+      vecCol, "__vd", "__n")
+    // argmax over an array of (sim, -aid) structs: array_max's
+    // lexicographic struct order gives max sim, ties to the SMALLEST
+    // anchor id. One struct per anchor — a when-chain fold would copy the
+    // accumulator tree 3x per level and blow codegen up exponentially.
+    val cands = array(anchors.map { case (aid, av) =>
+      struct(round(dot(col("__vd"), lit(av)) /
+          (col("__n") * sqrt(dot(lit(av), lit(av)))), 4).as("s"),
+        lit(-aid).as("na"))
+    }: _*)
+    val cells = c.withColumn("cell", -array_max(cands).getField("na"))
+      .select(col("id"), col("cell"), col("__vd"), col("__n"))
+    val dropped = cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+          pairSim(col("x.__vd"), col("x.__n"), col("y.__vd"), col("y.__n"))
+            >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    cells.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
 }

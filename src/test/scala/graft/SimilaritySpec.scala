@@ -185,6 +185,34 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("semanticDedup: cell assignment, smaller-id-wins drop rule, cross-cell dups survive") {
+    import spark.implicits._
+    // two orthogonal cell directions; duplicates planted along each
+    val ex = Array(1.0, 0.0, 0.0, 0.0)
+    val ey = Array(0.0, 1.0, 0.0, 0.0)
+    def mix(a: Array[Double], b: Array[Double], t: Double) =
+      a.zip(b).map { case (x, y) => x * (1 - t) + y * t }
+    val rows = Seq(
+      1L -> ex, 2L -> ex,                 // exact dups in cell(ex): 2 dropped
+      3L -> mix(ex, ey, 0.05),            // near ex: cosine to 1 ~0.999 -> dropped
+      4L -> ey, 5L -> mix(ey, ex, 0.05),  // ey cell: 5 near 4 -> dropped
+      6L -> mix(ex, ey, 0.5)              // diagonal: near-dup of nobody smaller? cos(6,1)=0.707 >= .9? no
+    )
+    val df = rows.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val anchors = Seq(100L -> ex, 200L -> ey)
+    val got = Similarity.semanticDedup(df, anchors, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // survivors: 1 (first of the ex dups), 4 (first of the ey pair), 6
+    assert(got.keySet == Set(1L, 4L, 6L))
+    assert(got(1L) == 100L && got(4L) == 200L)
+    // the diagonal vector ties 0.7071 to both anchors -> smallest anchor id
+    assert(got(6L) == 100L)
+    // hashAnchors: deterministic and partitioning-invariant
+    val a1 = Similarity.hashAnchors(df, 3, salt = "t")
+    val a2 = Similarity.hashAnchors(df.repartition(5), 3, salt = "t")
+    assert(a1.map(_._1) == a2.map(_._1) && a1.size == 3)
+  }
+
   test("probing a non-IVF-index table is rejected at plan time") {
     try {
       vecs.withColumnRenamed("vec_id", "list_id").write.mode("overwrite")
