@@ -1023,6 +1023,19 @@ object SparkEntry {
       val e = table(sp, dir, "embeddings")
       val anchors = graft.functions.Similarity.hashAnchors(e, 8, salt = "q82")
       graft.functions.Similarity.semanticDedup(e, anchors, 0.4)
+    }),
+
+    // Window coverage fraction: 500 quantile windows over the order-span
+    // range, covered by the SPARSE subset of spans (orderkey % 10 == 0) —
+    // per window, merged-overlap time / window duration. The per-epoch
+    // artifact/coverage metric of the reference's home domain.
+    "q83_window_coverage" -> ((sp, dir) => {
+      val os = orderSpans(sp, dir)
+      val sub = os.where(pmod(col("o_orderkey"), lit(10L)) === 0L)
+      val win = windowsOver(os, 500, "idx")
+      graft.operators.IntervalOps.windowCoverage(win, sub, Seq("idx"))
+        .select(col("idx"), col("span.start").as("ws"),
+          col("span.stop").as("we"), col("covered"), col("coverage"))
     })
   )
 
@@ -2211,6 +2224,35 @@ object SparkEntry {
         |              / (sqrt(list_dot_product(ca.v, ca.v))
         |                 * sqrt(list_dot_product(cb.v, cb.v))), 4) >= 0.4)
         |SELECT q.id AS vec_id, q.cell FROM cellq q
-        |WHERE q.id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+        |WHERE q.id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+
+    // Quantile windows replay + overlap join on the sparse span subset +
+    // the q28-style running-max merge per window + left join for
+    // zero-coverage windows.
+    "q83_window_coverage" ->
+      s"""WITH $osSql,
+        |sub AS (SELECT s, e FROM os WHERE o_orderkey % 10 = 0),
+        |${winSql(500, "min(s)", "max(e)", "os")},
+        |ov AS (
+        |  SELECT w.idx, greatest(w.ws, t.s) AS s, least(w.we, t.e) AS e
+        |  FROM win w JOIN sub t ON t.s < w.we AND w.ws < t.e),
+        |m AS (
+        |  SELECT idx, s, e,
+        |         max(e) OVER (PARTITION BY idx ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |  FROM ov),
+        |gg AS (
+        |  SELECT idx, s, e,
+        |         sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY idx ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m),
+        |runs AS (SELECT idx, grp, min(s) AS rs, max(e) AS re FROM gg GROUP BY idx, grp),
+        |cov AS (SELECT idx, CAST(sum(re - rs) AS BIGINT) AS covered FROM runs GROUP BY idx)
+        |SELECT w.idx, w.ws, w.we,
+        |       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+        |       round(CASE WHEN w.we > w.ws
+        |                  THEN coalesce(c.covered, 0) / CAST(w.we - w.ws AS DOUBLE)
+        |                  ELSE 0.0 END, 6) AS coverage
+        |FROM win w LEFT JOIN cov c ON c.idx = w.idx""".stripMargin
   )
 }

@@ -137,6 +137,38 @@ object IntervalOps {
     mergeIntervals(seg, keys, spancol).drop("n_merged")
   }
 
+  /** Fraction of each window covered by the UNION of the spans overlapping
+    * it — the per-epoch coverage/artifact-fraction metric (what fraction
+    * of each recording quarter is clean signal / artifact / sleep stage):
+    * the reference's quantile-windows + interval-join composition
+    * (`src/DataFrameIntervals.jl:348,97`) taken to its standard biosignal
+    * use. Each window's overlapping spans are intersected with it, MERGED
+    * (overlap counted once — a plain sum would overcount), and the merged
+    * length is divided by the window duration.
+    *
+    * `windows` must carry a unique id in `winIdCols`; both frames use the
+    * same `spancol` name. Shape: one interval join (auto strategy —
+    * generated window frames broadcast), then the single-window-pass merge
+    * of [[mergeIntervals]] partitioned by window id, then one left join
+    * back for zero-coverage windows. Output: winIdCols, `spancol`,
+    * `covered` (ns), `coverage` (fraction, 6 dp). */
+  def windowCoverage(windows: DataFrame, spans: DataFrame,
+      winIdCols: Seq[String], spancol: String = "span"): DataFrame = {
+    val j = IntervalJoin.intervalJoin(windows, spans.select(col(spancol)),
+      spancol -> spancol)
+    val merged = mergeIntervals(
+      j.select(winIdCols.map(col) :+ col(spancol): _*), winIdCols, spancol)
+    val covered = merged.groupBy(winIdCols.map(col): _*)
+      .agg(sum(col(s"$spancol.stop") - col(s"$spancol.start")).as("covered"))
+    val dur = col(s"$spancol.stop") - col(s"$spancol.start")
+    windows.join(covered, winIdCols, "left")
+      .select(winIdCols.map(col) :+ col(spancol) :+
+        coalesce(col("covered"), lit(0L)).as("covered") :+
+        round(when(dur > 0,
+          coalesce(col("covered"), lit(0L)).cast("double") / dur.cast("double"))
+          .otherwise(lit(0.0)), 6).as("coverage"): _*)
+  }
+
   /** Gap-based sessionization: point events (`tsCol`, long ns) split into
     * sessions per key wherever the gap to the previous event exceeds
     * `gapNs`. Output: keys, session `struct<start,stop>` (stop = last event

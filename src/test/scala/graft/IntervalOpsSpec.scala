@@ -194,6 +194,23 @@ class IntervalOpsSpec extends SparkSuite {
     assert(!plan.contains("Join") && !plan.contains("Generate"))
   }
 
+  test("windowCoverage: merged-overlap fraction per window, overlap counted once, empty windows zero") {
+    val win = Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 200L, 300L))
+      .toDF("idx", "s", "e")
+      .select(col("idx"), struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    // window 1: [10,30) ∪ [20,50) = 40 ns covered -> 0.4 (overlap once);
+    // window 2: a span straddling its start clips to [100,120) -> 0.2;
+    // window 3: untouched -> 0
+    val sp = Seq((10L, 30L), (20L, 50L), (80L, 120L))
+      .toDF("s", "e")
+      .select(struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val got = IntervalOps.windowCoverage(win, sp, Seq("idx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((60L, 0.6))) // [10,50) ∪ [80,100) = 40 + 20
+    assert(got(2L) == ((20L, 0.2)))
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
   test("single shuffle: plan has one Exchange for window + reuses it for the aggregate") {
     val d = spans(("a", 0L, 10L))
     val plan = IntervalOps.mergeIntervals(d, Seq("k"), "span").queryExecution.executedPlan.toString
