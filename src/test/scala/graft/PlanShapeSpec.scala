@@ -29,7 +29,10 @@ class PlanShapeSpec extends SparkSuite {
     "q77_heavy_hitters",
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
-    "q52_interval_join_bounded", "q53_interval_join_float")
+    "q52_interval_join_bounded", "q53_interval_join_float",
+    // coverage join against the 500-row generated window frame (same Auto
+    // broadcast as q02; flips to binned when both sides are big)
+    "q83_window_coverage")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -92,6 +95,31 @@ class PlanShapeSpec extends SparkSuite {
       assert(!plan.contains("SinglePartition"),
         s"$q serializes through one task:\n$plan")
     }
+  }
+
+  test("round-7 queries keep their scale shape") {
+    // q79/q76 fixed-N takes: WindowGroupLimit bounds the per-stratum
+    // shuffle to n rows per map partition — losing it means shuffling the
+    // corpus
+    for (q <- Seq("q76_stratified_take", "q79_weighted_take")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"$q lost its partial top-n:\n$plan")
+    }
+    // q80 classifier scoring is a pure per-row fold: no shuffle at all
+    val p80 = SparkEntry.queries("q80_quality_classifier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p80.contains("Exchange"), s"hashedLinearScore must not shuffle:\n$p80")
+    // q81 gram counting must partial-aggregate map-side (boilerplate grams
+    // collapse before the shuffle)
+    val p81 = SparkEntry.queries("q81_dup_span_fraction")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p81.contains("partial_count"), "dupSpanFraction lost its map-side combine")
+    // q82 cell pair scan is an equi-join on the cell id, never a broadcast
+    // all-pairs loop; assignment folds anchors with zero extra Exchange
+    val p82 = SparkEntry.queries("q82_semantic_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p82.contains("NestedLoop") && !p82.contains("CartesianProduct"),
+      s"semanticDedup pair scan degenerated:\n$p82")
   }
 
   test("predicate pushdown reaches the parquet scan") {
