@@ -1036,6 +1036,24 @@ object SparkEntry {
       graft.operators.IntervalOps.windowCoverage(win, sub, Seq("idx"))
         .select(col("idx"), col("span.start").as("ws"),
           col("span.stop").as("we"), col("covered"), col("coverage"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-10
+    // (q74's ranker) with the brute-force cosine top-10 over the same
+    // query ids — rank-based, so no score calibration; the two-term sum is
+    // engine-exact. Both inputs are k-bounded per query before the fuse.
+    "q84_hybrid_rrf" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      val bm = graft.functions.TfIdf.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val e = table(sp, dir, "embeddings")
+      val vq = e.where(pmod(col("vec_id"), lit(50L)) === 0L)
+      val vec = graft.functions.Similarity.bruteForceTopK(e, vq, 10)
+        .select(col("q_id").as("qid"), col("vec_id").as("doc_id"), col("rank"))
+      graft.functions.TfIdf.rrfFuse(bm, vec, "qid", "doc_id", "rank", 10)
     })
   )
 
@@ -2253,6 +2271,35 @@ object SparkEntry {
         |       round(CASE WHEN w.we > w.ws
         |                  THEN coalesce(c.covered, 0) / CAST(w.we - w.ws AS DOUBLE)
         |                  ELSE 0.0 END, 6) AS coverage
-        |FROM win w LEFT JOIN cov c ON c.idx = w.idx""".stripMargin
+        |FROM win w LEFT JOIN cov c ON c.idx = w.idx""".stripMargin,
+
+    // BM25 replay (verbatim q74) + q15-style cosine replay at the same
+    // query ids, fused: rrf = 1/(60+rank_a) + 1/(60+rank_b), re-ranked.
+    "q84_hybrid_rrf" ->
+      s"""WITH bm AS ($bm25ReplaySql),
+        |vq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vs AS (SELECT q_id, vec_id,
+        |              round(list_dot_product(v, qv)
+        |                    / (sqrt(list_dot_product(v, v))
+        |                       * sqrt(list_dot_product(qv, qv))), 4) AS sim
+        |       FROM c, vq WHERE vec_id <> q_id),
+        |vr AS (SELECT q_id, vec_id,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY sim DESC, vec_id) AS rank
+        |       FROM vs),
+        |vec AS (SELECT q_id, vec_id, rank FROM vr WHERE rank <= 10),
+        |f AS (SELECT coalesce(bm.qid, vec.q_id) AS qid,
+        |             coalesce(bm.doc_id, vec.vec_id) AS doc_id,
+        |             round(coalesce(1.0 / (60 + bm.rank), 0.0)
+        |                   + coalesce(1.0 / (60 + vec.rank), 0.0), 6) AS rrf
+        |      FROM bm FULL JOIN vec
+        |        ON bm.qid = vec.q_id AND bm.doc_id = vec.vec_id),
+        |rr AS (SELECT qid, doc_id, rrf,
+        |              CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |       FROM f)
+        |SELECT qid, doc_id, rrf, rank FROM rr WHERE rank <= 10""".stripMargin
   )
 }

@@ -174,4 +174,33 @@ object TfIdf {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR '09) of two rank lists
+    * over the same (query, item) id space — the standard way to combine a
+    * lexical ranker (BM25) with a vector ranker into one hybrid retrieval
+    * result: `rrf = 1/(c + rank_a) + 1/(c + rank_b)`, a list an item is
+    * missing from contributes 0. Rank-based, so the two rankers' score
+    * scales never need calibrating; the two-term sum has a fixed addition
+    * order and rounds to 6 dp, so a SQL oracle replays it exactly. Ties
+    * break by item id; output re-ranked and cut to `k`.
+    *
+    * Scale shape: one full-outer equi-join on (query, item) — both inputs
+    * are already top-k-per-query lists, so the join is k-bounded per query
+    * — then the same WindowGroupLimit top-k as every ranker here. */
+  def rrfFuse(a: DataFrame, b: DataFrame, qCol: String, idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, s"rrfFuse requires k >= 1, got $k")
+    require(c >= 0, s"rrfFuse requires c >= 0, got $c")
+    val aa = a.select(col(qCol), col(idCol), col(rankCol).as("__ra"))
+    val bb = b.select(col(qCol), col(idCol), col(rankCol).as("__rb"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("__ra").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("__rb").cast("double")), lit(0.0)), 6)
+    val w = Window.partitionBy(qCol).orderBy(col("rrf").desc, col(idCol))
+    aa.join(bb, Seq(qCol, idCol), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qCol), col(idCol), col("rrf"), col("rank"))
+  }
 }

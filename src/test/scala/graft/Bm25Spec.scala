@@ -149,4 +149,27 @@ class Bm25Spec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bm25_not_idx")
     }
   }
+
+  test("rrfFuse: closed-form fusion, single-list items, tie-break, k cut") {
+    import spark.implicits._
+    def rrf(rs: Int*): Double =
+      BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // query 1: doc 10 ranks 1 in A and 2 in B; doc 11 only in A (rank 2);
+    // doc 12 only in B (rank 1)
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "doc_id", "rank")
+    val got = TfIdf.rrfFuse(a, b, "qid", "doc_id", "rank", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (10L, rrf(1, 2), 1L),   // in both lists -> highest fused score
+      (12L, rrf(1), 2L),      // 1/61 > 1/62: B's top beats A's second
+      (11L, rrf(2), 3L)))
+    // equal fused scores tie-break by item id; k cuts the fused list
+    val a2 = Seq((1L, 20L, 1L), (1L, 21L, 1L)).toDF("qid", "doc_id", "rank")
+    val b2 = Seq((1L, 99L, 9L)).toDF("qid", "doc_id", "rank")
+    val t = TfIdf.rrfFuse(a2, b2, "qid", "doc_id", "rank", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(t == Set((20L, 1L), (21L, 2L))) // 99 cut by k=2
+  }
 }
