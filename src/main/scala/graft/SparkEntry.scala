@@ -1054,6 +1054,26 @@ object SparkEntry {
       val vec = graft.functions.Similarity.bruteForceTopK(e, vq, 10)
         .select(col("q_id").as("qid"), col("vec_id").as("doc_id"), col("rank"))
       graft.functions.TfIdf.rrfFuse(bm, vec, "qid", "doc_id", "rank", 10)
+    }),
+
+    // Spelling-variant pairs over the token vocabulary: FastSS deletion
+    // neighborhoods make the candidate scan a bucketed equi-join (never
+    // all-pairs), the exact levenshtein verifies — typo clustering, a
+    // normalization pass before token-level stats. The synthetic corpus
+    // has no natural typos, so a deterministic first-char-to-z variant is
+    // planted for a third of the vocabulary (hash-selected, replayed
+    // verbatim by the oracle) — the pairs recovered must be exactly the
+    // planted substitutions.
+    "q85_spelling_pairs" -> ((sp, dir) => {
+      val toks = table(sp, dir, "documents")
+        .select(explode(TF.tokens(lower(col("text")))).as("tok"))
+        .where(length(col("tok")).between(3, 20)).distinct()
+      val typos = toks.where(TF.tokenHashMod(col("tok")) % 3 === 0)
+        .select(concat(lit("z"), expr("substr(tok, 2)")).as("tok"))
+      val vocab = toks.union(typos).distinct()
+      Dedup.editDistance1Pairs(
+        vocab.select(col("tok").as("tid"), col("tok").as("tstr")), "tid", "tstr")
+        .select(col("str_a"), col("str_b"), col("dist"))
     })
   )
 
@@ -2300,6 +2320,34 @@ object SparkEntry {
         |              CAST(row_number() OVER (PARTITION BY qid
         |                ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
         |       FROM f)
-        |SELECT qid, doc_id, rrf, rank FROM rr WHERE rank <= 10""".stripMargin
+        |SELECT qid, doc_id, rrf, rank FROM rr WHERE rank <= 10""".stripMargin,
+
+    // Vocabulary + planted z-substitution typos, FastSS deletion
+    // neighborhood join, exact levenshtein verify — identical plant rule
+    // on both sides, so the recovered pair set must match exactly.
+    "q85_spelling_pairs" ->
+      s"""WITH toks AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                  x -> x <> '')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) BETWEEN 3 AND 20),
+        |typos AS (
+        |  SELECT 'z' || substr(tok, 2, CAST(len(tok) AS INT)) AS tok FROM toks
+        |  WHERE ${hSql("tok")} % 3 = 0),
+        |vocab AS (SELECT DISTINCT tok
+        |          FROM (SELECT tok FROM toks UNION ALL SELECT tok FROM typos)),
+        |keys AS (
+        |  SELECT tok, unnest(list_distinct(list_prepend(tok,
+        |    list_transform(range(1, len(tok) + 1),
+        |      i -> substr(tok, 1, CAST(i - 1 AS INT))
+        |           || substr(tok, CAST(i + 1 AS INT), CAST(len(tok) AS INT)))))) AS key
+        |  FROM vocab),
+        |p AS (
+        |  SELECT DISTINCT a.tok AS str_a, b.tok AS str_b
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.tok < b.tok
+        |  WHERE levenshtein(a.tok, b.tok) <= 1)
+        |SELECT str_a, str_b,
+        |       CAST(levenshtein(str_a, str_b) AS BIGINT) AS dist FROM p""".stripMargin
   )
 }

@@ -223,6 +223,36 @@ object Dedup {
             col("ntok").cast("double")).otherwise(lit(0.0)), 6).as("dup_frac"))
   }
 
+  /** EXACT edit-distance-≤1 pairs over a string column via the FastSS
+    * deletion neighborhood (Bocek et al., 2007): a string's candidate key
+    * set is itself plus every single-character deletion, and any two
+    * strings at Levenshtein distance ≤ 1 provably share a key
+    * (substitution at i → both i-deletions equal; insertion → the longer
+    * one's deletion equals the shorter string itself). Candidates are a
+    * bucketed equi-join on the key — never an all-pairs compare — then the
+    * exact `levenshtein` verifies, so the output is exactly the distance-≤1
+    * pair graph (typo/spelling-variant clustering, usually over the
+    * DISTINCT token vocabulary so the join is vocabulary-sized, not
+    * corpus-sized). Pairs found through several shared keys collapse via
+    * one distinct on the id pair (pair volume is verified-small).
+    * Output: (id_a, id_b, str_a, str_b, dist), `id_a < id_b`. */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val s = col("__str")
+    val dels = transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))
+    val keys = df
+      .select(col(idCol).as("__id"), col(strCol).as("__str"))
+      .select(col("__id"), col("__str"),
+        explode(array_distinct(concat(array(s), dels))).as("__key"))
+    keys.as("a").join(keys.as("b"),
+        col("a.__key") === col("b.__key") && col("a.__id") < col("b.__id"))
+      .where(levenshtein(col("a.__str"), col("b.__str")) <= 1)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__str").as("str_a"), col("b.__str").as("str_b"),
+        levenshtein(col("a.__str"), col("b.__str")).cast("long").as("dist"))
+      .distinct()
+  }
+
   /** Jaccard over pre-hashed shingle sets (hash-set intersect/union — O(n),
     * no string rehashing; collisions at P ≈ 1e9 are negligible). */
   def hashJaccard(a: Column, b: Column): Column =

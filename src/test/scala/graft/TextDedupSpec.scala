@@ -417,6 +417,33 @@ class TextDedupSpec extends SparkSuite {
     assert(rep == got)
   }
 
+  test("editDistance1Pairs: substitutions and insertions found, shared-key distance-2 pairs rejected") {
+    import spark.implicits._
+    val vocab = Seq("cat", "cst", "cats", "dog", "ab", "ba", "unrelated")
+      .map(t => (t, t)).toDF("tid", "tstr")
+    val got = graft.functions.Dedup.editDistance1Pairs(vocab, "tid", "tstr")
+      .collect().map(r => (r.getString(2), r.getString(3), r.getLong(4))).toSet
+    // substitution (cat~cst), insertions (cat~cats, cst~cats? dist 2 — no);
+    // ab~ba share deletion keys {a, b} but levenshtein = 2 -> rejected
+    assert(got == Set(("cat", "cst", 1L), ("cat", "cats", 1L)))
+    // a brute-force reference over the whole fixture: every pair at
+    // distance <= 1 is found (deletion neighborhood is complete for d=1)
+    val all = Seq("cat", "cst", "cats", "dog", "ab", "ba", "unrelated")
+    val brute = (for {
+      a <- all; b <- all if a < b
+      d = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      }
+      if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute)
+  }
+
   test("hashedLinearScore: integer-exact dot product matches a driver-side replica; empty doc scores 0.5") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta beta gamma"), (2L, ""), (3L, "ALPHA beta")).toDF("id", "text")
