@@ -1074,7 +1074,14 @@ object SparkEntry {
       Dedup.editDistance1Pairs(
         vocab.select(col("tok").as("tid"), col("tok").as("tstr")), "tid", "tstr")
         .select(col("str_a"), col("str_b"), col("dist"))
-    })
+    }),
+
+    // Data profiling: per-column health summary of the documents table in
+    // ONE aggregate pass (rows/nulls/exact distinct/min/max-as-string) —
+    // the schema-drift and null-regression gate of a production ingest.
+    "q86_profile" -> ((sp, dir) =>
+      graft.functions.Profiling.profile(table(sp, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars")))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -2348,6 +2355,15 @@ object SparkEntry {
         |  FROM keys a JOIN keys b ON a.key = b.key AND a.tok < b.tok
         |  WHERE levenshtein(a.tok, b.tok) <= 1)
         |SELECT str_a, str_b,
-        |       CAST(levenshtein(str_a, str_b) AS BIGINT) AS dist FROM p""".stripMargin
+        |       CAST(levenshtein(str_a, str_b) AS BIGINT) AS dist FROM p""".stripMargin,
+
+    // One SELECT per profiled column, same six stats, UNION ALL.
+    "q86_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |       count(*) - count($c) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_str,
+         |       CAST(max($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
   )
 }

@@ -164,6 +164,21 @@ class ApiAndIOSpec extends SparkSuite {
     }
   }
 
+  test("profile: exact per-column stats in one pass, string-rendered range") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a"), 10), (2L, None, 20), (3L, Some("a"), 30))
+      .toDF("id", "s", "v")
+    val got = graft.functions.Profiling.profile(d, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(got("s") == ((3L, 1L, 1L, "a", "a")))
+    assert(got("v") == ((3L, 0L, 3L, "10", "30")))
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.profile(d, Seq("nope"))
+    }
+  }
+
   test("clearOrphanedLocation never deletes a live default-db table from a non-default database") {
     import graft.sources.ManagedTables
     import spark.implicits._
