@@ -1081,7 +1081,39 @@ object SparkEntry {
     // the schema-drift and null-regression gate of a production ingest.
     "q86_profile" -> ((sp, dir) =>
       graft.functions.Profiling.profile(table(sp, dir, "documents"),
-        Seq("doc_id", "lang", "source", "n_chars")))
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // Delegated: event-time HOPPING window aggregation (1 h windows every
+    // 30 min — each event lands in two) via Spark's built-in window();
+    // epoch-aligned starts replayed as integer arithmetic in the oracle.
+    // The summed value goes through floor(value*1000) so the aggregate is
+    // an exact integer in any addition order.
+    "q87_hopping_window" -> ((sp, dir) =>
+      table(sp, dir, "events")
+        .select(col("event_type"), col("ts").cast("timestamp").as("t"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+        .select(unix_micros(col("window.start")).as("ws"),
+          unix_micros(col("window.end")).as("we"),
+          col("event_type"), col("cnt"), col("sum_v"))),
+
+    // Snapshot diff (dataset-versioning CDC): v2 is v1 with hash-selected
+    // deterministic mutations — drops (doc_id % 97 == 0), text edits
+    // (hash % 7 == 0), and synthetic additions (doc_id % 101 == 0,
+    // re-keyed +10^6). The diff must recover exactly those deltas.
+    "q88_snapshot_diff" -> ((sp, dir) => {
+      val v1 = table(sp, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val kept = v1.where(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .withColumn("text",
+          when(TF.tokenHashMod(col("text")) % 7 === 0,
+            concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      val added = v1.where(pmod(col("doc_id"), lit(101L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
+      val v2 = kept.unionByName(added)
+      graft.functions.Profiling.diffSnapshots(v1, v2, "doc_id", Seq("text", "lang"))
+    })
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -2364,6 +2396,45 @@ object SparkEntry {
          |       count(DISTINCT $c) AS n_distinct,
          |       CAST(min($c) AS VARCHAR) AS min_str,
          |       CAST(max($c) AS VARCHAR) AS max_str
-         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+
+    // Each event belongs to the two hop-aligned windows m and m-1
+    // (size = 2 x hop): w_start = (t_us div hop - k) * hop, k in {0, 1},
+    // kept iff t < w_start + size. Pure integer µs arithmetic.
+    "q87_hopping_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS v
+        |           FROM events),
+        |w AS (SELECT event_type, t, v,
+        |             ((t // 1800000000) - k) * 1800000000 AS ws
+        |      FROM e, unnest([0, 1]) AS u(k)
+        |      WHERE ((t // 1800000000) - k) * 1800000000 <= t
+        |        AND t < ((t // 1800000000) - k) * 1800000000 + 3600000000)
+        |SELECT ws, ws + 3600000000 AS we, event_type,
+        |       count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM w GROUP BY ws, event_type""".stripMargin,
+
+    // The same deterministic v2 mutations, then the textbook full-outer
+    // CDC classification; unchanged keys drop out.
+    "q88_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |kept AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ${hSql("text")} % 7 = 0
+        |              THEN text || ' [v2]' ELSE text END AS text,
+        |         lang
+        |  FROM v1 WHERE doc_id % 97 <> 0),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, text, lang
+        |          FROM v1 WHERE doc_id % 101 = 0),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text IS DISTINCT FROM b.text
+        |                OR a.lang IS DISTINCT FROM b.lang THEN 'changed'
+        |         END AS status
+        |  FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin
   )
 }

@@ -38,4 +38,34 @@ object Profiling {
           col(s"__max_$c").as("max_str"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Snapshot diff between two versions of a keyed table — dataset
+    * versioning's CDC step: which keys were `added`, `removed`, or
+    * `changed` (any `compareCols` value differs, null-safe) between the
+    * old and current snapshot. Unchanged keys are omitted — on a 100 TB
+    * corpus the diff is the small output, so downstream stages (an
+    * incremental index refresh, a re-dedup of changed docs) touch only
+    * the delta. ONE full-outer hash equi-join on the key; no hashing of
+    * row contents, so a column added to `compareCols` never forces a
+    * backfill. Keys must be unique per snapshot and non-null. */
+  def diffSnapshots(old: DataFrame, cur: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "diffSnapshots requires compare columns")
+    // alias every column to a fresh name: the two snapshots are typically
+    // derived from one lineage, and same-exprId references across a
+    // self-join resolve ambiguously
+    val o = old.select(col(keyCol).as("__ko") +:
+      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = cur.select(col(keyCol).as("__kn") +:
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .withColumn("status",
+        when(col("__ko").isNull, "added")
+          .when(col("__kn").isNull, "removed")
+          .when(changed, "changed"))
+      .where(col("status").isNotNull)
+      .select(coalesce(col("__ko"), col("__kn")).as(keyCol), col("status"))
+  }
 }

@@ -179,6 +179,23 @@ class ApiAndIOSpec extends SparkSuite {
     }
   }
 
+  test("diffSnapshots: added/removed/changed classification, null-safe compare, unchanged omitted") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, Some("a"), "x"), (2L, Some("b"), "x"), (3L, None, "x"),
+      (4L, Some("d"), "x"), (5L, None, "x")).toDF("id", "t", "g")
+    val v2 = Seq(
+      (1L, Some("a"), "x"),  // unchanged -> omitted
+      (2L, Some("B"), "x"),  // changed value
+      (3L, Some("c"), "x"),  // null -> value = changed
+      (5L, None, "x"),       // null -> null = unchanged
+      (6L, Some("f"), "x")). // new key
+      toDF("id", "t", "g")   // id 4 removed
+    val got = graft.functions.Profiling.diffSnapshots(v1, v2, "id", Seq("t", "g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 6L -> "added"))
+  }
+
   test("clearOrphanedLocation never deletes a live default-db table from a non-default database") {
     import graft.sources.ManagedTables
     import spark.implicits._
