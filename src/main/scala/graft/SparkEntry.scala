@@ -1039,15 +1039,22 @@ object SparkEntry {
     }),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-10
-    // (q74's ranker) with the brute-force cosine top-10 over the same
-    // query ids — rank-based, so no score calibration; the two-term sum is
+    // with the brute-force cosine top-10 over the same query ids —
+    // rank-based, so no score calibration; the two-term sum is
     // engine-exact. Both inputs are k-bounded per query before the fuse.
+    // The BM25 side goes through the PERSISTED index (shared with q78 and
+    // bit-identical to the direct q74 path, so the oracle replay is
+    // unchanged) — the shape a production hybrid stack runs, and it keeps
+    // the corpus tokenize+aggregate out of every fusion query.
     "q84_hybrid_rrf" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_idx_${datasetStamp(dir)}"
+      if (!sp.catalog.tableExists(tbl))
+        graft.functions.TfIdf.writeBm25Index(d, "doc_id", "text", tbl, nBuckets = 8)
       val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
         .select(col("doc_id").as("qid"),
           array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
-      val bm = graft.functions.TfIdf.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", 10)
+      val bm = graft.functions.TfIdf.bm25AgainstIndex(q, "qid", "qtext", tbl, 10)
         .select(col("qid"), col("doc_id"), col("rank"))
       val e = table(sp, dir, "embeddings")
       val vq = e.where(pmod(col("vec_id"), lit(50L)) === 0L)

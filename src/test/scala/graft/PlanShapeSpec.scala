@@ -32,7 +32,10 @@ class PlanShapeSpec extends SparkSuite {
     "q52_interval_join_bounded", "q53_interval_join_float",
     // coverage join against the 500-row generated window frame (same Auto
     // broadcast as q02; flips to binned when both sides are big)
-    "q83_window_coverage")
+    "q83_window_coverage",
+    // inherits q74's single-row (N, avgdl) broadcast cross and q15's
+    // declared brute-force baseline — the fuse itself is an equi-join
+    "q84_hybrid_rrf")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
