@@ -1120,6 +1120,22 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
       val v2 = kept.unionByName(added)
       graft.functions.Profiling.diffSnapshots(v1, v2, "doc_id", Seq("text", "lang"))
+    }),
+
+    // Per-language quality floor: keep docs at or above their language's
+    // exact interpolated 75th-percentile quality — "top quarter per
+    // domain". The threshold is rounded 6 dp on both sides so a sub-ulp
+    // interpolation difference can never flip a boundary row. Exact
+    // percentile buffers each language's values in one task BY CHOICE
+    // (the oracle needs exactness); approx_percentile is the sketch path
+    // at the 100 TB end, same plan otherwise.
+    "q89_quality_cut" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"), col("lang"),
+        TF.qualityScore(col("text")).as("quality"))
+      val thr = d.groupBy("lang")
+        .agg(round(expr("percentile(quality, 0.75)"), 6).as("thr"))
+      d.join(broadcast(thr), "lang").where(col("quality") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("quality"))
     })
   )
 
@@ -2442,6 +2458,30 @@ object SparkEntry {
         |                OR a.lang IS DISTINCT FROM b.lang THEN 'changed'
         |         END AS status
         |  FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
-        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
+
+    // q10's quality formula, per-lang quantile_cont(0.75) rounded 6 dp,
+    // keep quality >= threshold.
+    "q89_quality_cut" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len($toksSql) AS n_tok,
+        |         len(text) AS n_chars,
+        |         len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |t2 AS (SELECT *,
+        |         CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok
+        |              ELSE 0.0 END AS avgtok
+        |       FROM t),
+        |d AS (SELECT doc_id, lang,
+        |        round(least(n_tok/100.0, 1.0)*0.4
+        |            + (1.0 - least(n_punct/greatest(n_chars, 1)*5.0, 1.0))*0.3
+        |            + (CASE WHEN avgtok >= 3.0 AND avgtok <= 10.0
+        |                    THEN 1.0 ELSE 0.0 END)*0.3, 6) AS quality
+        |      FROM t2),
+        |thr AS (SELECT lang, round(quantile_cont(quality, 0.75), 6) AS thr
+        |        FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.quality
+        |FROM d JOIN thr USING (lang) WHERE d.quality >= thr.thr""".stripMargin
   )
 }

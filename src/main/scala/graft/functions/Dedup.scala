@@ -193,6 +193,8 @@ object Dedup {
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"dupSpanFraction requires n >= 1, got $n")
+    require(!Seq("ntok", "covered", "dup_frac").contains(idCol),
+      s"this operator writes `ntok`/`covered`/`dup_frac`; rename id column `$idCol`")
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__ntok", size(col("__toks")).cast("long"))
     val wins = base.where(col("__ntok") >= n)

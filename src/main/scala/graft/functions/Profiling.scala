@@ -22,6 +22,8 @@ object Profiling {
     require(cols.nonEmpty, "profile requires at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    require(cols.forall(!_.startsWith("__")),
+      "this operator reserves __-prefixed working names; rename the column(s)")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
         countDistinct(col(c)).as(s"__dis_$c"),

@@ -154,6 +154,9 @@ object IntervalOps {
     * `covered` (ns), `coverage` (fraction, 6 dp). */
   def windowCoverage(windows: DataFrame, spans: DataFrame,
       winIdCols: Seq[String], spancol: String = "span"): DataFrame = {
+    val clash = (winIdCols :+ spancol).toSet.intersect(Set("covered", "coverage"))
+    require(clash.isEmpty,
+      s"this operator writes `covered`/`coverage`; rename ${clash.mkString(", ")}")
     val j = IntervalJoin.intervalJoin(windows, spans.select(col(spancol)),
       spancol -> spancol)
     val merged = mergeIntervals(
