@@ -1136,6 +1136,26 @@ object SparkEntry {
         .agg(round(expr("percentile(quality, 0.75)"), 6).as("thr"))
       d.join(broadcast(thr), "lang").where(col("quality") >= col("thr"))
         .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
+    // Deterministic negative sampling for contrastive pairs: each doc
+    // pairs with the docs at offsets {1, 7} after it on the global
+    // hash-shuffle ring — uniform-random in content space, reproducible,
+    // and scale-safe (the shuffle index is the bucket-offset prefix sum;
+    // pairing is one self-equi-join on the ring position per offset).
+    "q90_negative_pairs" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"))
+      val idx = graft.functions.Sampling.globalShuffle(d, "doc_id", salt = "q90")
+      val withN = idx.crossJoin(broadcast(idx.agg((max("idx") + 1L).as("__n"))))
+      val targets = idx.select(col("doc_id").as("neg_id"), col("idx").as("__tidx"))
+      val offs = Seq(1L, 7L)
+      offs.map { off =>
+        withN.select(col("doc_id"), lit(off).as("off"),
+            pmod(col("idx") + off, col("__n")).as("__tidx"))
+          .join(targets, "__tidx")
+          .select(col("doc_id"), col("off"), col("neg_id"))
+      }.reduce(_ unionByName _)
+        .where(col("doc_id") =!= col("neg_id"))
     })
   )
 
@@ -2482,6 +2502,24 @@ object SparkEntry {
         |thr AS (SELECT lang, round(quantile_cont(quality, 0.75), 6) AS thr
         |        FROM d GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.quality
-        |FROM d JOIN thr USING (lang) WHERE d.quality >= thr.thr""".stripMargin
+        |FROM d JOIN thr USING (lang) WHERE d.quality >= thr.thr""".stripMargin,
+
+    // The q66 ring replay + modular-offset self-join per offset.
+    "q90_negative_pairs" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('q90:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |          % ${TF.HashMod} AS hkey
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT) AS idx
+        |      FROM h),
+        |n AS (SELECT max(idx) + 1 AS n FROM r),
+        |p AS (
+        |  SELECT a.doc_id, o.off, b.doc_id AS neg_id
+        |  FROM r a, n, unnest([CAST(1 AS BIGINT), CAST(7 AS BIGINT)]) AS o(off),
+        |       r b
+        |  WHERE b.idx = (a.idx + o.off) % n.n)
+        |SELECT doc_id, off, neg_id FROM p WHERE doc_id <> neg_id""".stripMargin
   )
 }
