@@ -676,4 +676,33 @@ class StreamingSpec extends SparkSuite {
       assert(got == batch, s"streaming ${got.size} runs vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("streaming profile: running per-column stats accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().select(col("_1").as("id"),
+      when(col("_2") === "", lit(null)).otherwise(col("_2")).as("s"))
+    val prof = graft.streaming.StreamingProfile.profileStream(stream, Seq("id", "s"))
+    val q = prof.writeStream.format("memory").queryName("sp")
+      .outputMode("complete").start()
+    try {
+      in.addData((3L, "b"), (1L, ""))
+      q.processAllAvailable()
+      in.addData((7L, "a"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sp").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+      assert(got("id") == ((3L, 0L, "1", "7")))
+      assert(got("s") == ((3L, 1L, "a", "b")))
+      // equals the batch profile (minus the distinct column) on the union
+      import spark.implicits._
+      val all = Seq((3L, Some("b")), (1L, None), (7L, Some("a")))
+        .toDF("id", "s")
+      val batch = graft.functions.Profiling.profile(all, Seq("id", "s"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
