@@ -27,6 +27,9 @@ class PlanShapeSpec extends SparkSuite {
     "q42_tfidf_top", "q59_unigram_surprisal", "q72_hll_distinct", "q74_bm25",
     // single-row threshold broadcast into the sketch gate + exact cut
     "q77_heavy_hitters",
+    // single-row ring-size (max idx + 1) broadcast cross into the
+    // modular-offset pairing
+    "q90_negative_pairs",
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
     "q52_interval_join_bounded", "q53_interval_join_float",
