@@ -1156,6 +1156,85 @@ object SparkEntry {
           .select(col("doc_id"), col("off"), col("neg_id"))
       }.reduce(_ unionByName _)
         .where(col("doc_id") =!= col("neg_id"))
+    }),
+
+    // Peak-load profile: max simultaneously-active order spans per customer
+    // (q39's overlapping A fixture) + the earliest instant the peak is hit.
+    // One key-keyed shuffle; the groupBy reuses the window Exchange.
+    "q91_concurrency" -> ((sp, dir) => {
+      val (a, _) = setOpFixtures(sp, dir)
+      graft.operators.IntervalOps.maxConcurrency(a, Seq("o_custkey"), "span")
+    }),
+
+    // SCD Type-2 build from the events table as an append-only change log:
+    // per user, event_type runs become half-open validity intervals;
+    // consecutive repeats collapse. Exact integer-ns endpoints.
+    "q92_scd2" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"))
+      graft.functions.Profiling.scd2(ev, "user_id",
+        Seq("t", "event_id"), Seq("event_type"))
+    }),
+
+    // Allen-relation classification of deterministic per-order span pairs:
+    // B starts (o_orderkey%25)-12 days around A's start, so both orders of
+    // every endpoint comparison occur. Pure codegen'd CASE — no join, no
+    // shuffle; the classifier column composes with any interval join output.
+    "q93_allen" -> ((sp, dir) => {
+      val day = 86400000000000L
+      val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+      val a = IntervalCols.interval(startNs,
+        startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L) * lit(day))
+      val bs = startNs + (pmod(col("o_orderkey"), lit(25L)) - 12L) * lit(day)
+      val b = IntervalCols.interval(bs,
+        bs + (pmod(col("o_orderkey"), lit(45L)) + 1L) * lit(day))
+      table(sp, dir, "orders")
+        .select(col("o_orderkey"), IntervalCols.allenRelation(a, b).as("rel"))
+    }),
+
+    // Bigram conditional surprisal: one Markov order up from q59 — mean
+    // -ln P(w2|w1) under the corpus MLE bigram LM. Same sorted-fold float
+    // determinism; context counts derive from the aggregated bigram counts.
+    "q94_bigram_surprisal" -> ((sp, dir) =>
+      TF.bigramSurprisal(table(sp, dir, "documents"), "doc_id", "text")),
+
+    // SQ8 scalar quantization of the embedding corpus: per-dim global
+    // [min,max] -> int codes in [0,255] + squared reconstruction error.
+    // Stats pass ships dim rows; the corpus itself never shuffles.
+    "q95_sq8" -> ((sp, dir) =>
+      Similarity.scalarQuantize(table(sp, dir, "embeddings"),
+        "vec_id", "embedding")),
+
+    // Data-quality expectation suite: five row rules + one uniqueness rule
+    // over documents, ONE aggregate over ONE scan. Two rules are planted to
+    // fail (len>=100, latin-only langs) so both outcomes are exercised.
+    "q96_expectations" -> ((sp, dir) =>
+      graft.functions.Profiling.expectations(table(sp, dir, "documents"),
+        Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "text_min_100" -> (length(col("text")) >= 100),
+          "lang_allowed" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+          "lang_latin_only" -> col("lang").isin("en", "de", "fr", "es"),
+          "n_chars_consistent" -> (col("n_chars") === length(col("text")))),
+        Seq("doc_id_unique" -> Seq("doc_id")))),
+
+    // Asymmetric near-dup: n-gram containment in BOTH directions over the
+    // q13 consecutive-pair fixture — catches doc-inside-doc inclusion that
+    // symmetric Jaccard dilutes. Same materialize-once shingle discipline.
+    "q97_containment" -> ((sp, dir) => {
+      val g = table(sp, dir, "documents")
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
+      val a = g.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      val b = g.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            nullif(size(col("sa")).cast("double"), lit(0.0)), 6).as("cont_ab"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            nullif(size(col("sb")).cast("double"), lit(0.0)), 6).as("cont_ba"))
     })
   )
 
@@ -2520,6 +2599,174 @@ object SparkEntry {
         |  FROM r a, n, unnest([CAST(1 AS BIGINT), CAST(7 AS BIGINT)]) AS o(off),
         |       r b
         |  WHERE b.idx = (a.idx + o.off) % n.n)
-        |SELECT doc_id, off, neg_id FROM p WHERE doc_id <> neg_id""".stripMargin
+        |SELECT doc_id, off, neg_id FROM p WHERE doc_id <> neg_id""".stripMargin,
+
+    // The same boundary sweep as the Spark side: +1/-1 deltas, a
+    // peer-inclusive RANGE-framed running sum, then per-key max and the
+    // earliest position attaining it.
+    "q91_concurrency" ->
+      """WITH A AS (
+        |  SELECT o_custkey AS k, epoch_us(o_orderdate)*1000 AS s,
+        |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |  FROM orders),
+        |ev AS (
+        |  SELECT k, s AS pos, 1 AS d FROM A WHERE s < e
+        |  UNION ALL SELECT k, e, -1 FROM A WHERE s < e),
+        |c AS (SELECT k, pos,
+        |             sum(d) OVER (PARTITION BY k ORDER BY pos
+        |                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        |      FROM ev),
+        |m AS (SELECT k, CAST(max(ca) AS BIGINT) AS mc FROM c GROUP BY k)
+        |SELECT m.k AS o_custkey, m.mc AS max_conc,
+        |       min(c.pos) AS first_at
+        |FROM m JOIN c ON c.k = m.k AND c.ca = m.mc
+        |GROUP BY m.k, m.mc""".stripMargin,
+
+    // Change points = first row per user OR event_type differs from its
+    // predecessor (null-safe); validity runs via lead over change points.
+    "q92_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t
+        |            FROM events),
+        |l AS (SELECT user_id, event_id, event_type, t,
+        |             lag(event_type) OVER w AS prev,
+        |             row_number() OVER w AS rn
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |p AS (SELECT user_id, event_id, event_type, t FROM l
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, t AS valid_from,
+        |       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+        |       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |         AS is_current
+        |FROM p""".stripMargin,
+
+    // Identical endpoint arithmetic (all-integer) + the same CASE order as
+    // IntervalCols.allenRelation — exhaustive/exclusive for non-empty spans.
+    "q93_allen" ->
+      """WITH p AS (
+        |  SELECT o_orderkey,
+        |         epoch_us(o_orderdate)*1000 AS a_s,
+        |         epoch_us(o_orderdate)*1000
+        |           + ((o_orderkey % 30)+1)*86400000000000 AS a_e,
+        |         epoch_us(o_orderdate)*1000
+        |           + ((o_orderkey % 25)-12)*86400000000000 AS b_s,
+        |         epoch_us(o_orderdate)*1000
+        |           + ((o_orderkey % 25)-12)*86400000000000
+        |           + ((o_orderkey % 45)+1)*86400000000000 AS b_e
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       CASE WHEN a_e < b_s THEN 'precedes'
+        |            WHEN a_e = b_s THEN 'meets'
+        |            WHEN b_e < a_s THEN 'preceded_by'
+        |            WHEN b_e = a_s THEN 'met_by'
+        |            WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+        |            WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+        |            WHEN a_s = b_s THEN 'started_by'
+        |            WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+        |            WHEN a_e = b_e THEN 'finished_by'
+        |            WHEN a_s > b_s AND a_e < b_e THEN 'during'
+        |            WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+        |            WHEN a_s < b_s THEN 'overlaps'
+        |            ELSE 'overlapped_by' END AS rel
+        |FROM p""".stripMargin,
+
+    // q59's replay, one order up: bigram counts, context counts from the
+    // aggregated bigram table, sorted 0.0-seeded fold — bit-exact.
+    "q94_bigram_surprisal" ->
+      """WITH tk AS (SELECT doc_id,
+        |                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                               x -> x <> '') AS tk
+        |            FROM documents),
+        |bg AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, len(tk)),
+        |                                    i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |       FROM tk WHERE len(tk) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |f AS (SELECT bg, count(*) AS n FROM bg GROUP BY 1),
+        |x AS (SELECT split_part(bg, ' ', 1) AS ctx, CAST(sum(n) AS BIGINT) AS cn
+        |      FROM f GROUP BY 1),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
+        |             list(round(CAST(c AS DOUBLE) * ln(CAST(cn AS DOUBLE) / n), 6)
+        |                  ORDER BY bg) AS vs
+        |      FROM c JOIN f USING (bg) JOIN x ON split_part(bg, ' ', 1) = x.ctx
+        |      GROUP BY 1)
+        |SELECT doc_id AS id, n_big,
+        |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_big
+        |         AS surprisal
+        |FROM g""".stripMargin,
+
+    // Verbatim replay of the SQ8 arithmetic: exact float min/max per dim,
+    // the same double expression for codes, index-ordered 0.0-seeded error
+    // fold rounded 6 dp.
+    "q95_sq8" ->
+      """WITH el AS (SELECT vec_id, unnest(embedding) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |d AS (SELECT i, min(x) AS lo, max(x) AS hi FROM el GROUP BY i),
+        |c AS (SELECT el.vec_id, el.i,
+        |             CAST(el.x AS DOUBLE) AS xd,
+        |             CAST(d.lo AS DOUBLE) AS lod,
+        |             CAST(d.hi AS DOUBLE) AS hid,
+        |             CASE WHEN CAST(d.hi AS DOUBLE) = CAST(d.lo AS DOUBLE) THEN 0
+        |                  ELSE CAST(floor((CAST(el.x AS DOUBLE) - CAST(d.lo AS DOUBLE))
+        |                                  * 255.0
+        |                                  / (CAST(d.hi AS DOUBLE) - CAST(d.lo AS DOUBLE))
+        |                                  + 0.5) AS BIGINT)
+        |             END AS code
+        |      FROM el JOIN d USING (i)),
+        |r AS (SELECT vec_id, i, code,
+        |             xd - (CASE WHEN hid = lod THEN lod
+        |                        ELSE lod + CAST(code AS DOUBLE) * (hid - lod) / 255.0
+        |                   END) AS dx
+        |      FROM c)
+        |SELECT vec_id,
+        |       list(CAST(code AS INTEGER) ORDER BY i) AS codes,
+        |       round(list_reduce(list_prepend(0.0, list(dx * dx ORDER BY i)),
+        |                         (a, b) -> a + b), 6) AS err
+        |FROM r GROUP BY vec_id""".stripMargin,
+
+    // One UNION ALL branch per rule; HUGEINT sums pinned to BIGINT.
+    "q96_expectations" ->
+      """SELECT 'doc_id_not_null' AS rule, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS violations,
+        |       CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) = 0
+        |         AS passed
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text_min_100', count(*),
+        |       CAST(sum(CASE WHEN len(text) >= 100 THEN 0 ELSE 1 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN len(text) >= 100 THEN 0 ELSE 1 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang_allowed', count(*),
+        |       CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang_latin_only', count(*),
+        |       CAST(sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars_consistent', count(*),
+        |       CAST(sum(CASE WHEN n_chars = len(text) THEN 0 ELSE 1 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN n_chars = len(text) THEN 0 ELSE 1 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'doc_id_unique', count(*),
+        |       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) = 0
+        |FROM documents""".stripMargin,
+
+    // q13's pair replay with the asymmetric denominators; NULLIF mirrors
+    // the Spark-side null on shingle-less docs.
+    "q97_containment" ->
+      s"""WITH g AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_intersect(a.sh, b.sh))
+         |             / NULLIF(CAST(len(a.sh) AS DOUBLE), 0.0), 6) AS cont_ab,
+         |       round(len(list_intersect(a.sh, b.sh))
+         |             / NULLIF(CAST(len(b.sh) AS DOUBLE), 0.0), 6) AS cont_ba
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling pass: the per-column health summary (row/null/distinct
@@ -39,6 +40,90 @@ object Profiling {
           col(s"__min_$c").as("min_str"),
           col(s"__max_$c").as("max_str"))): _*)).as("p"))
       .select("p.*")
+  }
+
+  /** Data-quality expectation suite — the assertion layer next to
+    * [[profile]]: evaluate row-level rules (each a boolean Column over one
+    * row) and key-uniqueness rules in ONE aggregate over ONE scan, and
+    * report per rule `(rule, n_rows, violations, passed)`. A NULL rule
+    * evaluation counts as a violation (an expectation that cannot be
+    * established is not met). Uniqueness violations = rows beyond the
+    * first per key combination (`n_rows - distinct key tuples`; NULLs
+    * group as values via the struct wrap).
+    *
+    * Distributed shape at 100 TB: row rules are codegen'd
+    * `sum(CASE WHEN ..)` partials — map-side-combined, one row shipped per
+    * partition; each uniqueness rule adds one exact `count(DISTINCT
+    * struct(keys))` stream through Expand (the documented price of
+    * exactness — [[Sketches.hllSketch]] per key set is the estimate path
+    * when an approximate check suffices). */
+  def expectations(df: DataFrame, rowRules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueRules: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no expectations given")
+    val names = rowRules.map(_._1) ++ uniqueRules.map(_._1)
+    require(names.distinct.size == names.size, "duplicate rule names")
+    uniqueRules.foreach { case (r, ks) =>
+      val missing = ks.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"rule `$r`: no such column(s): ${missing.mkString(", ")}")
+    }
+    val rowAggs = rowRules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val uniqAggs = uniqueRules.map { case (name, ks) =>
+      countDistinct(struct(ks.map(col): _*)).as(s"__u_$name")
+    }
+    df.agg(count(lit(1)).as("__n"), (rowAggs ++ uniqAggs): _*)
+      .select(explode(array(
+        rowRules.map { case (name, _) =>
+          struct(lit(name).as("rule"), col("__n").as("n_rows"),
+            coalesce(col(s"__v_$name"), lit(0L)).as("violations"))
+        } ++ uniqueRules.map { case (name, _) =>
+          struct(lit(name).as("rule"), col("__n").as("n_rows"),
+            (col("__n") - col(s"__u_$name")).as("violations"))
+        }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
+        col("r.violations").as("violations"),
+        (col("r.violations") === 0L).as("passed"))
+  }
+
+  /** SCD Type-2 dimension build from an append-only change log — the other
+    * half of dataset versioning next to [[diffSnapshots]]: each key's
+    * attribute history becomes half-open validity intervals
+    * `[valid_from, valid_to)` with `valid_to` NULL on the current row.
+    * Consecutive log rows repeating the same attribute values collapse into
+    * one validity run (null-safe compare), so re-delivered unchanged records
+    * never fragment the dimension.
+    *
+    * Input: one row per observation `(key, ordCols..., attrCols...)`;
+    * `ordCols` must totally order each key's log (pass a tiebreaker column —
+    * an offset/sequence id — after the event time; with ties left
+    * undetermined the collapse itself is nondeterministic). Distributed
+    * shape: ONE key-keyed shuffle; both window passes and the filter run in
+    * that partitioning, no second Exchange. Validity endpoints are whatever
+    * integer unit `ordCols.head` carries — exact, no float arithmetic. */
+  def scd2(log: DataFrame, keyCol: String, ordCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    require(ordCols.nonEmpty, "scd2 requires at least one ordering column")
+    require(attrCols.nonEmpty, "scd2 requires at least one attribute column")
+    Seq("valid_from", "valid_to", "is_current").foreach(r =>
+      require(!log.columns.contains(r), s"scd2 reserves output column `$r`"))
+    val w = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+    // row_number==1 (not lag(attr) IS NULL) marks the first observation:
+    // a genuinely-NULL first attribute value is null-safe-equal to the
+    // missing predecessor and would otherwise be dropped
+    val changed = attrCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _) ||
+      row_number().over(w) === 1
+    val points = log
+      .withColumn("__chg", changed)
+      .where(col("__chg"))
+      .drop("__chg")
+    val w2 = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+    points.select(
+      col(keyCol) +: attrCols.map(col) :+
+        col(ordCols.head).as("valid_from") :+
+        lead(col(ordCols.head), 1).over(w2).as("valid_to"): _*)
+      .withColumn("is_current", col("valid_to").isNull)
   }
 
   /** Snapshot diff between two versions of a keyed table — dataset

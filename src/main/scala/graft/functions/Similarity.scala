@@ -398,4 +398,51 @@ object Similarity {
     cells.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
   }
+
+  /** Scalar (SQ8) vector quantization: per-dimension global [min, max] maps
+    * each float to an int code in [0, 255] — the 4× embedding-storage /
+    * memory-bandwidth compression every 100 TB vector pipeline applies
+    * before ANN serving (FAISS's SQ8). Returns (idCol, codes, err) where
+    * `err` is the per-vector squared reconstruction error (6 dp).
+    *
+    * Distributed shape: pass 1 is a posexplode + per-dim min/max — dim× row
+    * inflation into a map-side-combining aggregate that ships `dim` rows
+    * per partition, then `dim` rows total; the assembled (lo, hi) arrays
+    * broadcast back (one row), so the corpus shuffles NOTHING. Pass 2 is a
+    * pure codegen'd per-row transform.
+    *
+    * Exactness: code arithmetic `floor((x - lo) * 255 / (hi - lo) + 0.5)`
+    * runs in double on float-widened inputs — bit-identical in any engine
+    * computing the same IEEE expression (the oracle replays it verbatim);
+    * min/max are exact in float. The reconstruction-error fold runs in
+    * ascending dimension order from a 0.0 seed (same replay rule as
+    * [[graft.functions.TextFunctions.unigramSurprisal]]). Degenerate
+    * dimensions (hi == lo) code to 0 and reconstruct exactly. */
+  def scalarQuantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dims = df.select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .groupBy("__d").agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val stats = dims.agg(
+      transform(sort_array(collect_list(struct(col("__d"), col("__lo")))),
+        x => x.getField("__lo")).as("__los"),
+      transform(sort_array(collect_list(struct(col("__d"), col("__hi")))),
+        x => x.getField("__hi")).as("__his"))
+    def loAt(i: Column) = element_at(col("__los"), i + 1).cast("double")
+    def hiAt(i: Column) = element_at(col("__his"), i + 1).cast("double")
+    def xAt(i: Column)  = element_at(col(vecCol), i + 1).cast("double")
+    def codeAt(i: Column): Column =
+      when(hiAt(i) === loAt(i), lit(0L))
+        .otherwise(floor((xAt(i) - loAt(i)) * 255.0 / (hiAt(i) - loAt(i)) + 0.5))
+    def reconAt(i: Column): Column =
+      when(hiAt(i) === loAt(i), loAt(i))
+        .otherwise(loAt(i) + codeAt(i).cast("double") * (hiAt(i) - loAt(i)) / 255.0)
+    val idxs = sequence(lit(0), size(col(vecCol)) - 1)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        transform(idxs, i => codeAt(i).cast("int")).as("codes"),
+        round(aggregate(
+          transform(idxs, i => (xAt(i) - reconAt(i)) * (xAt(i) - reconAt(i))),
+          lit(0.0), (acc, v) => acc + v), 6).as("err"))
+  }
 }

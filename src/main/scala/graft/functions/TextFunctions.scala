@@ -310,6 +310,70 @@ object TextFunctions {
           lit(0.0), (acc, v) => acc + v) / col("n_tok")).as("surprisal"))
   }
 
+  /** n-gram containment of `a` IN `b`: |shingles(a) ∩ shingles(b)| /
+    * |shingles(a)| — the asymmetric near-dup measure (Broder's containment,
+    * SEQUENCES '97) that Jaccard misses when one document embeds another
+    * much larger one (quote inclusion, boilerplate wrapping): containment
+    * stays 1.0 while Jaccard goes to |a|/|b|. NULL/short-text `a` (no
+    * shingles) yields NULL via the 0/0 division. */
+  def ngramContainment(a: Column, b: Column, n: Int): Column = {
+    val sa = shingles(a, n)
+    val sb = shingles(b, n)
+    size(array_intersect(sa, sb)).cast("double") /
+      nullif(size(sa).cast("double"), lit(0.0))
+  }
+
+  /** Per-document BIGRAM conditional surprisal — one Markov order up from
+    * [[unigramSurprisal]] (the CCNet-style LM-quality proxy): mean over the
+    * doc's bigram occurrences of `ln(c(w1·) / c(w1 w2))`, the negative log
+    * of the corpus MLE `P(w2 | w1)`. `c(w1·)` counts w1 as a bigram
+    * CONTEXT (bigrams starting with w1), so probabilities per context sum
+    * to 1 exactly. Low = predictable/boilerplate text under the corpus
+    * bigram LM, high = rare transitions.
+    *
+    * Distributed shape at 100 TB: the bigram explode fuses into the scan;
+    * per-(doc, bigram) and corpus-bigram counts are map-side-combining
+    * aggregates; context counts derive from the ALREADY-AGGREGATED bigram
+    * counts (distinct-bigram-sized, not occurrence-sized); two term-keyed
+    * equi-joins (AQE-splittable stopword skew). No driver materialization.
+    *
+    * Float determinism: as in [[unigramSurprisal]] the per-doc sum folds
+    * over bigrams in SORTED order from an explicit 0.0 seed — but one more
+    * guard is needed here: `cn/n` is very often an exact SMALL INTEGER
+    * (a context seen k times with one bigram once), and JVM `StrictMath
+    * .log` vs libm `ln` differ by 1 ulp on such inputs (measured:
+    * ln(3.0) = ...96 vs ...98). Each term is therefore rounded 6 dp
+    * BEFORE the fold, collapsing sub-ulp engine differences; the folded
+    * doubles are then bit-identical and so is the mean. Output: one row
+    * per doc with >= 2 tokens: (id, n_big, surprisal). */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    val bgs = df.select(col(idCol).as("id"), tk.as("__tk"))
+      .select(col("id"), explode(
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(1), size(col("__tk")) - 1),
+            i => concat(element_at(col("__tk"), i), lit(" "),
+              element_at(col("__tk"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val perDoc = bgs.groupBy("id", "bg").agg(count(lit(1)).as("c"))
+    val corpus = bgs.groupBy("bg").agg(count(lit(1)).as("n"))
+    val ctx = corpus.groupBy(substring_index(col("bg"), " ", 1).as("__ctx"))
+      .agg(sum("n").as("cn"))
+    perDoc.join(corpus, "bg")
+      .join(ctx, substring_index(col("bg"), " ", 1) === col("__ctx"))
+      .groupBy("id")
+      .agg(sum("c").as("n_big"),
+        sort_array(collect_list(
+          struct(col("bg"), col("c"), col("n"), col("cn")))).as("__xs"))
+      .select(col("id"), col("n_big"),
+        (aggregate(
+          transform(col("__xs"),
+            x => round(x.getField("c").cast("double") *
+              log(x.getField("cn").cast("double") / x.getField("n")), 6)),
+          lit(0.0), (acc, v) => acc + v) / col("n_big")).as("surprisal"))
+  }
+
   /** One-pass imperative fast path for BOTH repetition ratios. Bit-identical
     * to `dupTokenRatio`/`dupBigramRatio` (pinned by DedupParitySpec): the
     * Column path re-evaluates the interpreted `tokens` filter at every

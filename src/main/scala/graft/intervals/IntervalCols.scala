@@ -136,6 +136,36 @@ object IntervalCols {
       interval(greatest(start(l), start(r)), least(stop(l), stop(r))))
 
   /** Interval width in the underlying unit (ns). */
+  /** Allen's interval algebra: classify the relation of `l` to `r` as one
+    * of the 13 base relations (Allen, CACM 1983) — `precedes`, `meets`,
+    * `overlaps`, `finished_by`, `contains`, `starts`, `equals`,
+    * `started_by`, `during`, `finishes`, `overlapped_by`, `met_by`,
+    * `preceded_by`. Endpoint comparisons on the canonical half-open
+    * structs; for NON-EMPTY intervals the 13 cases are exhaustive and
+    * mutually exclusive, so the when-chain order is only an evaluation
+    * order, never a semantics choice. Pure codegen'd Column — usable as a
+    * post-join classifier at any scale. NULL endpoints (or either operand
+    * NULL) yield NULL, matching the reference's NULL-propagating scalar
+    * ops (reference `src/DataFrameIntervals.jl:13-17`). */
+  def allenRelation(l: Column, r: Column): Column = {
+    val (as_, ae) = (start(l), stop(l))
+    val (bs, be)  = (start(r), stop(r))
+    when(as_.isNull || ae.isNull || bs.isNull || be.isNull, lit(null).cast("string"))
+      .when(ae < bs, "precedes")
+      .when(ae === bs, "meets")
+      .when(be < as_, "preceded_by")
+      .when(be === as_, "met_by")
+      .when(as_ === bs && ae === be, "equals")
+      .when(as_ === bs && ae < be, "starts")
+      .when(as_ === bs, "started_by")          // ae > be by elimination
+      .when(ae === be && as_ > bs, "finishes")
+      .when(ae === be, "finished_by")          // as < bs by elimination
+      .when(as_ > bs && ae < be, "during")
+      .when(as_ < bs && ae > be, "contains")
+      .when(as_ < bs, "overlaps")              // bs < ae < be by elimination
+      .otherwise("overlapped_by")              // bs < as < be < ae
+  }
+
   def duration(i: Column): Column = stop(i) - start(i)
 
   /** Duration in (double) seconds — convenient for weighted aggregates. */

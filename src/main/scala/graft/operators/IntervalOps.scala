@@ -63,6 +63,25 @@ object IntervalOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(s"$spancol.stop") - col(s"$spancol.start")).as("covered"))
 
+  /** Per-key concurrency profile: the peak number of simultaneously active
+    * intervals (max over the boundary sweep's running coverage count) and
+    * the earliest position where that peak is reached — capacity planning /
+    * peak-load analysis over session or validity intervals. Reuses the
+    * [[coverageSegments]] sweep: ONE key-keyed shuffle + in-partition sort;
+    * the groupBy reuses the window's hash partitioning (no second
+    * Exchange). The peak and its earliest position come from one
+    * `max(struct(count, -pos))` aggregate — struct ordering is
+    * lexicographic, so ties on the count resolve to the smallest position
+    * deterministically. Half-open semantics: an interval ending exactly
+    * where another starts never counts as concurrent (the RANGE-framed
+    * peer-inclusive sum nets the -1 and +1 at that boundary). */
+  def maxConcurrency(df: DataFrame, keys: Seq[String], spancol: String): DataFrame =
+    coverageSegments(df, keys, spancol)
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__ca").as("c"), (-col("__pos")).as("np"))).as("__m"))
+      .select(keys.map(col) :+
+        col("__m.c").as("max_conc") :+ (-col("__m.np")).as("first_at"): _*)
+
   /** Gaps (interval-set complement between covered regions) per key: one
     * row per maximal uncovered interval strictly between two covered runs —
     * downtime/silence detection. Zero-coverage segments are maximal by

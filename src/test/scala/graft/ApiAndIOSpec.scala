@@ -196,6 +196,88 @@ class ApiAndIOSpec extends SparkSuite {
     assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 6L -> "added"))
   }
 
+  test("expectations: row rules, NULL counts as violation, uniqueness rule, one-pass") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1L), Some("x")), (Some(1L), Some("y")),
+      (Some(2L), None), (Option.empty[Long], Some("z"))).toDF("id", "v")
+    val got = graft.functions.Profiling.expectations(d,
+      Seq("id_not_null" -> col("id").isNotNull,
+        "v_is_x" -> (col("v") === "x")),
+      Seq("id_unique" -> Seq("id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("id_not_null") == ((4L, 1L, false)))
+    // y, NULL (indeterminate = violation), z
+    assert(got("v_is_x") == ((4L, 3L, false)))
+    // distinct ids {1, 2, null} = 3 -> one duplicate row
+    assert(got("id_unique") == ((4L, 1L, false)))
+    val ok = graft.functions.Profiling.expectations(d,
+      Seq("all_rows" -> lit(true))).head
+    assert(ok.getLong(2) == 0L && ok.getBoolean(3))
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.expectations(d,
+        Seq("dup" -> lit(true)), Seq("dup" -> Seq("id")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.expectations(d, Nil, Seq("u" -> Seq("nope")))
+    }
+  }
+
+  test("scd2: runs collapse, validity intervals chain, current row open") {
+    import spark.implicits._
+    val log = Seq(
+      // u1: A(1), A(3) repeat, B(5), A(9) back again
+      ("u1", 1L, 1L, "A"), ("u1", 3L, 2L, "A"), ("u1", 5L, 3L, "B"),
+      ("u1", 9L, 4L, "A"),
+      // u2: single observation
+      ("u2", 2L, 5L, "Z")).toDF("u", "t", "seq", "attr")
+    val got = graft.functions.Profiling
+      .scd2(log, "u", Seq("t", "seq"), Seq("attr"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("u1", "A", 1L, 5L, false),
+      ("u1", "B", 5L, 9L, false),
+      ("u1", "A", 9L, -1L, true),
+      ("u2", "Z", 2L, -1L, true)))
+  }
+
+  test("scd2: null attribute values survive null-safe collapse, incl. a leading null") {
+    import spark.implicits._
+    val log = Seq(
+      ("u", 1L, 1L, None), ("u", 2L, 2L, None),         // leading null run kept once
+      ("u", 4L, 3L, Some("x")), ("u", 6L, 4L, None)).toDF("u", "t", "seq", "attr")
+    val got = graft.functions.Profiling
+      .scd2(log, "u", Seq("t", "seq"), Seq("attr"))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set((None, 1L), (Some("x"), 4L), (None, 6L)))
+  }
+
+  test("scd2: same-timestamp change points order by the tiebreaker; reserved names rejected") {
+    import spark.implicits._
+    val log = Seq(("u", 5L, 1L, "A"), ("u", 5L, 2L, "B"), ("u", 7L, 3L, "B"))
+      .toDF("u", "t", "seq", "attr")
+    val got = graft.functions.Profiling
+      .scd2(log, "u", Seq("t", "seq"), Seq("attr"))
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(("A", 5L, 5L), ("B", 5L, -1L)))
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.scd2(
+        log.withColumnRenamed("attr", "valid_from"), "u", Seq("t"), Seq("valid_from"))
+    }
+  }
+
+  test("scd2 plan: one key-keyed shuffle, both window passes and no join") {
+    import spark.implicits._
+    val log = Seq(("u", 1L, 1L, "A")).toDF("u", "t", "seq", "attr")
+    val plan = graft.functions.Profiling.scd2(log, "u", Seq("t", "seq"), Seq("attr"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    assert(plan.split("Exchange").length - 1 <= 1)
+  }
+
   test("clearOrphanedLocation never deletes a live default-db table from a non-default database") {
     import graft.sources.ManagedTables
     import spark.implicits._

@@ -218,4 +218,66 @@ class IntervalOpsSpec extends SparkSuite {
     // but never a join or explode
     assert(!plan.contains("Join") && !plan.contains("Generate"))
   }
+
+  test("maxConcurrency: peak overlap count, half-open adjacency not concurrent, earliest peak position") {
+    val d = spans(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 8L, 9L),   // peak 3 on [8,9)
+      ("a", 15L, 20L),                                 // meets: [5,15) & [15,20) never concurrent
+      ("a", 30L, 40L), ("a", 30L, 40L),                // second peak of 2 < 3
+      ("b", 0L, 5L))
+    val got = IntervalOps.maxConcurrency(d, Seq("k"), "span")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((3L, 8L)))
+    assert(got("b") == ((1L, 0L)))
+  }
+
+  test("maxConcurrency: tie on the peak resolves to the earliest position") {
+    // two separate runs both reach 2; first does so at t=5
+    val d = spans(("a", 0L, 10L), ("a", 5L, 10L), ("a", 20L, 30L), ("a", 25L, 30L))
+    val r = IntervalOps.maxConcurrency(d, Seq("k"), "span").head
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 5L)))
+  }
+
+  test("maxConcurrency: simultaneous starts count together (peer-inclusive sweep)") {
+    val d = spans(("a", 7L, 10L), ("a", 7L, 12L), ("a", 7L, 14L))
+    val r = IntervalOps.maxConcurrency(d, Seq("k"), "span").head
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 7L)))
+  }
+
+  test("allenRelation: all 13 base relations classified, null propagates") {
+    import graft.intervals.IntervalCols
+    val cases = Seq(
+      // (a_s, a_e, b_s, b_e, expected)  — a relative to b = [10, 20)
+      (0L, 5L, 10L, 20L, "precedes"),
+      (0L, 10L, 10L, 20L, "meets"),
+      (5L, 15L, 10L, 20L, "overlaps"),
+      (5L, 20L, 10L, 20L, "finished_by"),
+      (5L, 25L, 10L, 20L, "contains"),
+      (10L, 15L, 10L, 20L, "starts"),
+      (10L, 20L, 10L, 20L, "equals"),
+      (10L, 25L, 10L, 20L, "started_by"),
+      (12L, 18L, 10L, 20L, "during"),
+      (15L, 20L, 10L, 20L, "finishes"),
+      (15L, 25L, 10L, 20L, "overlapped_by"),
+      (20L, 25L, 10L, 20L, "met_by"),
+      (25L, 30L, 10L, 20L, "preceded_by"))
+    val df = cases.toDF("as_", "ae", "bs", "be", "want")
+      .select(struct(col("as_").as("start"), col("ae").as("stop")).as("a"),
+        struct(col("bs").as("start"), col("be").as("stop")).as("b"), col("want"))
+      .withColumn("got", IntervalCols.allenRelation(col("a"), col("b")))
+    assert(df.where(col("got") =!= col("want")).count() == 0)
+    assert(df.select(countDistinct(col("got"))).head.getLong(0) == 13)
+    val n = spans(("a", 0L, 10L)).select(
+      IntervalCols.allenRelation(col("span"),
+        struct(lit(null).cast("long").as("start"), lit(5L).as("stop"))).as("r"))
+    assert(n.head.isNullAt(0))
+  }
+
+  test("maxConcurrency plan: no join, window Exchange reused by the aggregate") {
+    val d = spans(("a", 0L, 10L), ("a", 5L, 15L))
+    val plan = IntervalOps.maxConcurrency(d, Seq("k"), "span")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    assert(plan.split("Exchange").length - 1 <= 2) // union read + one key shuffle
+  }
 }

@@ -124,6 +124,26 @@ class PackingSpec extends SparkSuite {
     assert(s(2L)._2 > s(1L)._2)
   }
 
+  test("bigramSurprisal: exact sorted-fold mean of -ln P(w2|w1); short docs dropped") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("id", "text")
+    val s = TF.bigramSurprisal(corpus, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus bigrams: "a b"x2, "b a"x1, "a c"x1; ctx a=3, b=1.
+    // per-term round 6 dp (engine-stability guard), then the sorted fold
+    // from 0.0 — BIT-equality pins determinism. Spark's log is
+    // StrictMath.log (differs from Math.log by 1 ulp on e.g. ln(3)).
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (0.0 + r6(2.0 * StrictMath.log(3.0 / 2.0)) +
+      r6(1.0 * StrictMath.log(1.0 / 1.0))) / 3.0
+    val d2 = (0.0 + r6(1.0 * StrictMath.log(3.0 / 1.0))) / 1.0
+    assert(s(1L) == ((3L, d1)), s"got ${s(1L)} want $d1")
+    assert(s(2L) == ((1L, d2)), s"got ${s(2L)} want $d2")
+    assert(!s.contains(3L)) // one token -> no bigram -> no row
+    // the common transition scores below the rare one
+    assert(s(1L)._2 < s(2L)._2)
+  }
+
   test("topNgrams: document frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "a b a b"),   // bigrams: {a b, b a}

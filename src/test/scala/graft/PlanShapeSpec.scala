@@ -38,7 +38,10 @@ class PlanShapeSpec extends SparkSuite {
     "q83_window_coverage",
     // inherits q74's single-row (N, avgdl) broadcast cross and q15's
     // declared brute-force baseline — the fuse itself is an equi-join
-    "q84_hybrid_rrf")
+    "q84_hybrid_rrf",
+    // single-row (lo[], hi[]) per-dim stats broadcast cross into the
+    // codegen'd quantization transform — the corpus itself never shuffles
+    "q95_sq8")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

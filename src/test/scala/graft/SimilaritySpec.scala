@@ -476,4 +476,32 @@ class SimilaritySpec extends SparkSuite {
       rows(0).getInt(5) == 3)
     assert(!rows(1).getBoolean(1) && rows(1).getLong(3) == -1L)
   }
+
+  test("scalarQuantize: closed-form codes, extremes hit 0/255, degenerate dim codes 0 with no error") {
+    val d = Seq(
+      (1L, Array(0f, 100f, 7f)),
+      (2L, Array(50f, 100f, 7f)),
+      (3L, Array(100f, 300f, 7f))).toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(d).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    // dim0 [0,100], dim1 [100,300], dim2 degenerate [7,7]
+    assert(got(1L)._1 == Seq(0, 0, 0) && got(1L)._2 == 0.0)
+    assert(got(3L)._1 == Seq(255, 255, 0) && got(3L)._2 == 0.0)
+    assert(got(2L)._1 == Seq(128, 0, 0))
+    // replica of the documented double arithmetic, folded in dim order
+    val recon = 0.0 + 128.0 * (100.0 - 0.0) / 255.0
+    val want = BigDecimal(0.0 + (50.0 - recon) * (50.0 - recon))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L)._2 == want, s"got ${got(2L)._2} want $want")
+  }
+
+  test("scalarQuantize: reconstruction error shrinks vs a 2-bit quantizer (sanity of the scale)") {
+    val rng = new scala.util.Random(11L)
+    val d = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextFloat() * 10f)))
+      .toDF("vec_id", "embedding")
+    val err = Similarity.scalarQuantize(d).agg(sum("err")).head.getDouble(0)
+    // 8 dims x 50 vecs on [0,10): SQ8 mean squared error per element is
+    // ~ (range/255)^2/12 ~ 1.3e-4; total well under 1.0
+    assert(err >= 0.0 && err < 1.0, s"total err $err")
+  }
 }

@@ -38,6 +38,21 @@ class TextDedupSpec extends SparkSuite {
     assert(j((0L, 2L)) < 0.2)
   }
 
+  test("ngramContainment: asymmetric — embedded doc scores 1.0 in the container, null on shingle-less") {
+    import spark.implicits._
+    val d = Seq((1L, "abcd"), (2L, "abcdef"), (3L, "xy")).toDF("id", "text")
+    val pairs = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        TF.ngramContainment(col("a.text"), col("b.text"), 3).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(pairs((1L, 2L)) == Some(1.0))      // abcd fully inside abcdef
+    assert(pairs((2L, 1L)) == Some(0.5))      // 2 of abcdef's 4 shingles in abcd
+    assert(pairs((1L, 1L)) == Some(1.0))
+    assert(pairs((3L, 2L)).isEmpty)           // no shingles -> NULL, not NaN
+    assert(pairs((1L, 3L)) == Some(0.0))
+  }
+
   test("fingerprint: equal texts equal, different texts differ, bounded by modulus") {
     val fps = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
