@@ -1193,6 +1193,44 @@ object SparkEntry {
         .select(col("o_orderkey"), IntervalCols.allenRelation(a, b).as("rel"))
     }),
 
+    // Skew-mitigating salted equi-join: lineitem (probe, salted 4 ways by a
+    // full-row hash) x orders (build, replicated per salt), joined on
+    // (l_orderkey, salt) — row-identical to the plain join, so the oracle
+    // IS the plain join. The hot-key spread is the point at 100 TB; the
+    // aggregate keeps the checked output small.
+    "q98_salted_join" -> ((sp, dir) => {
+      val l = table(sp, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = table(sp, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), nSalts = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
+
+    // Delegated: trailing event-time rolling aggregates — per user, the
+    // count and sum of the preceding hour (RANGE frame over exact ns
+    // longs; the measure integer-ized so the sum is order-exact).
+    "q99_rolling_window" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-3600000000000L, 0L)
+      e.select(col("user_id"), col("event_id"), col("t"),
+        count(lit(1)).over(w).as("roll_n"), sum("v").over(w).as("roll_sum"))
+    }),
+
+    // One spherical k-means (Lloyd) iteration from deterministic hash
+    // anchors: cosine-argmax assignment (zero-shuffle codegen'd fold) +
+    // fixed-point centroid means (order-exact long sums). Chained, this is
+    // the IVF coarse-quantizer trainer.
+    "q100_kmeans_step" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val anchors = graft.functions.Similarity.hashAnchors(e, 6, salt = "q100")
+      graft.functions.Similarity.kmeansStep(e, anchors)
+    }),
+
     // Bigram conditional surprisal: one Markov order up from q59 — mean
     // -ln P(w2|w1) under the corpus MLE bigram LM. Same sorted-fold float
     // determinism; context counts derive from the aggregated bigram counts.
@@ -2767,6 +2805,60 @@ object SparkEntry {
          |             / NULLIF(CAST(len(a.sh) AS DOUBLE), 0.0), 6) AS cont_ab,
          |       round(len(list_intersect(a.sh, b.sh))
          |             / NULLIF(CAST(len(b.sh) AS DOUBLE), 0.0), 6) AS cont_ba
-         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // The salted join is row-identical to the plain join BY CONSTRUCTION —
+    // the oracle is the plain join + the same aggregate.
+    "q98_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // Identical RANGE frame over the same integer ns/measure columns.
+    "q99_rolling_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS v
+        |           FROM events)
+        |SELECT user_id, event_id, t,
+        |       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |       CAST(sum(v) OVER w AS BIGINT) AS roll_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |""".stripMargin,
+
+    // q82's anchor-selection + assignment replay, then fixed-point means:
+    // floor(x*1e6) longs summed per (cell, dim) — exact in any order —
+    // divided back once, 6 dp.
+    "q100_kmeans_step" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, v FROM (
+        |    SELECT vec_id, v,
+        |           ${hSql("'q100:' || CAST(vec_id AS VARCHAR)")} AS hk
+        |    FROM c) ORDER BY hk, vec_id LIMIT 6),
+        |sims AS (
+        |  SELECT c.vec_id AS id, a.aid,
+        |         round(list_dot_product(c.v, a.v)
+        |               / (sqrt(list_dot_product(c.v, c.v))
+        |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS s
+        |  FROM c CROSS JOIN anch a),
+        |cellq AS (
+        |  SELECT id, aid AS cell FROM (
+        |    SELECT id, aid,
+        |           row_number() OVER (PARTITION BY id ORDER BY s DESC, aid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |el AS (
+        |  SELECT q.cell, unnest(c.v) AS x, generate_subscripts(c.v, 1) AS i
+        |  FROM cellq q JOIN c ON c.vec_id = q.id),
+        |s AS (SELECT cell, i,
+        |             CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS fx,
+        |             count(*) AS n
+        |      FROM el GROUP BY cell, i)
+        |SELECT cell, CAST(min(n) AS BIGINT) AS n,
+        |       list(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6) ORDER BY i)
+        |         AS centroid
+        |FROM s GROUP BY cell""".stripMargin
   )
 }

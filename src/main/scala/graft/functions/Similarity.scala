@@ -371,25 +371,70 @@ object Similarity {
     * count so cells stay bounded (corpus/k vectors per cell; at 100 TB use
     * [[ivfTrain]] centroids in the tens of thousands, not [[hashAnchors]]
     * handfuls). Output: survivors as (idCol, cell). */
+  /** Nearest-anchor cell assignment shared by [[semanticDedup]] and
+    * [[kmeansStep]]: highest ROUNDED (4 dp) cosine wins, ties to the
+    * smallest anchor id. The argmax runs over an array of (sim, -aid)
+    * structs — array_max's lexicographic struct order gives max sim then
+    * min id. One struct per anchor; a when-chain fold would copy the
+    * accumulator tree 3x per level and blow codegen up exponentially.
+    * Anchors are driver-side literals, so this is ONE codegen'd
+    * expression — zero shuffle, no broadcast join, no UDF. Returns
+    * (id, cell, __vd, __n). */
+  private def assignToAnchors(df: DataFrame, anchors: Seq[(Long, Array[Double])],
+      idCol: String, vecCol: String): DataFrame = {
+    val c = withNorm(df.select(col(idCol).cast("long").as("id"), col(vecCol)),
+      vecCol, "__vd", "__n")
+    val cands = array(anchors.map { case (aid, av) =>
+      struct(round(dot(col("__vd"), lit(av)) /
+          (col("__n") * sqrt(dot(lit(av), lit(av)))), 4).as("s"),
+        lit(-aid).as("na"))
+    }: _*)
+    c.withColumn("cell", -array_max(cands).getField("na"))
+      .select(col("id"), col("cell"), col("__vd"), col("__n"))
+  }
+
+  /** One Lloyd iteration of SPHERICAL k-means over the embedding corpus:
+    * assign every vector to its nearest anchor by rounded cosine (the
+    * [[assignToAnchors]] fold — the assignment metric of spherical
+    * k-means, the standard variant for normalized text embeddings), then
+    * recompute per-cell centroids. Returns (cell, n, centroid).
+    *
+    * Chain it: `kmeansStep` output → centroid arrays → next round's
+    * anchors (seed round from [[hashAnchors]] or [[ivfTrain]]). Each
+    * iteration is one job; the converged centroids feed [[ivfListId]] /
+    * [[writeIvfIndexTable]] as the IVF coarse quantizer.
+    *
+    * Scale + determinism shape: the assignment is a zero-shuffle codegen'd
+    * fold (anchor literals); the centroid mean is computed in FIXED-POINT —
+    * per element `floor(x * 1e6)` longs, summed per (cell, dim) in a
+    * map-side-combining aggregate (dim× row inflation collapses to
+    * cells × dim rows per partition), then divided back exactly once. A
+    * double-sum mean would be partition-order-dependent and thus
+    * nondeterministic across runs/cluster sizes; the long sum is exact in
+    * ANY order (|x| ≤ 1e3 ⇒ |fx| ≤ 1e9; 2^63/1e9 ≈ 9e9 rows per cell-dim
+    * before overflow). Centroids are reported at 6 dp. */
+  def kmeansStep(df: DataFrame, anchors: Seq[(Long, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(anchors.nonEmpty, "kmeansStep requires at least one anchor")
+    val cells = assignToAnchors(df, anchors, idCol, vecCol)
+    cells.select(col("cell"), posexplode(col("__vd")).as(Seq("__d", "__x")))
+      .groupBy("cell", "__d")
+      .agg(sum(floor(col("__x") * 1e6)).as("__fx"), count(lit(1)).as("__cnt"))
+      .groupBy("cell")
+      .agg(min("__cnt").as("n"),
+        transform(
+          sort_array(collect_list(struct(col("__d"),
+            round(col("__fx").cast("double") / 1e6 / col("__cnt"), 6).as("__c")))),
+          x => x.getField("__c")).as("centroid"))
+  }
+
   def semanticDedup(df: DataFrame, anchors: Seq[(Long, Array[Double])],
       threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(anchors.nonEmpty, "semanticDedup requires at least one anchor")
     val dim = anchors.head._2.length
     require(anchors.forall(_._2.length == dim), "ragged anchor vectors")
-    val c = withNorm(df.select(col(idCol).cast("long").as("id"), col(vecCol)),
-      vecCol, "__vd", "__n")
-    // argmax over an array of (sim, -aid) structs: array_max's
-    // lexicographic struct order gives max sim, ties to the SMALLEST
-    // anchor id. One struct per anchor — a when-chain fold would copy the
-    // accumulator tree 3x per level and blow codegen up exponentially.
-    val cands = array(anchors.map { case (aid, av) =>
-      struct(round(dot(col("__vd"), lit(av)) /
-          (col("__n") * sqrt(dot(lit(av), lit(av)))), 4).as("s"),
-        lit(-aid).as("na"))
-    }: _*)
-    val cells = c.withColumn("cell", -array_max(cands).getField("na"))
-      .select(col("id"), col("cell"), col("__vd"), col("__n"))
+    val cells = assignToAnchors(df, anchors, idCol, vecCol)
     val dropped = cells.as("x").join(cells.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
           pairSim(col("x.__vd"), col("x.__n"), col("y.__vd"), col("y.__n"))

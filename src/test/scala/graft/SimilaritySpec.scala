@@ -495,6 +495,48 @@ class SimilaritySpec extends SparkSuite {
     assert(got(2L)._2 == want, s"got ${got(2L)._2} want $want")
   }
 
+  test("kmeansStep: cosine assignment, fixed-point centroid means match a driver replica") {
+    val d = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(0.9f, 0f)),   // -> anchor 10
+      (3L, Array(0.1f, 1f)), (4L, Array(0f, 0.8f))).  // -> anchor 20
+      toDF("vec_id", "embedding")
+    val anchors = Seq(10L -> Array(1.0, 0.0), 20L -> Array(0.0, 1.0))
+    val got = Similarity.kmeansStep(d, anchors).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    def replica(vs: Seq[Array[Float]]): Seq[Double] = {
+      val n = vs.length
+      (0 until 2).map { j =>
+        val fx = vs.map(v => math.floor(v(j).toDouble * 1e6).toLong).sum
+        BigDecimal(fx.toDouble / 1e6 / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    assert(got(10L)._1 == 2L)
+    assert(got(10L)._2 == replica(Seq(Array(1f, 0.1f), Array(0.9f, 0f))))
+    assert(got(20L)._1 == 2L)
+    assert(got(20L)._2 == replica(Seq(Array(0.1f, 1f), Array(0f, 0.8f))))
+  }
+
+  test("kmeansStep: equidistant vector ties to the smaller anchor id; iterating converges on a planted split") {
+    val tie = Seq((1L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val anchors = Seq(5L -> Array(1.0, 0.0), 7L -> Array(0.0, 1.0))
+    assert(Similarity.kmeansStep(tie, anchors).head.getLong(0) == 5L)
+    // two tight planted clusters: one step from rough anchors lands the
+    // centroids near the true means, a second step is a fixed point
+    val rng = new scala.util.Random(5L)
+    val pts = (0L until 30L).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f) else Array(0f, 10f)
+      (i, base.map(v => v + rng.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val a0 = Seq(1L -> Array(1.0, 0.1), 2L -> Array(0.1, 1.0))
+    val c1 = Similarity.kmeansStep(pts, a0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    val a1 = c1.toSeq.sortBy(_._1)
+    val c2 = Similarity.kmeansStep(pts, a1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(c2(1L) == c1(1L).toSeq && c2(2L) == c1(2L).toSeq)
+  }
+
   test("scalarQuantize: reconstruction error shrinks vs a 2-bit quantizer (sanity of the scale)") {
     val rng = new scala.util.Random(11L)
     val d = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextFloat() * 10f)))
