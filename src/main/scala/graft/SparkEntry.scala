@@ -1231,6 +1231,50 @@ object SparkEntry {
       graft.functions.Similarity.kmeansStep(e, anchors)
     }),
 
+    // I1 specialization: WITHIN-DISTANCE ("near") interval join — event
+    // spans within 30 min of a window, found by expanding the window side
+    // by d and running the standard overlap join (same Auto strategy /
+    // broadcast as q02); the gap to the ORIGINAL window rides along
+    // (0 = genuinely overlapping).
+    "q101_near_join" -> ((sp, dir) => {
+      val d = 1800000000000L
+      val es = eventSpans(sp, dir)
+        .select(col("user_id"), col("span.start").as("s"),
+          col("span.stop").as("e"), col("span"))
+      val win = windowsOver(es, 100, "idx")
+        .select(col("idx"), col("span.start").as("__ws"),
+          col("span.stop").as("__we"),
+          IntervalCols.interval(col("span.start") - d, col("span.stop") + d)
+            .as("span"))
+      IntervalJoin.intervalJoin(es, win, "span")
+        .select(col("idx"), col("user_id"), col("s"), col("e"),
+          greatest(col("s") - col("__we"), col("__ws") - col("e"), lit(0L))
+            .as("gap"))
+    }),
+
+    // Character-level Shannon entropy per doc — gibberish/base64 detector.
+    // Distinct (doc, char) counts only cross the wire; terms rounded 6 dp
+    // and folded in sorted char order (q94's engine-stability rule).
+    "q102_char_entropy" -> ((sp, dir) =>
+      TF.charEntropy(table(sp, dir, "documents"), "doc_id", "text")),
+
+    // Ordered first-touch funnel view -> click -> purchase per user:
+    // stage aggregates and key-sized joins only, the event stream is never
+    // self-joined at event granularity.
+    "q103_funnel" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"))
+      graft.functions.EventOps.funnel(e, Seq("user_id"), "event_type", "t",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Gaps-and-islands: maximal consecutive event_id runs per user via the
+    // id - row_number() trick — no self-join, one key-keyed shuffle.
+    "q104_islands" -> ((sp, dir) =>
+      graft.functions.EventOps.islands(
+        table(sp, dir, "events").select("user_id", "event_id"),
+        Seq("user_id"), "event_id")),
+
     // Bigram conditional surprisal: one Markov order up from q59 — mean
     // -ln P(w2|w1) under the corpus MLE bigram LM. Same sorted-fold float
     // determinism; context counts derive from the aggregated bigram counts.
@@ -2859,6 +2903,56 @@ object SparkEntry {
         |SELECT cell, CAST(min(n) AS BIGINT) AS n,
         |       list(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6) ORDER BY i)
         |         AS centroid
-        |FROM s GROUP BY cell""".stripMargin
+        |FROM s GROUP BY cell""".stripMargin,
+
+    // The expanded-window overlap predicate IS the within-distance
+    // predicate; gap to the original window replayed as integer arithmetic.
+    "q101_near_join" ->
+      s"""WITH $esSql, ${winSql(100, "min(s)", "max(e)", "es")}
+         |SELECT idx, user_id, s, e,
+         |       greatest(s - we, ws - e, 0) AS gap
+         |FROM es JOIN win
+         |  ON s < we + 1800000000000 AND ws - 1800000000000 < e""".stripMargin,
+
+    // Per-char counts, then q94's rounded sorted fold.
+    "q102_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |                   unnest(list_transform(range(1, len(text) + 1),
+        |                          i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+        |            FROM documents WHERE len(text) >= 1),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars FROM c GROUP BY 1),
+        |g AS (SELECT c.doc_id, n.n_chars,
+        |             list(round(-(c.c / n.n_chars) * ln(c.c / n.n_chars), 6)
+        |                  ORDER BY c.ch) AS vs
+        |      FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n_chars)
+        |SELECT doc_id AS id, n_chars,
+        |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) AS entropy
+        |FROM g""".stripMargin,
+
+    // First-touch stage mins chained on strictly-later times, left joins
+    // preserve partial funnels.
+    "q103_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.t > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.t > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // The id - row_number() trick, replayed verbatim.
+    "q104_islands" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |                  event_id - row_number()
+        |                    OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+        |           FROM events)
+        |SELECT user_id, min(event_id) AS run_start, max(event_id) AS run_end,
+        |       count(*) AS run_len
+        |FROM r GROUP BY user_id, grp""".stripMargin
   )
 }

@@ -374,6 +374,41 @@ object TextFunctions {
           lit(0.0), (acc, v) => acc + v) / col("n_big")).as("surprisal"))
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the cheap
+    * gibberish/encoding-noise detector: low entropy flags repeated-char
+    * padding and boilerplate, abnormally high entropy flags base64 blobs
+    * and binary-in-text. `H = -Σ p_ch · ln p_ch` over the doc's character
+    * distribution.
+    *
+    * Distributed shape: the per-character explode fuses into the scan and
+    * collapses in a map-side-combining (id, char) count aggregate — the
+    * shuffle carries distinct (doc, char) pairs (≤ alphabet size per doc),
+    * never the character stream. Per-doc terms are rounded 6 dp and folded
+    * in sorted character order from a 0.0 seed (the engine-stability rule
+    * of [[bigramSurprisal]]: p is an exact small rational, where JVM
+    * StrictMath.log and libm ln can differ by 1 ulp). The 0.0 seed also
+    * normalizes the `-0.0` a single-character doc's `-(1·ln 1)` term would
+    * otherwise leave. Output: (id, n_chars, entropy); empty/NULL docs are
+    * omitted. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cs = df.select(col(idCol).as("id"),
+      explode(when(length(col(textCol)) >= 1,
+        transform(sequence(lit(1), length(col(textCol))),
+          i => col(textCol).substr(i, lit(1))))
+        .otherwise(array().cast("array<string>"))).as("ch"))
+    cs.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("n_chars"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("__xs"))
+      .select(col("id"), col("n_chars"),
+        (aggregate(
+          transform(col("__xs"),
+            x => round(-(x.getField("c") / col("n_chars")) *
+              log(x.getField("c") / col("n_chars")), 6)),
+          lit(0.0), (acc, v) => acc + v)).as("entropy"))
+  }
+
   /** One-pass imperative fast path for BOTH repetition ratios. Bit-identical
     * to `dupTokenRatio`/`dupBigramRatio` (pinned by DedupParitySpec): the
     * Column path re-evaluates the interpreted `tokens` filter at every

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.EventOps
+
+class EventOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("funnel: first-touch stage times, strictly-later ordering, partial funnels NULL from first miss") {
+    val ev = Seq(
+      // u1 completes: view@1, click@5 (the @0 click precedes the view and
+      // must NOT count), purchase@9
+      ("u1", "click", 0L), ("u1", "view", 1L), ("u1", "click", 5L),
+      ("u1", "click", 7L), ("u1", "purchase", 9L),
+      // u2 stalls after view: purchase exists but no click before it
+      ("u2", "view", 2L), ("u2", "purchase", 3L),
+      // u3 never views -> no row at all
+      ("u3", "click", 1L), ("u3", "purchase", 2L),
+      // u4: click at the SAME instant as view does not advance (strict >)
+      ("u4", "view", 4L), ("u4", "click", 4L)).toDF("u", "et", "t")
+    val got = EventOps.funnel(ev, Seq("u"), "et", "t",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got == Map(
+      "u1" -> ((1L, 5L, 9L)),
+      "u2" -> ((2L, -1L, -1L)),
+      "u4" -> ((4L, -1L, -1L))))
+  }
+
+  test("funnel guards: short/duplicate stages and reserved output names rejected") {
+    val ev = Seq(("u", "a", 1L)).toDF("u", "et", "t")
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, Seq("u"), "et", "t", Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, Seq("u"), "et", "t", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev.withColumn("t_a", lit(1L)), Seq("u"), "et", "t",
+        Seq("a", "b"))
+    }
+  }
+
+  test("islands: maximal consecutive runs per key; singletons; keys independent") {
+    val d = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 7L), ("a", 8L), ("a", 10L),
+      ("b", 3L)).toDF("k", "id")
+    val got = EventOps.islands(d, Seq("k"), "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 1L, 3L, 3L), ("a", 7L, 8L, 2L), ("a", 10L, 10L, 1L),
+      ("b", 3L, 3L, 1L)))
+  }
+
+  test("islands plan: no join, single key shuffle reused by the aggregate") {
+    val d = Seq(("a", 1L)).toDF("k", "id")
+    val plan = EventOps.islands(d, Seq("k"), "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+  }
+
+  test("charEntropy: hand-computed distribution, single-char doc is +0.0, empty omitted") {
+    import graft.functions.{TextFunctions => TF}
+    val d = Seq((1L, "aab"), (2L, "aaaa"), (3L, "")).toDF("id", "text")
+    val got = TF.charEntropy(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = 0.0 + r6(-(2.0 / 3.0) * StrictMath.log(2.0 / 3.0)) +
+      r6(-(1.0 / 3.0) * StrictMath.log(1.0 / 3.0))
+    assert(got(1L) == ((3L, want)), s"got ${got(1L)} want $want")
+    assert(got(2L)._2 == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(got(2L)._2) == 0L) // +0.0, not -0.0
+    assert(!got.contains(3L))
+  }
+}
