@@ -1275,6 +1275,40 @@ object SparkEntry {
         table(sp, dir, "events").select("user_id", "event_id"),
         Seq("user_id"), "event_id")),
 
+    // Time-weighted mean of the piecewise-constant per-user signal (value
+    // held over each event span) — decimal-exact weighting, one aggregate.
+    "q105_time_weighted" -> ((sp, dir) => {
+      val es = eventSpans(sp, dir)
+        .select(col("user_id"), col("span"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      graft.operators.IntervalOps.timeWeightedMean(es, Seq("user_id"),
+        "span", "v")
+    }),
+
+    // As-of resample onto a regular grid: each of 500 global quantile-grid
+    // starts stabs into the per-user value spans — the downsampling shape
+    // for held signals. Composition of q01 + q60's machinery.
+    "q106_grid_resample" -> ((sp, dir) => {
+      val es = eventSpans(sp, dir)
+        .select(col("user_id"), col("span"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      val pts = windowsOver(eventSpans(sp, dir), 500, "idx")
+        .select(col("idx"), col("span.start").as("t"))
+      IntervalJoin.stabJoin(pts, es, "t" -> "span")
+        .select(col("idx"), col("t"), col("user_id"), col("v"))
+    }),
+
+    // Delegated: per-language rank (quantile) normalization of the quality
+    // score — percent_rank is (rank-1)/(n-1) on exact integers, ties share
+    // a rank, single-row groups are 0 by definition in both engines.
+    "q107_rank_normalize" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("doc_id"), col("lang"),
+        TF.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("lang").orderBy("quality")
+      d.select(col("doc_id"), col("lang"), col("quality"),
+        round(percent_rank().over(w), 6).as("qnorm"))
+    }),
+
     // Bigram conditional surprisal: one Markov order up from q59 — mean
     // -ln P(w2|w1) under the corpus MLE bigram LM. Same sorted-fold float
     // determinism; context counts derive from the aggregated bigram counts.
@@ -2944,6 +2978,50 @@ object SparkEntry {
         |      WHERE e.event_type = 'purchase' AND e.t > c.t_click GROUP BY 1)
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // Exact HUGEINT weighting replayed against the decimal sum; the two
+    // final IEEE divisions written in the same order.
+    "q105_time_weighted" ->
+      s"""WITH $esSql,
+        |w AS (SELECT user_id, e - s AS dur,
+        |             CAST(floor(value * 1000) AS HUGEINT) * (e - s) AS wv
+        |      FROM es)
+        |SELECT user_id, CAST(sum(dur) AS BIGINT) AS active,
+        |       round(CAST(sum(wv) AS DOUBLE) / 1000.0
+        |             / CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE), 6) AS twa
+        |FROM w GROUP BY user_id""".stripMargin,
+
+    // Grid starts stab into the per-user held-value spans.
+    "q106_grid_resample" ->
+      s"""WITH $esSql, ${winSql(500, "min(s)", "max(e)", "es")},
+        |pts AS (SELECT idx, ws AS t FROM win),
+        |vs AS (SELECT user_id, s, e, CAST(floor(value * 1000) AS BIGINT) AS v
+        |       FROM es)
+        |SELECT p.idx, p.t, v.user_id, v.v
+        |FROM pts p JOIN vs v ON p.t >= v.s AND p.t < v.e""".stripMargin,
+
+    // q89's quality replay + percent_rank over the same exact ordering.
+    "q107_rank_normalize" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len($toksSql) AS n_tok,
+        |         len(text) AS n_chars,
+        |         len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |t2 AS (SELECT *,
+        |         CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok
+        |              ELSE 0.0 END AS avgtok
+        |       FROM t),
+        |d AS (SELECT doc_id, lang,
+        |        round(least(n_tok/100.0, 1.0)*0.4
+        |            + (1.0 - least(n_punct/greatest(n_chars, 1)*5.0, 1.0))*0.3
+        |            + (CASE WHEN avgtok >= 3.0 AND avgtok <= 10.0
+        |                    THEN 1.0 ELSE 0.0 END)*0.3, 6) AS quality
+        |      FROM t2)
+        |SELECT doc_id, lang, quality,
+        |       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6)
+        |         AS qnorm
+        |FROM d""".stripMargin,
 
     // The id - row_number() trick, replayed verbatim.
     "q104_islands" ->

@@ -82,6 +82,35 @@ object IntervalOps {
       .select(keys.map(col) :+
         col("__m.c").as("max_conc") :+ (-col("__m.np")).as("first_at"): _*)
 
+  /** Time-weighted mean of a piecewise-constant signal per key — THE
+    * summary statistic of the reference's home domain (a vital-sign held
+    * between observations, a feature flag between changes): each interval
+    * carries `longValCol` (an integer-scaled sample, e.g. floor(x*1000))
+    * for its whole duration; the mean weights by nanoseconds covered.
+    * Output: (keys..., active, twa) with `active` = Σ duration and
+    * `twa` = Σ(v·dur) / scale / active at 6 dp.
+    *
+    * Exactness at any order/scale: the v·dur products and their sum can
+    * pass 2^63 (10^3-scaled values × day-long ns durations), so BOTH run
+    * in DECIMAL(38,0) — exact, order-free, map-side-combining (ANSI mode
+    * would reject a long overflow outright rather than wrap); DuckDB's
+    * 128-bit BIGINT→HUGEINT arithmetic replays them exactly. Only
+    * the final division runs in double (both engines convert the same
+    * exact integer, then perform the same two IEEE divisions). ONE
+    * key-keyed aggregate; overlapping intervals are counted per-row (merge
+    * first with [[mergeIntervals]] if single-coverage is intended). */
+  def timeWeightedMean(df: DataFrame, keys: Seq[String], spancol: String,
+      longValCol: String, scale: Long = 1000L): DataFrame = {
+    val dur = col(s"$spancol.stop") - col(s"$spancol.start")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(dur).as("active"),
+        sum(col(longValCol).cast(dec) * dur.cast(dec)).as("__wsum"))
+      .select(keys.map(col) :+ col("active") :+
+        round(col("__wsum").cast("double") / scale.toDouble /
+          col("active").cast("double"), 6).as("twa"): _*)
+  }
+
   /** Gaps (interval-set complement between covered regions) per key: one
     * row per maximal uncovered interval strictly between two covered runs —
     * downtime/silence detection. Zero-coverage segments are maximal by

@@ -244,6 +244,29 @@ class IntervalOpsSpec extends SparkSuite {
     assert((r.getLong(1), r.getLong(2)) == ((3L, 7L)))
   }
 
+  test("timeWeightedMean: duration weighting, long-overflow-proof decimal sum") {
+    val d = Seq(
+      ("a", 0L, 10L, 100L),   // v=100 for 10 ns
+      ("a", 10L, 40L, 400L),  // v=400 for 30 ns
+      ("b", 0L, 5L, 7000L)).toDF("k", "s", "e", "v")
+      .select(col("k"), col("v"),
+        struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val got = IntervalOps.timeWeightedMean(d, Seq("k"), "span", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // a: (100*10 + 400*30) / 1000 / 40 = 13000/40000 = 0.325
+    assert(got("a") == ((40L, 0.325)))
+    assert(got("b") == ((5L, 7.0)))
+    // weighted-product sum beyond 2^63 (2 x 4e19) while the duration sum
+    // stays in long range — the decimal accumulator keeps it exact
+    val big = Seq(("x", 0L, 4000000000000000000L, 10L),
+      ("x", 0L, 4000000000000000000L, 10L)).toDF("k", "s", "e", "v")
+      .select(col("k"), col("v"),
+        struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val r = IntervalOps.timeWeightedMean(big, Seq("k"), "span", "v").head
+    assert(r.getLong(1) == 8000000000000000000L)
+    assert(r.getDouble(2) == 0.01) // v/scale = 10/1000 held throughout
+  }
+
   test("allenRelation: all 13 base relations classified, null propagates") {
     import graft.intervals.IntervalCols
     val cases = Seq(
