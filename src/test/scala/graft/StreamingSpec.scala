@@ -705,4 +705,47 @@ class StreamingSpec extends SparkSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming funnel: per-batch advances, forward-only stages, equals batch when in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(String, String, Long)] // (user, type, ts)
+    val out = graft.streaming.StreamingFunnel.funnelStream(
+      ev.toDF().toDF("u", "et", "t"), Seq("u"), "et", "t",
+      Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("sfun")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 whole sequence in one batch (out-of-arrival-order but
+      // in-batch event-time sort handles it); u2 click only (no view)
+      ev.addData(("u1", "purchase", 9L), ("u1", "view", 1L),
+        ("u1", "click", 5L), ("u2", "click", 3L))
+      q.processAllAvailable()
+      // batch 2: u2 view arrives; u1 late re-view must NOT rewrite
+      ev.addData(("u2", "view", 4L), ("u1", "view", 0L))
+      q.processAllAvailable()
+      // batch 3: u2 click strictly after its view
+      ev.addData(("u2", "click", 7L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sfun").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4))).toSet
+      assert(rows == Set(
+        ("u1", Some(1L), Some(5L), Some(9L), 3),
+        ("u2", Some(4L), None, None, 1),
+        ("u2", Some(4L), Some(7L), None, 2)))
+      // the final per-key state equals the batch operator on the union
+      val all = Seq(("u1", "purchase", 9L), ("u1", "view", 1L),
+        ("u1", "click", 5L), ("u2", "click", 3L), ("u2", "view", 4L),
+        ("u1", "view", 0L), ("u2", "click", 7L)).toDF("u", "et", "t")
+      val batch = graft.functions.EventOps.funnel(all, Seq("u"), "et", "t",
+        Seq("view", "click", "purchase")).collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)))).toSet
+      // u1's late view@0 would lower the batch min — exactness holds only
+      // for in-order arrival, so compare on u2 (in order) and the shape of
+      // u1's completed funnel
+      assert(batch.exists(b => b._1 == "u2" && b._2 == Some(4L) &&
+        b._3 == Some(7L) && b._4.isEmpty))
+    } finally q.stop()
+  }
 }
