@@ -1309,6 +1309,69 @@ object SparkEntry {
         round(percent_rank().over(w), 6).as("qnorm"))
     }),
 
+    // Deterministic Pearson correlation per event type: decimal-exact
+    // moment sums, closed form in double only at the very end (built-in
+    // corr's double merge order is not reproducible across runs/engines).
+    "q108_exact_corr" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("x"),
+        get_json_object(col("props"), "$.k").cast("long").as("y"))
+        .where(col("y").isNotNull)
+      graft.functions.Profiling.exactCorr(e, Seq("event_type"), "x", "y")
+    }),
+
+    // CDC WRITE half: apply q88's delta shapes (deletes %97, text upserts
+    // by token hash %7, inserts %101 re-keyed +1e6) to the base snapshot —
+    // the result must equal q88's v2 exactly.
+    "q109_apply_changes" -> ((sp, dir) => {
+      val v1 = table(sp, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val deletes = v1.where(pmod(col("doc_id"), lit(97L)) === 0L)
+        .withColumn("op", lit("delete"))
+      val edits = v1.where(pmod(col("doc_id"), lit(97L)) =!= 0L &&
+          TF.tokenHashMod(col("text")) % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [v2]")))
+        .withColumn("op", lit("upsert"))
+      val adds = v1.where(pmod(col("doc_id"), lit(101L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"))
+        .withColumn("op", lit("upsert"))
+      graft.functions.Profiling.applyDelta(v1,
+        deletes.unionByName(edits).unionByName(adds), "doc_id", "op")
+    }),
+
+    // Delegated: equi-depth (ntile) histogram of the integer-scaled value
+    // per event type — deterministic bucketing on the unique (v, event_id)
+    // order, identical remainder rule in both engines.
+    "q110_equidepth_hist" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v"), col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy("v", "event_id")
+      e.select(col("event_type"), col("v"), ntile(8).over(w).as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    }),
+
+    // Weekly active/retained cohorts: epoch-aligned integer week ids,
+    // distinct (user, week) frames joined on week+1 — count arithmetic
+    // only, the event stream collapses to user-week before any join.
+    "q111_retention" -> ((sp, dir) => {
+      val e = table(sp, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) * 1000 div 604800000000000")
+            .as("week"))
+        .distinct()
+      val act = e.groupBy("week").agg(count(lit(1)).as("n_active"))
+      val ret = e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.week") === col("a.week") + 1L)
+        .groupBy(col("a.week").as("week"))
+        .agg(count(lit(1)).as("n_ret"))
+      act.join(ret, Seq("week"), "left")
+        .select(col("week"), col("n_active"),
+          coalesce(col("n_ret"), lit(0L)).as("n_retained"))
+    }),
+
     // Bigram conditional surprisal: one Markov order up from q59 — mean
     // -ln P(w2|w1) under the corpus MLE bigram LM. Same sorted-fold float
     // determinism; context counts derive from the aggregated bigram counts.
@@ -3022,6 +3085,67 @@ object SparkEntry {
         |       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6)
         |         AS qnorm
         |FROM d""".stripMargin,
+
+    // HUGEINT moment sums, identical closed form; sqrt is IEEE-exact so no
+    // rounding guard is needed beyond the final 6 dp.
+    "q108_exact_corr" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(CAST(floor(value * 1000) AS BIGINT) AS HUGEINT) AS x,
+        |                  CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS HUGEINT) AS y
+        |           FROM events
+        |           WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |             sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+        |             AND CAST(n*syy - sy*sy AS DOUBLE) > 0.0
+        |            THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+        |       END AS corr
+        |FROM g""".stripMargin,
+
+    // Applying the delta to the base must reproduce q88's v2 verbatim.
+    "q109_apply_changes" ->
+      s"""WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |kept AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ${hSql("text")} % 7 = 0
+        |              THEN text || ' [v2]' ELSE text END AS text,
+        |         lang
+        |  FROM v1 WHERE doc_id % 97 <> 0),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, text, lang
+        |          FROM v1 WHERE doc_id % 101 = 0)
+        |SELECT * FROM kept UNION ALL SELECT * FROM added""".stripMargin,
+
+    // Identical ntile remainder rule over the same unique ordering.
+    "q110_equidepth_hist" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS v, event_id
+        |           FROM events),
+        |b AS (SELECT event_type, v,
+        |             ntile(8) OVER (PARTITION BY event_type
+        |                            ORDER BY v, event_id) AS bucket
+        |      FROM e)
+        |SELECT event_type, bucket, min(v) AS lo, max(v) AS hi,
+        |       count(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Distinct user-weeks, week+1 self-join, integer counts.
+    "q111_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |                   epoch_ns(ts) // 604800000000000 AS week
+        |            FROM events),
+        |act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY 1),
+        |ret AS (SELECT a.week, count(*) AS n_ret
+        |        FROM uw a JOIN uw b
+        |          ON a.user_id = b.user_id AND b.week = a.week + 1
+        |        GROUP BY 1)
+        |SELECT act.week, act.n_active,
+        |       coalesce(ret.n_ret, 0) AS n_retained
+        |FROM act LEFT JOIN ret USING (week)""".stripMargin,
 
     // The id - row_number() trick, replayed verbatim.
     "q104_islands" ->

@@ -86,6 +86,56 @@ object Profiling {
         (col("r.violations") === 0L).as("passed"))
   }
 
+  /** Exact Pearson correlation per group over INTEGER-scaled inputs — the
+    * deterministic replacement for `corr()`: Spark's built-in accumulates
+    * doubles whose merge order varies run to run, so its last ulp is not
+    * reproducible, and the driver's bit-pattern gate (or any two engines)
+    * can disagree. Here the five moment sums (Σx, Σy, Σxy, Σx², Σy², n)
+    * accumulate as DECIMAL(38,0) — exact in any order — and only the final
+    * closed form runs in floating point: every engine converts the same
+    * exact integers and evaluates the same IEEE expression (sqrt is
+    * correctly rounded by IEEE-754, unlike ln — no rounding guard needed).
+    * Output: (keys..., n, corr) with corr at 6 dp, NULL when either
+    * variance is zero. One map-side-combining aggregate. */
+  def exactCorr(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val agged = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dxx = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dyy = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agged.select(keys.map(col) :+ col("__n").cast("long").as("n") :+
+      when(dxx > 0.0 && dyy > 0.0,
+        round(num / (sqrt(dxx) * sqrt(dyy)), 6)).as("corr"): _*)
+  }
+
+  /** Apply a CDC delta to a keyed snapshot — the WRITE half of dataset
+    * versioning next to [[diffSnapshots]]: `delta` carries `opCol`
+    * (`"upsert"` inserts-or-replaces the key's row, `"delete"` removes
+    * it); every other base row carries over. One anti-join (base minus
+    * touched keys) + the upsert rows appended — the base never shuffles
+    * more than the key anti-join requires, and the delta is the small side
+    * at 100 TB (broadcastable). Delta keys must be unique; unknown ops are
+    * rejected at plan time via a codegen'd guard. */
+  def applyDelta(base: DataFrame, delta: DataFrame, keyCol: String,
+      opCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    require(delta.columns.contains(opCol), s"delta lacks op column `$opCol`")
+    cols.foreach(c => require(delta.columns.contains(c),
+      s"delta lacks base column `$c`"))
+    val checked = delta.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(lit("applyDelta: unknown op "), col(opCol)))))
+    val touched = checked.select(col(keyCol))
+    base.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(checked.where(col(opCol) === "upsert").select(cols.map(col): _*))
+  }
+
   /** SCD Type-2 dimension build from an append-only change log — the other
     * half of dataset versioning next to [[diffSnapshots]]: each key's
     * attribute history becomes half-open validity intervals

@@ -196,6 +196,41 @@ class ApiAndIOSpec extends SparkSuite {
     assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 6L -> "added"))
   }
 
+  test("exactCorr: closed form matches a driver replica; zero variance yields NULL; deterministic") {
+    import spark.implicits._
+    val d = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 5L), ("g", 4L, 9L),
+      ("flat", 5L, 1L), ("flat", 5L, 2L)).toDF("k", "x", "y")
+    val got = graft.functions.Profiling.exactCorr(d, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val (n, sx, sy, sxy, sxx, syy) = (4.0, 10.0, 20.0, 61.0, 30.0, 126.0)
+    val want = BigDecimal((n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g") == ((4L, Some(want))), s"got ${got("g")} want $want")
+    assert(got("flat") == ((2L, None))) // x variance 0 -> undefined
+    // permutation invariance: the decimal sums are order-free
+    val shuffled = graft.functions.Profiling
+      .exactCorr(d.repartition(5), Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(shuffled("g") == Some(want))
+  }
+
+  test("applyDelta: upserts replace/insert, deletes remove, carryover intact, unknown op rejected") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val delta = Seq((2L, "B", "upsert"), (3L, "c", "delete"),
+      (9L, "z", "upsert")).toDF("id", "v", "op")
+    val got = graft.functions.Profiling.applyDelta(base, delta, "id", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z")))
+    val bad = Seq((1L, "x", "merge")).toDF("id", "v", "op")
+    intercept[Exception] {
+      graft.functions.Profiling.applyDelta(base, bad, "id", "op").collect()
+    }
+  }
+
   test("expectations: row rules, NULL counts as violation, uniqueness rule, one-pass") {
     import spark.implicits._
     val d = Seq(
