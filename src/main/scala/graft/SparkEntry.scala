@@ -1352,6 +1352,78 @@ object SparkEntry {
         .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
     }),
 
+    // User journey paths: the ordered event-type sequence (first 10) per
+    // user — one key-keyed aggregate; the sort happens inside the per-key
+    // collected array, never as a global sort.
+    "q112_user_paths" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
+        col("event_id"), col("event_type"))
+      e.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("t"), col("event_id"),
+            col("event_type")))).as("__xs"))
+        .select(col("user_id"), col("n_events"),
+          concat_ws(">", transform(slice(col("__xs"), 1, 10),
+            x => x.getField("event_type"))).as("path"))
+    }),
+
+    // First-order Markov transition matrix over the per-user event stream:
+    // lag pairs -> (from, to) counts -> row-normalized probabilities
+    // (exact long counts; the one division is deterministic).
+    "q113_transitions" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
+        col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val pairs = e.select(col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .where(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+      pairs.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("__tot"), 6).as("p"))
+    }),
+
+    // Top event type per tumbling hour by count — per-window rank on the
+    // unique (count desc, type) ordering, rank computed after the counts
+    // collapse (window-count-sized, not event-sized).
+    "q114_window_topk" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(
+        expr("unix_micros(cast(ts as timestamp)) * 1000 div 3600000000000")
+          .as("hw"), col("event_type"))
+      val counts = e.groupBy("hw", "event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("hw").orderBy(col("n").desc, col("event_type"))
+      counts.select(col("hw"), col("event_type"), col("n"),
+          row_number().over(w).as("__rn"))
+        .where(col("__rn") === 1).drop("__rn")
+    }),
+
+    // Per-label embedding prototypes + pairwise prototype cosine — the
+    // class-similarity audit. Fixed-point centroid means (q100's rule),
+    // then an all-pairs join over the handful of labels (broadcast-sized
+    // BY CONSTRUCTION: one row per label survives the aggregate).
+    "q115_label_centroids" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("__d", "__x")))
+        .groupBy("label", "__d")
+        .agg(sum(floor(col("__x") * 1e6)).as("__fx"), count(lit(1)).as("__cnt"))
+        .groupBy("label")
+        .agg(transform(
+          sort_array(collect_list(struct(col("__d"),
+            round(col("__fx").cast("double") / 1e6 / col("__cnt"), 6).as("__c")))),
+          x => x.getField("__c")).as("cv"))
+      val a = cent.select(col("label").as("label_a"), col("cv").as("va"))
+      val b = cent.select(col("label").as("label_b"), col("cv").as("vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(Similarity.dot(col("va"), col("vb")) /
+            (sqrt(Similarity.dot(col("va"), col("va"))) *
+              sqrt(Similarity.dot(col("vb"), col("vb")))), 4).as("cos"))
+    }),
+
     // Weekly active/retained cohorts: epoch-aligned integer week ids,
     // distinct (user, week) frames joined on week+1 — count arithmetic
     // only, the event stream collapses to user-week before any join.
@@ -3132,6 +3204,60 @@ object SparkEntry {
         |SELECT event_type, bucket, min(v) AS lo, max(v) AS hi,
         |       count(*) AS n
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Ordered list slice + join replay of the path aggregate.
+    "q112_user_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       array_to_string(list(event_type ORDER BY t, event_id)[1:10], '>')
+        |         AS path
+        |FROM e GROUP BY user_id""".stripMargin,
+
+    // lag pairs -> counts -> row-normalized probabilities.
+    "q113_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |l AS (SELECT event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY t, event_id) AS from_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM l
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, round(c.n / t.tot, 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // Hour-bucket counts, rank-1 on the same unique ordering.
+    "q114_window_topk" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS hw, event_type
+        |           FROM events),
+        |c AS (SELECT hw, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT hw, event_type, n,
+        |             row_number() OVER (PARTITION BY hw
+        |                                ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT hw, event_type, n FROM r WHERE rn = 1""".stripMargin,
+
+    // q100's fixed-point centroid rule per label, then the pairwise cosine
+    // over the rounded prototypes.
+    "q115_label_centroids" ->
+      """WITH el AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |s AS (SELECT label, i,
+        |             CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS fx,
+        |             count(*) AS n
+        |      FROM el GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |             list(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6) ORDER BY i)
+        |               AS cv
+        |      FROM s GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       round(list_dot_product(a.cv, b.cv)
+        |             / (sqrt(list_dot_product(a.cv, a.cv))
+        |                * sqrt(list_dot_product(b.cv, b.cv))), 4) AS cos
+        |FROM c a JOIN c b ON a.label < b.label""".stripMargin,
 
     // Distinct user-weeks, week+1 self-join, integer counts.
     "q111_retention" ->

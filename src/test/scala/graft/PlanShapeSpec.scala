@@ -42,7 +42,10 @@ class PlanShapeSpec extends SparkSuite {
     "q84_hybrid_rrf",
     // single-row (lo[], hi[]) per-dim stats broadcast cross into the
     // codegen'd quantization transform — the corpus itself never shuffles
-    "q95_sq8")
+    "q95_sq8",
+    // label-prototype all-pairs theta join: one row per label survives the
+    // centroid aggregate, so the side is broadcast-sized BY CONSTRUCTION
+    "q115_label_centroids")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
