@@ -1352,6 +1352,57 @@ object SparkEntry {
         .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
     }),
 
+    // PII detection counts over q55's planted fixture — the audit metric
+    // next to redaction: per doc, how many emails/phones a scan finds.
+    // Pure codegen'd regexp counts fused into the scan.
+    "q116_pii_counts" -> ((sp, dir) => {
+      val planted = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555-00"),
+        pmod(col("doc_id"), lit(100L)).cast("string"), lit("1"))
+      table(sp, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(planted, lit(TF.EmailPattern), lit(0)))
+            .as("n_email"),
+          size(regexp_extract_all(planted, lit(TF.PhonePattern), lit(0)))
+            .as("n_phone"))
+        .withColumn("has_pii", col("n_email") > 0 || col("n_phone") > 0)
+    }),
+
+    // Language-ID confusion matrix: the model-eval rollup of q10's
+    // heuristic against the labeled lang column — (actual, predicted)
+    // counts, one aggregate.
+    "q117_lang_confusion" -> ((sp, dir) =>
+      table(sp, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))),
+
+    // Interval ANTI join: event spans overlapping NO sparse window (every
+    // 7th) — keepleft outer + null filter, so every physical strategy of
+    // I1/I2 applies unchanged.
+    "q118_interval_anti" -> ((sp, dir) => {
+      val es = eventSpans(sp, dir)
+        .select(col("user_id"), col("span.start").as("s"),
+          col("span.stop").as("e"), col("span"))
+      val win = windowsOver(eventSpans(sp, dir), 100, "idx")
+        .where(pmod(col("idx"), lit(7L)) === 0L)
+      IntervalJoin.intervalJoin(es, win, "span", Options(keepleft = true))
+        .where(col("idx").isNull)
+        .select(col("user_id"), col("s"), col("e"))
+    }),
+
+    // Interval SEMI join: distinct event spans overlapping at least one
+    // sparse window — inner join + distinct on the left identity.
+    "q119_interval_semi" -> ((sp, dir) => {
+      val es = eventSpans(sp, dir)
+        .select(col("user_id"), col("span.start").as("s"),
+          col("span.stop").as("e"), col("span"))
+      val win = windowsOver(eventSpans(sp, dir), 100, "idx")
+        .where(pmod(col("idx"), lit(7L)) === 0L)
+      IntervalJoin.intervalJoin(es, win, "span")
+        .select(col("user_id"), col("s"), col("e")).distinct()
+    }),
+
     // User journey paths: the ordered event-type sequence (first 10) per
     // user — one key-keyed aggregate; the sort happens inside the per-key
     // collected array, never as a global sort.
@@ -3204,6 +3255,54 @@ object SparkEntry {
         |SELECT event_type, bucket, min(v) AS lo, max(v) AS hi,
         |       count(*) AS n
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Same planted fixture, same patterns, len(regexp_extract_all).
+    "q116_pii_counts" -> {
+      val planted = "substr(text, 1, 40) || ' contact: user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com or +1 555-00' || " +
+        "CAST(doc_id % 100 AS VARCHAR) || '1'"
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '${TF.EmailPattern}')) AS n_email,
+         |       len(regexp_extract_all(t, '${TF.PhonePattern}')) AS n_phone,
+         |       len(regexp_extract_all(t, '${TF.EmailPattern}')) > 0
+         |        OR len(regexp_extract_all(t, '${TF.PhonePattern}')) > 0
+         |         AS has_pii
+         |FROM p""".stripMargin
+    },
+
+    // q10's langId replay, rolled up as (actual, predicted) counts.
+    "q117_lang_confusion" -> {
+      val scoreSqls = TF.LangStopwords.map { case (l, ws) =>
+        l -> s"len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ${ws.map(w => s"'$w'").mkString("[", ",", "]")}))"
+      }
+      val bestSql = s"greatest(${scoreSqls.map(s => s"s_${s._1}").mkString(", ")})"
+      val caseSql = scoreSqls.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         ${scoreSqls.map { case (l, s) => s"$s AS s_$l" }.mkString(",\n         ")}
+         |  FROM documents),
+         |t2 AS (SELECT *, $bestSql AS best FROM t),
+         |p AS (SELECT lang, CASE $caseSql ELSE 'und' END AS pred FROM t2)
+         |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin
+    },
+
+    // NOT EXISTS / EXISTS against the sparse window subset.
+    "q118_interval_anti" ->
+      s"""WITH $esSql, ${winSql(100, "min(s)", "max(e)", "es")},
+         |sw AS (SELECT * FROM win WHERE idx % 7 = 0)
+         |SELECT user_id, s, e FROM es
+         |WHERE NOT EXISTS (SELECT 1 FROM sw WHERE es.s < sw.we AND sw.ws < es.e)
+         |""".stripMargin,
+
+    "q119_interval_semi" ->
+      s"""WITH $esSql, ${winSql(100, "min(s)", "max(e)", "es")},
+         |sw AS (SELECT * FROM win WHERE idx % 7 = 0)
+         |SELECT DISTINCT user_id, s, e FROM es
+         |WHERE EXISTS (SELECT 1 FROM sw WHERE es.s < sw.we AND sw.ws < es.e)
+         |""".stripMargin,
 
     // Ordered list slice + join replay of the path aggregate.
     "q112_user_paths" ->

@@ -22,6 +22,8 @@ class PlanShapeSpec extends SparkSuite {
     "q02_interval_join_inner", "q03_interval_join_left", "q04_interval_join_right",
     "q05_interval_join_full", "q07_grouped_interval_join", "q32_interval_join_ts",
     "q101_near_join", // q02's window broadcast with the frame expanded by d
+    // the same tiny sparse-window broadcast, anti/semi variants
+    "q118_interval_anti", "q119_interval_semi",
     "q15_ann_brute", "q30_embed_neardup_baseline",
     // single-row corpus-count broadcast (tf-idf idf factor / surprisal N /
     // the HLL estimate row x exact-distinct row / BM25's (N, avgdl) row)

@@ -748,4 +748,39 @@ class StreamingSpec extends SparkSuite {
         b._3 == Some(7L) && b._4.isEmpty))
     } finally q.stop()
   }
+
+  test("streaming transitions: lag pairs within and across batches, first event emits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(String, String, Long)]
+    val out = graft.streaming.StreamingTransitions.transitionsStream(
+      ev.toDF().toDF("u", "et", "t"), Seq("u"), "et", "t")
+    val q = out.writeStream.format("memory").queryName("strans")
+      .outputMode("append").start()
+    try {
+      // batch 1: in-batch burst for u1 (added out of event-time order)
+      ev.addData(("u1", "c", 3L), ("u1", "a", 1L), ("u1", "b", 2L),
+        ("u2", "x", 5L))
+      q.processAllAvailable()
+      // batch 2: u1 chains onto its batch-1 tail; u2 onto x
+      ev.addData(("u1", "d", 9L), ("u2", "y", 6L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM strans").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        ("u1", "a", "b", 2L), ("u1", "b", "c", 3L),
+        ("u1", "c", "d", 9L), ("u2", "x", "y", 6L)))
+      // single-batch totals equal the batch lag-pair counts
+      val all = Seq(("u1", "c", 3L), ("u1", "a", 1L), ("u1", "b", 2L),
+        ("u2", "x", 5L), ("u1", "d", 9L), ("u2", "y", 6L)).toDF("u", "et", "t")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy("t")
+      val batchPairs = all.select(col("u"),
+          lag(col("et"), 1).over(w).as("f"), col("et").as("g"), col("t"))
+        .where(col("f").isNotNull)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(rows == batchPairs)
+    } finally q.stop()
+  }
 }
