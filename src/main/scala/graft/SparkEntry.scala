@@ -1537,6 +1537,130 @@ object SparkEntry {
             nullif(size(col("sa")).cast("double"), lit(0.0)), 6).as("cont_ab"),
           round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
             nullif(size(col("sb")).cast("double"), lit(0.0)), 6).as("cont_ba"))
+    }),
+
+    // Numeric band join: same-type event pairs within one integer cent of
+    // each other, via BandJoin's bucketed equi-join (floor(v/δ) buckets,
+    // left replicated into ±1, exact predicate re-check) — the value-space
+    // analogue of the binned interval join; the naive theta-join plan is a
+    // nested-loop scan. Values quantize to exact integer cents first
+    // (`round(value·100)` longs) so bucket ids and the band predicate are
+    // pure integer arithmetic — no float quotient can shift a boundary
+    // bucket in either engine.
+    "q120_band_join" -> ((sp, dir) => {
+      def side(ida: String, va: String) = table(sp, dir, "events")
+        .select(col("event_type"), col("event_id").as(ida),
+          round(col("value") * 100).cast("long").cast("double").as(va))
+      graft.operators.BandJoin.bandJoin(
+          side("id_a", "va"), side("id_b", "vb"), "va", 1.0,
+          Seq("event_type"), Some("vb"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("event_type"), col("id_a"), col("id_b"),
+          col("va").cast("long").as("cents_a"),
+          col("vb").cast("long").as("cents_b"))
+    }),
+
+    // Gopher-style rule-based quality filter: the seven surface-statistic
+    // rules (word count, mean word length, symbol/bullet/ellipsis ratios,
+    // alpha-word fraction, stopword hits) as one codegen'd projection.
+    "q121_gopher_rules" -> ((sp, dir) =>
+      TF.gopherFlags(table(sp, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // Deterministic EWMA (alpha = 1/2) of each user's value sequence:
+    // power-of-two weights so every term is exact IEEE arithmetic, summed
+    // as floor(term·1e6) fixed-point longs (order-exact under any
+    // partitioning). ONE key shuffle.
+    "q122_ewma" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
+        col("event_id"), col("value"))
+      graft.functions.EventOps.ewma(e, Seq("user_id"), "t", "value", "event_id")
+    }),
+
+    // Robust per-type outliers via exact median/MAD: |z| > 3 under
+    // z = (v - med) / (1.4826·MAD), med/MAD rounded 6 dp (q89 discipline),
+    // z rounded 4 dp before the cut.
+    "q123_mad_outliers" -> ((sp, dir) =>
+      graft.functions.Profiling.robustOutliers(
+        table(sp, dir, "events").select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))),
+
+    // One PageRank power-iteration step over the q113 event-type
+    // transition graph (row-normalized Markov weights): fixed-point
+    // in-edge sums, dst-keyed aggregate, sinks via left join.
+    "q124_pagerank_step" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
+        col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val pairs = e.select(col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .where(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+      val edges = pairs.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"),
+          round(col("n") / col("__tot"), 6).as("p"))
+      graft.functions.GraphOps.pagerankStep(edges, "from_type", "to_type", "p")
+    }),
+
+    // Tokenizer fertility per language: BPE-ish subword tokens per
+    // whitespace word, exact integer totals + one rounded division.
+    "q125_fertility" -> ((sp, dir) =>
+      TF.tokenizerFertility(table(sp, dir, "documents"), "lang", "text")),
+
+    // Exact triangle count of the user-affinity band graph (users whose
+    // fixed-point activity totals lie within 20.0 of each other — edges
+    // from the same BandJoin bucketing as q120, so the graph build is an
+    // equi-join too), counted via degree-ordered orientation (Suri &
+    // Vassilvitskii) — two equi-joins, no hub blowup, each triangle
+    // counted exactly once.
+    "q126_triangles" -> ((sp, dir) => {
+      def totals(idc: String, vc: String) = table(sp, dir, "events")
+        .groupBy(col("user_id").as(idc))
+        .agg(sum(floor(col("value") * 1000).cast("long")).cast("double").as(vc))
+      val edges = graft.operators.BandJoin.bandJoin(
+          totals("ua", "va"), totals("ub", "vb"), "va", 20000.0,
+          Nil, Some("vb"))
+        .where(col("ua") < col("ub"))
+      graft.functions.GraphOps.triangleCount(edges, "ua", "ub")
+    }),
+
+    // MinHash-estimate audit: for consecutive-doc pairs, the signature
+    // agreement fraction (est Jaccard, 16 slots) next to the TRUE 5-gram
+    // Jaccard — the operator that tells you whether k=16 suffices for
+    // your near-dup threshold before a corpus-wide run.
+    "q127_minhash_est" -> ((sp, dir) => {
+      val sig = Dedup.signatures(
+          table(sp, dir, "documents").where(length(col("text")) >= 5),
+          "text", "doc_id")
+        .select(col("id"), col("sig"))
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(true)
+      val sh = table(sp, dir, "documents").where(length(col("text")) >= 5)
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), TF.shingles(col("text"), 5).as("sh"))
+        .localCheckpoint(true)
+      val a = sig.select(col("id").as("doc_a"), col("sig").as("siga"))
+      val b = sig.select(col("id").as("doc_b"), col("sig").as("sigb"))
+      val est = a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          round(size(filter(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+            v => v === 1)).cast("double") / 16.0, 6).as("est_jaccard"))
+      val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+      val truth = sa.join(sb, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 6).as("true_jaccard"))
+      est.join(truth, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          col("true_jaccard"),
+          round(col("est_jaccard") - col("true_jaccard"), 6).as("err"))
     })
   )
 
@@ -3380,6 +3504,212 @@ object SparkEntry {
         |           FROM events)
         |SELECT user_id, min(event_id) AS run_start, max(event_id) AS run_end,
         |       count(*) AS run_len
-        |FROM r GROUP BY user_id, grp""".stripMargin
+        |FROM r GROUP BY user_id, grp""".stripMargin,
+
+    // Integer-cent band predicate replayed as the plain theta join (fine
+    // at oracle scale; the Spark plan is the bucketed equi-join).
+    "q120_band_join" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b,
+        |       a.cents AS cents_a, b.cents AS cents_b
+        |FROM e a JOIN e b
+        |  ON a.event_type = b.event_type
+        | AND abs(a.cents - b.cents) <= 1
+        | AND a.event_id < b.event_id""".stripMargin,
+
+    "q121_gopher_rules" -> {
+      val stopList = TF.LangStopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |         $toksSql AS toks,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> x <> '') AS ltoks,
+         |         list_filter(string_split(text, chr(10)),
+         |                     l -> trim(l) <> '') AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(toks,
+         |              x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+         |         len(string_split(text, '#')) - 1 AS n_hash,
+         |         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellip,
+         |         CAST(len(lines) AS BIGINT) AS n_lines,
+         |         len(list_filter(lines,
+         |              l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS n_bullet,
+         |         len(list_filter(lines,
+         |              l -> regexp_matches(trim(l), '\\.\\.\\.${"$"}'))) AS n_elline,
+         |         len(list_filter(toks,
+         |              x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         |         CAST(len(list_intersect(ltoks, $stopList)) AS BIGINT) AS n_stop
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |         round(CASE WHEN n_words > 0
+         |               THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END, 6)
+         |           AS mean_word_len,
+         |         round(CASE WHEN n_words > 0
+         |               THEN CAST(n_hash + n_ellip AS DOUBLE) / n_words
+         |               ELSE 0.0 END, 6) AS symbol_ratio,
+         |         round(CASE WHEN n_lines > 0
+         |               THEN CAST(n_bullet AS DOUBLE) / n_lines
+         |               ELSE 0.0 END, 6) AS bullet_ratio,
+         |         round(CASE WHEN n_lines > 0
+         |               THEN CAST(n_elline AS DOUBLE) / n_lines
+         |               ELSE 0.0 END, 6) AS ellipsis_ratio,
+         |         round(CASE WHEN n_words > 0
+         |               THEN CAST(n_alpha AS DOUBLE) / n_words
+         |               ELSE 0.0 END, 6) AS alpha_ratio,
+         |         n_stop
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |       ellipsis_ratio, alpha_ratio, n_stop,
+         |       n_words >= 50 AND n_words <= 100000 AS f_word_count,
+         |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS f_mean_len,
+         |       symbol_ratio <= 0.1 AS f_symbol,
+         |       bullet_ratio <= 0.9 AS f_bullet,
+         |       ellipsis_ratio <= 0.3 AS f_ellipsis,
+         |       alpha_ratio >= 0.8 AS f_alpha,
+         |       n_stop >= 2 AS f_stop,
+         |       (n_words >= 50 AND n_words <= 100000)
+         |         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |         AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |         AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+         |         AND n_stop >= 2 AS pass
+         |FROM r""".stripMargin
+    },
+
+    // The unrolled EWMA recursion: power-of-two weights (exact IEEE),
+    // per-term floor(·1e6) fixed point, order-exact integer sum.
+    "q122_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value
+        |           FROM events),
+        |r AS (SELECT user_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY t, event_id) AS i,
+        |             count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM e),
+        |f AS (SELECT user_id,
+        |             CAST(floor((CASE WHEN i = 1
+        |                   THEN value * pow(2.0, -least(1*(n-i), 400))
+        |                   ELSE value * CAST(0.5 AS DOUBLE)
+        |                        * pow(2.0, -least(1*(n-i), 400)) END)
+        |                  * 1000000.0) AS BIGINT) AS fp
+        |      FROM r)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / 1000000.0 AS ewma
+        |FROM f GROUP BY user_id""".stripMargin,
+
+    // Exact median/MAD robust z replay (quantile_cont = Spark's
+    // interpolated percentile; both rounded 6 dp before use).
+    "q123_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |                    round(quantile_cont(value, 0.5), 6) AS med
+        |             FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |               round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |        FROM events e JOIN med m USING (event_type) GROUP BY 1),
+        |z AS (SELECT e.event_id, e.event_type, e.value,
+        |             round((e.value - m.med)
+        |                   / (CAST(1.4826 AS DOUBLE) * d.mad), 4) AS z
+        |      FROM events e JOIN med m USING (event_type)
+        |      JOIN mad d ON e.event_type = d.event_type AND d.mad > 0)
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) > 3.0""".stripMargin,
+
+    // q113's row-normalized transition weights -> one power-iteration
+    // step: fixed-point in-edge sums, (1-d)/N + d·Σ, all float literals
+    // CAST to DOUBLE so DuckDB's decimal literals can't diverge from
+    // Spark's binary doubles.
+    "q124_pagerank_step" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |l AS (SELECT event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY t, event_id) AS from_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM l
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |edges AS (SELECT c.from_type, c.to_type, round(c.n / t.tot, 6) AS p
+        |          FROM c JOIN t USING (from_type)),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |            SELECT from_type AS node FROM edges
+        |            UNION ALL SELECT to_type FROM edges)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |contrib AS (SELECT to_type AS node,
+        |                   CAST(sum(CAST(floor(p * (CAST(1.0 AS DOUBLE) / nn.n)
+        |                        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS cin
+        |            FROM edges, nn GROUP BY 1)
+        |SELECT nodes.node,
+        |       round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |             + CAST(0.85 AS DOUBLE)
+        |               * (CAST(coalesce(contrib.cin, 0) AS DOUBLE)
+        |                  / 1000000000000.0), 6) AS rank
+        |FROM nodes LEFT JOIN contrib ON nodes.node = contrib.node, nn""".stripMargin,
+
+    "q125_fertility" ->
+      s"""WITH m AS (
+         |  SELECT lang,
+         |         CAST(len($toksSql) AS BIGINT) AS w,
+         |         CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS b
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(w) AS BIGINT) AS tot_words,
+         |       CAST(sum(b) AS BIGINT) AS tot_tokens,
+         |       round(CASE WHEN CAST(sum(w) AS BIGINT) > 0
+         |             THEN CAST(CAST(sum(b) AS BIGINT) AS DOUBLE)
+         |                  / CAST(sum(w) AS BIGINT)
+         |             ELSE 0.0 END, 6) AS fertility
+         |FROM m GROUP BY lang""".stripMargin,
+
+    // Band graph on exact fixed-point user totals, then the brute
+    // triangle count (the Spark plan is the degree-ordered two-join).
+    "q126_triangles" ->
+      """WITH u AS (SELECT user_id,
+        |                  CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+        |                       AS BIGINT) AS v
+        |           FROM events GROUP BY 1),
+        |e AS (SELECT a.user_id AS ua, b.user_id AS ub
+        |      FROM u a JOIN u b
+        |        ON abs(a.v - b.v) <= 20000 AND a.user_id < b.user_id),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |            SELECT ua AS node FROM e UNION ALL SELECT ub FROM e)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+        |        JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin,
+
+    // Signature-slot agreement (est) vs true 5-gram Jaccard per
+    // consecutive pair; q11's signature replay verbatim.
+    "q127_minhash_est" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents
+         |           WHERE len(text) >= 5),
+         |s AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
+         |agree AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 CAST(sum(CASE WHEN a.sig[CAST(j+1 AS INT)]
+         |                                  = b.sig[CAST(j+1 AS INT)]
+         |                          THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1,
+         |               range(16) t(j)
+         |          GROUP BY 1, 2),
+         |tj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              round(len(list_intersect(a.sh, b.sh))
+         |                    / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+         |                AS true_jaccard
+         |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+         |SELECT agree.doc_a, agree.doc_b,
+         |       round(CAST(m AS DOUBLE) / 16.0, 6) AS est_jaccard,
+         |       true_jaccard,
+         |       round(round(CAST(m AS DOUBLE) / 16.0, 6) - true_jaccard, 6)
+         |         AS err
+         |FROM agree JOIN tj ON agree.doc_a = tj.doc_a
+         |                  AND agree.doc_b = tj.doc_b""".stripMargin
   )
 }

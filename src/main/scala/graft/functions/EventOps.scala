@@ -65,4 +65,43 @@ object EventOps {
         count(lit(1)).as("run_len"))
       .drop("__grp")
   }
+
+  /** Deterministic exponential moving average per key: the final EWMA of
+    * each key's value sequence in (tsCol, tieCol) order, with smoothing
+    * `alpha = 1 - 2^-kLog2` (e.g. kLog2=1 → alpha=0.5). Unrolled, the
+    * recursion `y_i = alpha·x_i + (1-alpha)·y_{i-1}` is a weighted sum
+    * whose weights are EXACT powers of two times the exactly-representable
+    * alpha — so each term is two IEEE multiplications with one rounding
+    * each, bit-identical in any engine, and the per-term
+    * `floor(term·1e6)` fixed-point longs sum order-exactly (the
+    * q100/q105 discipline; floats would re-associate differently per
+    * partitioning). Exponents clamp at 400: 2^-400 underflows the 6 dp
+    * fixed point for any realistic value, and the clamp keeps `pow` out
+    * of the subnormal range where library rounding is least trustworthy.
+    *
+    * Shape: ONE key shuffle — the row_number window and the final
+    * aggregate share the partitioning; nothing else moves. */
+  def ewma(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+      tieCol: String, kLog2: Int = 1): DataFrame = {
+    require(kLog2 >= 1 && kLog2 <= 8, s"kLog2 must be in [1,8], got $kLog2")
+    Seq("__i", "__n", "__fp").foreach { c =>
+      require(!df.columns.contains(c), s"ewma: reserved column $c present") }
+    val alpha = 1.0 - math.pow(2.0, -kLog2) // exact: 1 - 2^-k
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val all = Window.partitionBy(keys.map(col): _*)
+    val rows = df.select(keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
+        col(valCol).cast("double").as("__x"): _*)
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(all))
+    // weight(i) = alpha · 2^(-k·(n-i)) for i>1;  2^(-k·(n-1)) for i==1
+    val expo = least(lit(kLog2) * (col("__n") - col("__i")), lit(400))
+    val term = when(col("__i") === 1,
+        col("__x") * pow(lit(2.0), -expo))
+      .otherwise(col("__x") * lit(alpha) * pow(lit(2.0), -expo))
+    rows.withColumn("__fp", floor(term * lit(1e6)).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        (sum("__fp").cast("double") / 1e6).as("ewma"))
+  }
 }

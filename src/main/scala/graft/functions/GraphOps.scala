@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational graph analytics: PageRank power iteration and triangle
+  * counting, expressed as joins + aggregates so Catalyst partitions and
+  * pipelines them like any other query (no graph runtime needed for the
+  * join-shaped 80% of production graph work).
+  */
+object GraphOps {
+
+  /** One PageRank power-iteration step from the uniform vector, over a
+    * weighted edge list `(srcCol, dstCol, wCol)` (out-edge weights w ≥ 0,
+    * typically row-normalized like a Markov transition matrix):
+    *
+    *   r1(v) = (1-d)/N + d · Σ_{(u,v)∈E} w(u,v) · r0(u),   r0 = 1/N.
+    *
+    * Per-edge contributions quantize to `floor(w·r0·1e12)` longs so the
+    * in-edge sum is order-exact under any partitioning (float sums
+    * re-associate; the q100/q105 fixed-point discipline), and the final
+    * rank does two IEEE ops on the agreed integer, rounded 6 dp. The
+    * dangling-mass redistribution of full PageRank is deliberately not
+    * modeled (this is the per-iteration kernel; loop it for the fixpoint).
+    *
+    * Shape at scale: node frame = one distinct over the edge endpoints;
+    * the single-row N broadcasts; the contribution sum is ONE
+    * map-side-combining aggregate keyed by dst; sink nodes return via one
+    * left join. Nothing driver-sized. */
+  def pagerankStep(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, damping: Double = 0.85): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    // r0(u) = 1/N, folded into the quantized per-edge contribution
+    val contrib = edges.crossJoin(broadcast(n))
+      .withColumn("__fp",
+        floor(col(wCol) * (lit(1.0) / col("__n")) * lit(1e12)).cast("long"))
+      .groupBy(col(dstCol).as("node"))
+      .agg(sum("__fp").as("__in"))
+    nodes.join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("node"),
+        round(lit(1.0 - damping) / col("__n") +
+          lit(damping) * (coalesce(col("__in"), lit(0L)).cast("double") / 1e12),
+          6).as("rank"))
+  }
+
+  /** Exact triangle count of an undirected simple graph given as an edge
+    * list (either direction, duplicates/self-loops tolerated — the edge
+    * set canonicalizes to distinct `a < b` pairs first).
+    *
+    * Algorithm: degree-ordered orientation (Suri & Vassilvitskii, WWW '11
+    * — the MapReduce-era standard): direct each edge from its
+    * lower-(degree, id) endpoint to the higher, so every node's
+    * out-degree is O(√|E|) on any graph; each triangle then has exactly
+    * one wedge `a→b→c` with a closing edge `a→c`, making the count TWO
+    * equi-joins (wedge build + closure check) with no double counting
+    * and no high-degree-hub blowup — the naive undirected two-hop join
+    * explodes quadratically on hubs, the oriented one provably cannot.
+    * Output: one row `(n_nodes, n_edges, n_triangles)`, exact integers. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from lower (deg, id) to higher (deg, id)
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+    val oriented = withDeg.select(
+      when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u").as("x"), col("v").as("y"))
+      .join(oriented.select(col("u").as("y"), col("v").as("z")), "y")
+    val closed = wedges.join(oriented
+        .select(col("u").as("x"), col("v").as("z")), Seq("x", "z"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+  }
+}

@@ -205,4 +205,40 @@ object Profiling {
       .where(col("status").isNotNull)
       .select(coalesce(col("__ko"), col("__kn")).as(keyCol), col("status"))
   }
+
+  /** Robust per-group outlier detection via median/MAD — the
+    * distribution-free anomaly screen (a mean/stddev z-score is itself
+    * dragged by the outliers it hunts). Per group: exact interpolated
+    * median, MAD = median(|x - med|), robust z = (x - med) /
+    * (1.4826·MAD); rows with |z| > `zCut` surface. Median and MAD round
+    * 6 dp before any downstream arithmetic (both engines agree on the
+    * rounded value even when interpolation differs in the last ulp —
+    * the q89 discipline), z rounds 4 dp before the cut so no boundary
+    * row can flip. Zero-MAD groups (a majority-constant column) emit no
+    * outliers rather than dividing by zero.
+    *
+    * Shape: two exact-percentile aggregate passes (each buffers a
+    * group's values in one task BY CHOICE — the oracle needs exactness;
+    * approx_percentile is the sketch path at the far end) whose tiny
+    * per-group results broadcast back into the row stream; the data
+    * itself shuffles only by the group key. */
+  def robustOutliers(df: DataFrame, keys: Seq[String], valCol: String,
+      zCut: Double = 3.0): DataFrame = {
+    Seq("__med", "__mad", "z").foreach { c =>
+      require(!df.columns.contains(c),
+        s"robustOutliers: reserved column $c present") }
+    val v = col(valCol).cast("double")
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(round(expr(s"percentile($valCol, 0.5)"), 6).as("__med"))
+    val withMed = df.join(broadcast(med), keys)
+    val mad = withMed
+      .withColumn("__dev", abs(v - col("__med")))
+      .groupBy(keys.map(col): _*)
+      .agg(round(expr("percentile(__dev, 0.5)"), 6).as("__mad"))
+    withMed.join(broadcast(mad), keys)
+      .where(col("__mad") > 0)
+      .withColumn("z", round((v - col("__med")) / (lit(1.4826) * col("__mad")), 4))
+      .where(abs(col("z")) > lit(zCut))
+      .drop("__med", "__mad")
+  }
 }

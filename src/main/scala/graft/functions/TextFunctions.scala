@@ -441,4 +441,90 @@ object TextFunctions {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
       .toDF("id", "dup_tok", "dup_bigram")
   }
+
+  /** Gopher-style rule-based quality filter (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1) — the standard pre-model document filter of large-scale text
+    * pipelines. Seven rules over per-document surface statistics:
+    *
+    *   - `f_word_count`:  50 <= word count <= 100000
+    *   - `f_mean_len`:    3 <= mean word length <= 10
+    *   - `f_symbol`:      (# + ellipsis occurrences) / words <= 0.1
+    *   - `f_bullet`:      fraction of lines starting with a bullet <= 0.9
+    *   - `f_ellipsis`:    fraction of lines ending in "..." <= 0.3
+    *   - `f_alpha`:       fraction of words containing a letter >= 0.8
+    *   - `f_stop`:        >= 2 distinct common-stopword hits
+    *
+    * Every metric is a ratio of exact integer counts — a single IEEE
+    * division, bit-identical in any engine and addition order — rounded
+    * 6 dp before the threshold compare so no boundary row can flip.
+    * Zero shuffle: one codegen'd projection fused into the scan.
+    * Output: (id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    * ellipsis_ratio, alpha_ratio, n_stop, the seven flags, pass). */
+  def gopherFlags(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+    val meanLen = round(when(nWords > 0,
+      sumLen.cast("double") / nWords).otherwise(lit(0.0)), 6)
+    val nHash = size(split(t, "#", -1)) - 1
+    val nEllip = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = round(when(nWords > 0,
+      (nHash + nEllip).cast("double") / nWords).otherwise(lit(0.0)), 6)
+    val lines = filter(split(t, "\n", -1), l => trim(l) =!= lit(""))
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => trim(l).rlike("^[-*•‣▪]")))
+    val nEllipLine = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+    val bulletRatio = round(when(nLines > 0,
+      nBullet.cast("double") / nLines).otherwise(lit(0.0)), 6)
+    val ellipsisRatio = round(when(nLines > 0,
+      nEllipLine.cast("double") / nLines).otherwise(lit(0.0)), 6)
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = round(when(nWords > 0,
+      nAlpha.cast("double") / nWords).otherwise(lit(0.0)), 6)
+    val nStop = size(array_intersect(tokens(lower(t)),
+      array(LangStopwords.toMap.apply("en").map(lit): _*)))
+    df.select(col(idCol).as("id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+        nStop.cast("long").as("n_stop"))
+      .withColumn("f_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("f_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("f_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("f_bullet", col("bullet_ratio") <= 0.9)
+      .withColumn("f_ellipsis", col("ellipsis_ratio") <= 0.3)
+      .withColumn("f_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("f_stop", col("n_stop") >= 2L)
+      .withColumn("pass",
+        col("f_word_count") && col("f_mean_len") && col("f_symbol") &&
+          col("f_bullet") && col("f_ellipsis") && col("f_alpha") &&
+          col("f_stop"))
+  }
+
+  /** Tokenizer fertility per language: BPE-ish subword tokens emitted per
+    * whitespace word — the standard "how expensive is this language for
+    * my tokenizer" audit (fertility ~1 for English-like text, >2 for
+    * scripts the vocab underserves). Per-language totals are exact
+    * integer map-side-combining sums; the single fertility division is
+    * one IEEE op on the agreed integers, rounded 6 dp. One aggregate,
+    * one scan. */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame,
+      langCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(langCol).as("lang"),
+        tokenCount(col(textCol)).cast("long").as("__w"),
+        bpeTokenCount(col(textCol)).cast("long").as("__b"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("tot_words"), sum("__b").as("tot_tokens"))
+      .select(col("lang"), col("n_docs"), col("tot_words"), col("tot_tokens"),
+        round(when(col("tot_words") > 0,
+          col("tot_tokens").cast("double") / col("tot_words"))
+          .otherwise(lit(0.0)), 6).as("fertility"))
 }

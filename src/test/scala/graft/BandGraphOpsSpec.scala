@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BandJoin
+import graft.functions.{EventOps, GraphOps, Profiling, TextFunctions => TF}
+
+/** Round-7 additions: bucketed band join, graph kernels (PageRank step,
+  * degree-ordered triangle count), deterministic EWMA, robust
+  * median/MAD outliers, Gopher rules, tokenizer fertility. */
+class BandGraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- band join
+
+  test("bandJoin matches the brute-force theta join exactly") {
+    val l = (1L to 60L).map(i => (i, (i * 7 % 23).toDouble / 3.0))
+      .toDF("id_a", "va")
+    val r = (1L to 60L).map(i => (i + 100, (i * 5 % 19).toDouble / 3.0))
+      .toDF("id_b", "vb")
+    val got = BandJoin.bandJoin(l, r, "va", 0.5, Nil, Some("vb"))
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.crossJoin(r).where(abs(col("va") - col("vb")) <= 0.5)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bandJoin emits each qualifying pair exactly once (no replica dups)") {
+    // values straddling bucket boundaries: 0.99 / 1.0 / 1.01 with delta 1.0
+    val l = Seq((1L, 0.99), (2L, 1.0), (3L, 1.01)).toDF("id_a", "va")
+    val r = Seq((10L, 0.0), (11L, 1.999), (12L, 2.0)).toDF("id_b", "vb")
+    val rows = BandJoin.bandJoin(l, r, "va", 1.0, Nil, Some("vb"))
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.length == rows.distinct.length)
+    // pair (2, 12): |1.0-2.0| = 1.0 <= delta, buckets 1 vs 2 -> caught by ±1
+    assert(rows.contains((2L, 12L)))
+  }
+
+  test("bandJoin respects equi keys and rejects bad delta / reserved names") {
+    val l = Seq(("x", 1L, 5.0), ("y", 2L, 5.0)).toDF("k", "id_a", "va")
+    val r = Seq(("x", 3L, 5.2)).toDF("k", "id_b", "vb")
+    val got = BandJoin.bandJoin(l, r, "va", 0.5, Seq("k"), Some("vb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L))) // y-side pair excluded by the key
+    intercept[IllegalArgumentException] {
+      BandJoin.bandJoin(l, r, "va", 0.0, Nil, Some("vb")) }
+    intercept[IllegalArgumentException] {
+      BandJoin.bandJoin(l.withColumn("__band", lit(1)), r, "va", 1.0,
+        Nil, Some("vb")) }
+  }
+
+  test("bandJoin plan is an equi-join, not a nested loop") {
+    val l = Seq((1L, 5.0)).toDF("id_a", "va")
+    val r = Seq((2L, 5.2)).toDF("id_b", "vb")
+    val plan = BandJoin.bandJoin(l, r, "va", 0.5, Nil, Some("vb"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
+  // ------------------------------------------------------------- PageRank
+
+  test("pagerankStep: hand-computed two-node ranks, sink handled via left join") {
+    // a -> b (w=1). N=2, r0=1/2, d=0.85
+    val e = Seq(("a", "b", 1.0)).toDF("s", "d", "w")
+    val got = GraphOps.pagerankStep(e, "s", "d", "w").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d = 0.85
+    val expB = BigDecimal((1.0 - d) / 2 + d * (math.floor(1.0 * 0.5 * 1e12) / 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expA = BigDecimal((1.0 - d) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == expA && got("b") == expB)
+  }
+
+  test("pagerankStep: uniform ring is a fixed point of the uniform vector") {
+    // 4-node ring, each node one out-edge w=1: rank stays 1/4 (up to rounding)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "d").withColumn("w", lit(1.0))
+    val got = GraphOps.pagerankStep(e, "s", "d", "w").collect()
+      .map(r => r.getDouble(1)).toSet
+    assert(got == Set(0.25))
+  }
+
+  // ------------------------------------------------------------ triangles
+
+  test("triangleCount: hand graphs (triangle+tail, square, K4) and dup/direction tolerance") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = GraphOps.triangleCount(edges.toDF("a", "b"), "a", "b").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // triangle 1-2-3 with tail 3-4; reversed + duplicate edges collapse
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L)))
+      == ((4L, 4L, 1L)))
+    // square: no triangle
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((4L, 4L, 0L)))
+    // K4: 4 triangles
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      == ((4L, 6L, 4L)))
+  }
+
+  test("triangleCount agrees with brute force on a pseudo-random graph") {
+    val edges = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L
+      if (a * 31 + b * 17) % 5 == 0
+    } yield (a, b)).toSeq
+    val es = edges.toSet
+    val brute = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L; c <- (b + 1) to 30L
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield 1).size.toLong
+    val got = GraphOps.triangleCount(edges.toDF("a", "b"), "a", "b")
+      .collect()(0).getLong(2)
+    assert(got == brute && brute > 0)
+  }
+
+  // ----------------------------------------------------------------- EWMA
+
+  test("ewma: matches the driver-side recursion through the fixed-point lens") {
+    val rows = Seq((1L, 10L, 1L, 3.0), (1L, 20L, 2L, 5.0), (1L, 30L, 3L, 2.0),
+      (2L, 10L, 4L, 7.0))
+    val got = EventOps.ewma(rows.toDF("k", "t", "id", "x"),
+        Seq("k"), "t", "x", "id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // replicate: weights 2^-(n-i) (i==1) / 0.5*2^-(n-i) (i>1), floor(term*1e6)
+    def fp(xs: Seq[Double]): Double = {
+      val n = xs.size
+      val s = xs.zipWithIndex.map { case (x, i0) =>
+        val i = i0 + 1
+        val w = math.pow(2.0, -(n - i).toDouble)
+        val t = if (i == 1) x * w else x * 0.5 * w
+        math.floor(t * 1e6).toLong
+      }.sum
+      s.toDouble / 1e6
+    }
+    assert(got(1L) == ((3L, fp(Seq(3.0, 5.0, 2.0)))))
+    assert(got(2L) == ((1L, fp(Seq(7.0)))))
+    // sanity: the k=1 recursion itself (y = a·x + (1-a)·y) to ~1e-6
+    val y = Seq(5.0, 2.0).foldLeft(3.0)((acc, x) => 0.5 * x + 0.5 * acc)
+    assert(math.abs(got(1L)._2 - y) < 2e-6)
+  }
+
+  test("ewma is invariant to input partitioning and rejects reserved names") {
+    val df = (1L to 200L).map(i => (i % 7, i, i, (i * 13 % 101).toDouble / 7.0))
+      .toDF("k", "t", "id", "x")
+    val a = EventOps.ewma(df, Seq("k"), "t", "x", "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = EventOps.ewma(df.repartition(7), Seq("k"), "t", "x", "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      EventOps.ewma(df.withColumn("__i", lit(1)), Seq("k"), "t", "x", "id") }
+    intercept[IllegalArgumentException] {
+      EventOps.ewma(df, Seq("k"), "t", "x", "id", kLog2 = 0) }
+  }
+
+  // --------------------------------------------------------- robust z/MAD
+
+  test("robustOutliers: planted outlier surfaces, zero-MAD group emits nothing") {
+    val base = (1L to 99L).map(i => (i, "a", 10.0 + (i % 3).toDouble)) // 10,11,12
+    val out = Seq((100L, "a", 1000.0)) // way out
+    val const = (1L to 50L).map(i => (200L + i, "c", 5.0)) // MAD = 0
+    val df = (base ++ out ++ const).toDF("id", "g", "value")
+    val got = Profiling.robustOutliers(df, Seq("g"), "value")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L))
+  }
+
+  test("robustOutliers: z replicates the rounded med/MAD formula") {
+    val df = ((1L to 20L).map(i => (i, (i % 5).toDouble)) :+ ((21L, 50.0)))
+      .toDF("id", "value").withColumn("g", lit("x"))
+    val r = Profiling.robustOutliers(df, Seq("g"), "value")
+      .where(col("id") === 21).collect()(0)
+    val vals = (1L to 20L).map(i => (i % 5).toDouble) :+ 50.0
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val idx = p * (s.size - 1)
+      val lo = s(idx.toInt); val hi = s(math.ceil(idx).toInt)
+      lo + (idx - idx.toInt) * (hi - lo)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val med = r6(pct(vals, 0.5))
+    val mad = r6(pct(vals.map(v => math.abs(v - med)), 0.5))
+    val z = BigDecimal((50.0 - med) / (1.4826 * mad))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("z")) == z)
+  }
+
+  // -------------------------------------------------- gopher + fertility
+
+  test("gopherFlags: hand-computed metrics and rule outcomes") {
+    val good = ("the a of and to in is that " + "alpha beta gamma delta " * 11)
+      .trim // 52 words, all alphabetic, 8 stopword hits
+    val bully = "- one\n- two\n- three\nplain line" // 3 of 4 lines bulleted
+    val df = Seq((1L, good), (2L, bully), (3L, "")).toDF("doc_id", "text")
+    val rows = TF.gopherFlags(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = rows(1L)
+    assert(g.getLong(g.fieldIndex("n_words")) == 52L)
+    assert(g.getBoolean(g.fieldIndex("f_word_count")))
+    assert(g.getBoolean(g.fieldIndex("f_alpha")))
+    assert(g.getBoolean(g.fieldIndex("f_stop")))
+    assert(g.getBoolean(g.fieldIndex("pass")))
+    val b = rows(2L)
+    assert(b.getDouble(b.fieldIndex("bullet_ratio")) == 0.75)
+    assert(!b.getBoolean(b.fieldIndex("f_word_count"))) // 7 words < 50
+    assert(!b.getBoolean(b.fieldIndex("pass")))
+    val e = rows(3L)
+    assert(e.getLong(e.fieldIndex("n_words")) == 0L)
+    assert(!e.getBoolean(e.fieldIndex("pass")))
+  }
+
+  test("tokenizerFertility: exact totals and the rounded ratio") {
+    val df = Seq(("en", "hello world"), ("en", "it's here"), ("zh", "你好吗"))
+      .toDF("lang", "text")
+    val got = TF.tokenizerFertility(df, "lang", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // en: words 2+2=4; bpe: hello,world=2; it,',s,here=4 -> 6; 6/4=1.5
+    assert(got("en") == ((2L, 4L, 6L, 1.5)))
+    // zh: 1 word, 3 CJK chars = 3 bpe tokens
+    assert(got("zh") == ((1L, 1L, 3L, 3.0)))
+  }
+}
