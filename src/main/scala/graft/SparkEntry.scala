@@ -1661,7 +1661,51 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           col("true_jaccard"),
           round(col("est_jaccard") - col("true_jaccard"), 6).as("err"))
-    })
+    }),
+
+    // Product quantization: 4 subspaces x 8 hash-selected codebook
+    // entries — codes + summed sub-distance error, one codegen'd
+    // projection (zero shuffle; anchors are driver-side literals).
+    "q128_pq" -> ((sp, dir) => {
+      val emb = table(sp, dir, "embeddings")
+      val anchors = Similarity.hashAnchors(emb, 8, "pq")
+      Similarity.productQuantize(emb, anchors, 4)
+    }),
+
+    // Corpus composition by source: doc/token totals, fixed-point mean
+    // quality, token share of the blend — the mix dashboard row.
+    "q129_source_mix" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents").select(col("source"),
+        TF.tokenCount(col("text")).cast("long").as("__tok"),
+        floor(TF.qualityScore(col("text")) * 1e6).cast("long").as("__q6"))
+      val per = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum("__tok").as("tot_tokens"), sum("__q6").as("__qsum"))
+      val tot = per.agg(sum("tot_tokens").as("__T"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tot_tokens"),
+          round(col("__qsum").cast("double") / 1e6 / col("n_docs"), 6)
+            .as("mean_quality"),
+          round(col("tot_tokens") / col("__T"), 6).as("token_share"))
+    }),
+
+    // Exact two-sample KS statistic between click and view value
+    // distributions — integer cross-multiplied CDFs, bucket-offset
+    // running sums (never a one-task global window over the data).
+    "q130_ks_test" -> ((sp, dir) =>
+      graft.functions.Profiling.ksTest(table(sp, dir, "events"),
+        "event_type", "value", "click", "view")),
+
+    // Pairwise association rules (support/confidence/lift) over the
+    // distinct (user, event_type) baskets.
+    "q131_assoc_rules" -> ((sp, dir) =>
+      graft.functions.EventOps.associationPairs(table(sp, dir, "events"),
+        "user_id", "event_type")),
+
+    // Per-source unigram KL divergence from the corpus blend — rounded
+    // per-term contributions summed as DECIMAL (order-exact, no sorted
+    // fold, no per-group array).
+    "q132_kl_divergence" -> ((sp, dir) =>
+      TF.unigramKl(table(sp, dir, "documents"), "source", "text"))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -3710,6 +3754,122 @@ object SparkEntry {
          |       round(round(CAST(m AS DOUBLE) / 16.0, 6) - true_jaccard, 6)
          |         AS err
          |FROM agree JOIN tj ON agree.doc_a = tj.doc_a
-         |                  AND agree.doc_b = tj.doc_b""".stripMargin
+         |                  AND agree.doc_b = tj.doc_b""".stripMargin,
+
+    // hashAnchors selection replayed (md5 hash order, row_number-1 = code
+    // index), sub-distances as ordered folds, argmin by (dist, j).
+    "q128_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |anch AS (SELECT e AS a,
+        |                row_number() OVER (
+        |                  ORDER BY ('0x' || substr(md5('pq:' ||
+        |                              CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |                           % 1000000007, vec_id) - 1 AS j
+        |         FROM v QUALIFY j < 8),
+        |p AS (SELECT v.vec_id, anch.j, s.s,
+        |             round(list_reduce(list_prepend(0.0,
+        |               list_transform(range(16), d ->
+        |                 (v.e[CAST(s.s*16 + d + 1 AS INT)]
+        |                  - anch.a[CAST(s.s*16 + d + 1 AS INT)])
+        |                 * (v.e[CAST(s.s*16 + d + 1 AS INT)]
+        |                    - anch.a[CAST(s.s*16 + d + 1 AS INT)]))),
+        |               (x, y) -> x + y), 4) AS dist
+        |      FROM v, anch, range(4) s(s)),
+        |b AS (SELECT vec_id, s, j, dist,
+        |             row_number() OVER (PARTITION BY vec_id, s
+        |                                ORDER BY dist, j) AS rn
+        |      FROM p)
+        |SELECT vec_id,
+        |       list(CAST(j AS INTEGER) ORDER BY s) AS codes,
+        |       round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+        |                         (x, y) -> x + y), 6) AS err
+        |FROM b WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // q10's quality formula + fixed-point means + share of total tokens.
+    "q129_source_mix" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |         len($toksSql) AS n_tok,
+         |         len(text) AS n_chars,
+         |         len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |t2 AS (SELECT *,
+         |         CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok
+         |              ELSE 0.0 END AS avgtok
+         |       FROM t),
+         |d AS (SELECT source, CAST(n_tok AS BIGINT) AS tok,
+         |        CAST(floor(round(least(n_tok/100.0, 1.0)*0.4
+         |            + (1.0 - least(n_punct/greatest(n_chars, 1)*5.0, 1.0))*0.3
+         |            + (CASE WHEN avgtok >= 3.0 AND avgtok <= 10.0
+         |                    THEN 1.0 ELSE 0.0 END)*0.3, 6) * 1000000.0)
+         |          AS BIGINT) AS q6
+         |      FROM t2),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |               CAST(sum(tok) AS BIGINT) AS tot_tokens,
+         |               CAST(sum(q6) AS BIGINT) AS qsum
+         |        FROM d GROUP BY source),
+         |tot AS (SELECT CAST(sum(tot_tokens) AS BIGINT) AS T FROM per)
+         |SELECT source, n_docs, tot_tokens,
+         |       round(CAST(qsum AS DOUBLE) / 1000000.0 / n_docs, 6)
+         |         AS mean_quality,
+         |       round(tot_tokens / tot.T, 6) AS token_share
+         |FROM per, tot""".stripMargin,
+
+    // Integer cross-multiplied running CDFs, one division at the end.
+    "q130_ks_test" ->
+      """WITH p AS (SELECT value AS v,
+        |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |             CAST(sum(b) AS BIGINT) AS cb
+        |      FROM p GROUP BY v),
+        |c AS (SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS ra,
+        |             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS rb
+        |      FROM g),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |             CAST(sum(b) AS BIGINT) AS n_b FROM p)
+        |SELECT n_a, n_b,
+        |       CAST(max(abs(ra * n_b - rb * n_a)) AS BIGINT) AS d_num,
+        |       round(CAST(max(abs(ra * n_b - rb * n_a)) AS BIGINT)
+        |             / (n_a * n_b), 6) AS ks
+        |FROM c, n GROUP BY n_a, n_b""".stripMargin,
+
+    "q131_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nb AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT event_type, count(*) AS ni FROM bi GROUP BY 1),
+        |pr AS (SELECT l.event_type AS x, r.event_type AS y,
+        |              count(*) AS n_xy
+        |       FROM bi l JOIN bi r
+        |         ON l.user_id = r.user_id AND l.event_type < r.event_type
+        |       GROUP BY 1, 2)
+        |SELECT x, y, ix.ni AS n_x, iy.ni AS n_y, n_xy,
+        |       round(n_xy / nb.nb, 6) AS support,
+        |       round(n_xy / ix.ni, 6) AS confidence,
+        |       round((n_xy * nb.nb) / (ix.ni * iy.ni), 6) AS lift
+        |FROM pr JOIN ic ix ON pr.x = ix.event_type
+        |JOIN ic iy ON pr.y = iy.event_type, nb""".stripMargin,
+
+    // Rounded per-term contributions summed as DECIMAL(18,6) —
+    // order-exact; the decimal cast of a 6dp-rounded double is exact.
+    "q132_kl_divergence" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |st AS (SELECT source, term, count(*) AS cst FROM t GROUP BY 1, 2),
+         |ctt AS (SELECT term, CAST(sum(cst) AS BIGINT) AS ct FROM st
+         |        GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns FROM st
+         |       GROUP BY 1),
+         |n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ctt),
+         |terms AS (SELECT st.source,
+         |            CAST(round((CAST(cst AS DOUBLE) / ns.ns)
+         |                 * ln((CAST(cst AS DOUBLE) / ns.ns)
+         |                      / (CAST(ct AS DOUBLE) / n.n)), 6)
+         |              AS DECIMAL(18,6)) AS term6
+         |          FROM st JOIN ctt USING (term) JOIN ns USING (source), n)
+         |SELECT source, count(*) AS n_terms,
+         |       CAST(sum(term6) AS DOUBLE) AS kl
+         |FROM terms GROUP BY source""".stripMargin
   )
 }

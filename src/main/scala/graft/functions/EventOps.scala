@@ -104,4 +104,39 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         (sum("__fp").cast("double") / 1e6).as("ewma"))
   }
+
+  /** Pairwise association rules over (basket, item) events — the
+    * market-basket support/confidence/lift audit (Agrawal & Srikant,
+    * VLDB '94 reduced to its pairwise core). A basket "contains" an item
+    * if at least one such event exists; for every unordered item pair
+    * x < y:  support = n_xy/N,  confidence = n_xy/n_x,
+    * lift = n_xy·N / (n_x·n_y). All counts are exact longs; each ratio
+    * is one IEEE division (or long-product division) rounded 6 dp.
+    *
+    * Scale shape: events collapse to DISTINCT (basket, item) FIRST —
+    * the pair self-join runs on basket-sized item sets (bounded by the
+    * item vocabulary), never on raw events; item counts and the
+    * single-row N broadcast back into the pair aggregate. */
+  def associationPairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val bi = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val nBaskets = bi.agg(countDistinct(col("__bk")).as("__nb"))
+    val itemCounts = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+    val pairs = bi.as("l")
+      .join(bi.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("x"), col("r.__it").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(broadcast(itemCounts.select(col("__it").as("x"),
+        col("__ni").as("n_x"))), "x")
+      .join(broadcast(itemCounts.select(col("__it").as("y"),
+        col("__ni").as("n_y"))), "y")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("x"), col("y"), col("n_x"), col("n_y"), col("n_xy"),
+        round(col("n_xy") / col("__nb"), 6).as("support"),
+        round(col("n_xy") / col("n_x"), 6).as("confidence"),
+        round((col("n_xy") * col("__nb")) / (col("n_x") * col("n_y")), 6)
+          .as("lift"))
+  }
 }

@@ -222,6 +222,54 @@ object Profiling {
     * approx_percentile is the sketch path at the far end) whose tiny
     * per-group results broadcast back into the row stream; the data
     * itself shuffles only by the group key. */
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `valCol`
+    * distributions of groups `groupA` and `groupB` (of `groupCol`):
+    * D = max_v |F_A(v) − F_B(v)|, the standard distribution-drift test
+    * between two slices. PURE INTEGER until the final division: per
+    * distinct value the running counts (c_A, c_B) cross-multiply against
+    * the opposite sample size, so `d_num = max |c_A·n_B − c_B·n_A|` is
+    * exact in any engine, and `ks = d_num / (n_A·n_B)` is one rounded
+    * IEEE division.
+    *
+    * Scale shape: the value stream collapses to DISTINCT values first
+    * (one map-side-combining aggregate); the running sums then use the
+    * bucket-offset pattern (fixed ⌊v⌋ buckets: per-bucket totals are a
+    * tiny frame whose offsets broadcast back, within-bucket windows
+    * partition by bucket) — never a one-task global window over the
+    * data. Output: one row (n_a, n_b, d_num, ks). */
+  def ksTest(df: DataFrame, groupCol: String, valCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val pts = df.where(col(groupCol).isin(groupA, groupB))
+      .select(col(valCol).cast("double").as("__v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__a"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("__b"))
+    val byVal = pts.groupBy("__v")
+      .agg(sum("__a").as("__ca"), sum("__b").as("__cb"))
+      .withColumn("__bk", floor(col("__v")).cast("long"))
+    // bucket offsets: the per-bucket totals frame is bucket-domain-sized
+    // (tiny); its exclusive running sum may run in one task by design
+    val bucketTotals = byVal.groupBy("__bk")
+      .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+    val wOff = Window.orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketTotals.select(col("__bk"),
+      coalesce(sum("__ta").over(wOff), lit(0L)).as("__oa"),
+      coalesce(sum("__tb").over(wOff), lit(0L)).as("__ob"))
+    val wIn = Window.partitionBy("__bk").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = byVal.join(broadcast(offs), "__bk")
+      .select(
+        (col("__oa") + sum("__ca").over(wIn)).as("__ra"),
+        (col("__ob") + sum("__cb").over(wIn)).as("__rb"))
+    val n = pts.agg(sum("__a").as("n_a"), sum("__b").as("n_b"))
+    runs.crossJoin(broadcast(n))
+      .groupBy("n_a", "n_b")
+      .agg(max(abs(col("__ra") * col("n_b") - col("__rb") * col("n_a")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num") / (col("n_a") * col("n_b")), 6).as("ks"))
+  }
+
   def robustOutliers(df: DataFrame, keys: Seq[String], valCol: String,
       zCut: Double = 3.0): DataFrame = {
     Seq("__med", "__mad", "z").foreach { c =>

@@ -490,4 +490,47 @@ object Similarity {
           transform(idxs, i => (xAt(i) - reconAt(i)) * (xAt(i) - reconAt(i))),
           lit(0.0), (acc, v) => acc + v), 6).as("err"))
   }
+
+  /** Product quantization (Jégou et al., PAMI 2011 — FAISS's PQ): the
+    * vector splits into `m` contiguous subspaces; each sub-vector codes to
+    * the index of its nearest codebook entry (min L2², ties to the lowest
+    * index), compressing dim×4 bytes to m bytes. `anchors` supplies the
+    * codebooks (each anchor's slice s is codebook entry j of subspace s —
+    * seed with [[hashAnchors]] for determinism or trained centroids in
+    * production). Returns (idCol, codes, err) with `err` the summed
+    * per-subspace quantization error.
+    *
+    * Scale + determinism shape: codebooks are driver-side literals, so the
+    * whole assignment is ONE codegen'd projection fused into the scan —
+    * zero shuffle, no join, no UDF (same contract as [[assignToAnchors]]).
+    * Each sub-distance folds its dims in ascending order from a 0.0 seed
+    * (bit-identical in any engine), rounds 4 dp; the error sums the
+    * rounded sub-distances in subspace order, rounds 6 dp. The argmin runs
+    * over an array of (dist, j) structs via array_min's lexicographic
+    * order. */
+  def productQuantize(df: DataFrame, anchors: Seq[(Long, Array[Double])],
+      m: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(anchors.nonEmpty, "productQuantize requires at least one anchor")
+    val dim = anchors.head._2.length
+    require(anchors.forall(_._2.length == dim), "ragged anchor vectors")
+    require(m >= 1 && dim % m == 0,
+      s"m=$m must divide the dimension $dim evenly")
+    val subDim = dim / m
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+    def xAt(i: Int) = element_at(col("__e"), i + 1)
+    def subDist(s: Int, a: Array[Double]): Column =
+      (0 until subDim).foldLeft(lit(0.0)) { (acc, d) =>
+        val i = s * subDim + d
+        acc + (xAt(i) - lit(a(i))) * (xAt(i) - lit(a(i)))
+      }
+    def best(s: Int): Column = array_min(array(
+      anchors.zipWithIndex.map { case ((_, a), j) =>
+        struct(round(subDist(s, a), 4).as("d"), lit(j).as("j"))
+      }: _*))
+    val err = (0 until m).foldLeft(lit(0.0))((acc, s) =>
+      acc + best(s).getField("d"))
+    v.select(col(idCol),
+      array((0 until m).map(s => best(s).getField("j")): _*).as("codes"),
+      round(err, 6).as("err"))
+  }
 }

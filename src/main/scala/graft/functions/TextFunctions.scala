@@ -508,6 +508,41 @@ object TextFunctions {
           col("f_stop"))
   }
 
+  /** Per-group unigram KL divergence from the corpus:
+    * KL(group ‖ corpus) = Σ_t p_t·ln(p_t/q_t) with p the group's unigram
+    * distribution and q the corpus's — the standard corpus-drift /
+    * source-divergence audit of a pretraining mix ("which source looks
+    * least like the blend?"). Counts are exact longs (corpus counts
+    * DERIVE from the per-group aggregate — one scan total); each term
+    * does its divisions and one `ln` in double, rounds 6 dp, and the
+    * rounded terms sum as DECIMAL(18,6) — ORDER-EXACT in any engine and
+    * partitioning (the decimal cast of an already-6dp-rounded double is
+    * exact, so no sorted fold and no per-group array is needed — this is
+    * the scalable form of the q59/q94 fold discipline). The 6 dp
+    * rounding also absorbs the cross-engine 1-ulp `ln` divergence.
+    * Output: (group, n_terms, kl), kl as the exact decimal cast to
+    * double. */
+  def unigramKl(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("__t"))
+    val st = toks.groupBy("__g", "__t").agg(count(lit(1)).as("__cst"))
+    val ct = st.groupBy("__t").agg(sum("__cst").as("__ct"))
+    val ns = st.groupBy("__g").agg(sum("__cst").as("__ns"))
+    val n = ct.agg(sum("__ct").as("__n"))
+    val p = col("__cst").cast("double") / col("__ns")
+    val q = col("__ct").cast("double") / col("__n")
+    val term = round(p * log(p / q), 6)
+    st.join(ct, "__t")
+      .join(broadcast(ns), "__g")
+      .crossJoin(broadcast(n))
+      .withColumn("__term", term.cast(DecimalType(18, 6)))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum("__term").cast("double").as("kl"))
+  }
+
   /** Tokenizer fertility per language: BPE-ish subword tokens emitted per
     * whitespace word — the standard "how expensive is this language for
     * my tokenizer" audit (fertility ~1 for English-like text, >2 for

@@ -783,4 +783,49 @@ class StreamingSpec extends SparkSuite {
       assert(rows == batchPairs)
     } finally q.stop()
   }
+
+  test("streaming CMS/HLL sketches: cross-batch state equals the batch sketch of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[String]
+    val cms = graft.streaming.StreamingSketches.cmsStream(
+      in.toDF().toDF("v"), "v", depth = 3, width = 16, salt = "s")
+    val q = cms.writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("c", "a", "b")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM scms").collect()
+        .map(r => (s"${r.get(0)}", s"${r.get(1)}") -> s"${r.get(2)}").toMap
+      val batch = graft.functions.Sketches.cmsSketch(
+        Seq("a", "b", "a", "c", "a", "b").toDF("v"), "v", 3, 16, "s")
+        .collect().map(r => (s"${r.get(0)}", s"${r.get(1)}") -> s"${r.get(2)}").toMap
+      assert(got == batch)
+      // one-sided estimate on the stream snapshot
+      val est = graft.functions.Sketches.cmsLookup(
+        spark.sql("SELECT * FROM scms"), Seq("a").toDF("v"), "v", 3, 16, "s")
+        .collect()(0).getLong(1)
+      assert(est >= 3L)
+    } finally q.stop()
+
+    val in2 = MemoryStream[String]
+    val hll = graft.streaming.StreamingSketches.hllStream(
+      in2.toDF().toDF("v"), "v", p = 6, salt = "h")
+    val q2 = hll.writeStream.format("memory").queryName("shll")
+      .outputMode("complete").start()
+    try {
+      in2.addData((1 to 40).map(i => s"x$i"): _*)
+      q2.processAllAvailable()
+      in2.addData((20 to 60).map(i => s"x$i"): _*)
+      q2.processAllAvailable()
+      val got = spark.sql("SELECT * FROM shll").collect()
+        .map(r => s"${r.get(0)}" -> s"${r.get(1)}").toMap
+      val batch = graft.functions.Sketches.hllSketch(
+        (1 to 60).map(i => s"x$i").toDF("v"), "v", 6, "h")
+        .collect().map(r => s"${r.get(0)}" -> s"${r.get(1)}").toMap
+      assert(got == batch)
+    } finally q2.stop()
+  }
 }
