@@ -1253,10 +1253,12 @@ object SparkEntry {
     }),
 
     // Character-level Shannon entropy per doc — gibberish/base64 detector.
-    // Distinct (doc, char) counts only cross the wire; terms rounded 6 dp
-    // and folded in sorted char order (q94's engine-stability rule).
+    // One-pass imperative fast path, bit-identical to the Column path
+    // (parity-pinned): terms rounded 6 dp, folded in code-point order
+    // (q94's engine-stability rule). The Column path's per-character
+    // explode shuffle measured 7x slower at sf0.1.
     "q102_char_entropy" -> ((sp, dir) =>
-      TF.charEntropy(table(sp, dir, "documents"), "doc_id", "text")),
+      TF.charEntropyFast(table(sp, dir, "documents"), "doc_id", "text")),
 
     // Ordered first-touch funnel view -> click -> purchase per user:
     // stage aggregates and key-sized joins only, the event stream is never
@@ -1705,7 +1707,54 @@ object SparkEntry {
     // per-term contributions summed as DECIMAL (order-exact, no sorted
     // fold, no per-group array).
     "q132_kl_divergence" -> ((sp, dir) =>
-      TF.unigramKl(table(sp, dir, "documents"), "source", "text"))
+      TF.unigramKl(table(sp, dir, "documents"), "source", "text")),
+
+    // Cross-source contamination matrix: shared distinct 5-gram counts
+    // (+ fraction of the lower source's vocabulary) between every source
+    // pair — the decontamination rollup. Gram sets collapse to DISTINCT
+    // (source, gram) before the gram-keyed equi-join.
+    "q133_overlap_matrix" -> ((sp, dir) => {
+      def grams(s: String, g: String) = table(sp, dir, "documents")
+        .select(col("source").as(s),
+          explode(TF.tokenNgrams(col("text"), 5)).as(g))
+        .distinct()
+      val a = grams("source_a", "g")
+      val b = grams("source_b", "g2")
+      val perSrc = a.groupBy("source_a").agg(count(lit(1)).as("n_a"))
+      a.join(b, col("g") === col("g2") && col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+        .join(broadcast(perSrc), "source_a")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("shared"),
+          round(col("shared") / col("n_a"), 6).as("overlap_frac"))
+    }),
+
+    // Kaplan-Meier signup->purchase survival with right-censoring at the
+    // corpus horizon: log-space product, rounded factors, explicit zero
+    // from any d==n time on.
+    "q134_survival" -> ((sp, dir) => {
+      val e = table(sp, dir, "events").select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"))
+      val s0 = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("t").as("__ts0"))
+      val p0 = e.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("t").as("__tp"))
+      val mx = e.agg(max("t").as("__tmax"))
+      val observed = col("__tp").isNotNull && col("__tp") >= col("__ts0")
+      val durs = s0.join(p0, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(observed, col("__tp") - col("__ts0"))
+            .otherwise(col("__tmax") - col("__ts0")).as("__durns"),
+          when(observed, 1L).otherwise(0L).as("event"))
+        .select(expr("__durns div 86400000000000").as("dur_days"), col("event"))
+      graft.functions.EventOps.survivalCurve(durs, "dur_days", "event")
+    }),
+
+    // Winsorized per-type mean: clip at exact rounded [p05, p95], then
+    // the fixed-point mean — the robust location stat next to q123.
+    "q135_winsorized" -> ((sp, dir) =>
+      graft.functions.Profiling.winsorizedMean(
+        table(sp, dir, "events").select(col("event_type"), col("value")),
+        Seq("event_type"), "value"))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -3870,6 +3919,75 @@ object SparkEntry {
          |          FROM st JOIN ctt USING (term) JOIN ns USING (source), n)
          |SELECT source, count(*) AS n_terms,
          |       CAST(sum(term6) AS DOUBLE) AS kl
-         |FROM terms GROUP BY source""".stripMargin
+         |FROM terms GROUP BY source""".stripMargin,
+
+    // q54's 5-gram idiom, distinct per source, gram-keyed pair join.
+    "q133_overlap_matrix" ->
+      """WITH tok AS (SELECT source,
+        |                    list_filter(regexp_split_to_array(text, '\s+'),
+        |                                x -> x <> '') AS t
+        |             FROM documents),
+        |ng0 AS (SELECT source, unnest(list_distinct(
+        |          list_transform(range(1, greatest(len(t)-4, 0)+1),
+        |                         i -> array_to_string(t[i:i+4], ' ')))) AS g
+        |        FROM tok),
+        |ng AS (SELECT DISTINCT source, g FROM ng0),
+        |per AS (SELECT source, count(*) AS n_a FROM ng GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              count(*) AS shared
+        |       FROM ng a JOIN ng b ON a.g = b.g AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT source_a, source_b, per.n_a, shared,
+        |       round(shared / per.n_a, 6) AS overlap_frac
+        |FROM sh JOIN per ON sh.source_a = per.source""".stripMargin,
+
+    // KM replay: reverse-cumulative at-risk, rounded log factors summed
+    // in ascending-t window order, explicit zero after any d=n time.
+    "q134_survival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s0 AS (SELECT user_id, min(t) AS ts0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |p0 AS (SELECT user_id, min(t) AS tp FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(t) AS tmax FROM e),
+        |du AS (SELECT (CASE WHEN tp IS NOT NULL AND tp >= ts0
+        |                    THEN tp - ts0 ELSE tmax - ts0 END)
+        |               // 86400000000000 AS t,
+        |              CASE WHEN tp IS NOT NULL AND tp >= ts0
+        |                   THEN 1 ELSE 0 END AS ev
+        |       FROM s0 LEFT JOIN p0 USING (user_id), mx),
+        |byt AS (SELECT t, count(*) AS m, CAST(sum(ev) AS BIGINT) AS d
+        |        FROM du GROUP BY 1),
+        |rk AS (SELECT t, d,
+        |              CAST(sum(m) OVER (ORDER BY t DESC) AS BIGINT) AS n
+        |       FROM byt),
+        |evt AS (SELECT t, n, d,
+        |          CASE WHEN d < n
+        |               THEN round(ln(CAST(1.0 AS DOUBLE)
+        |                             - CAST(d AS DOUBLE) / n), 6)
+        |               ELSE 0.0 END AS lf,
+        |          CASE WHEN d = n THEN 1 ELSE 0 END AS zf
+        |        FROM rk WHERE d > 0)
+        |SELECT t, n AS n_risk, d,
+        |       CASE WHEN CAST(sum(zf) OVER (ORDER BY t) AS BIGINT) > 0
+        |            THEN 0.0
+        |            ELSE round(exp(sum(lf) OVER (ORDER BY t)), 6) END AS surv
+        |FROM evt""".stripMargin,
+
+    // Exact rounded clip bounds, fixed-point winsorized mean.
+    "q135_winsorized" ->
+      """WITH pct AS (SELECT event_type,
+        |                    round(quantile_cont(value, 0.05), 6) AS plo,
+        |                    round(quantile_cont(value, 0.95), 6) AS phi
+        |             FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type,
+        |             CAST(floor(least(greatest(e.value, plo), phi)
+        |                        * 1000000.0) AS BIGINT) AS fp,
+        |             plo, phi
+        |      FROM events e JOIN pct USING (event_type))
+        |SELECT event_type, count(*) AS n, min(plo) AS p_lo, min(phi) AS p_hi,
+        |       round((CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / 1000000.0)
+        |             / count(*), 6) AS wmean
+        |FROM c GROUP BY event_type""".stripMargin
   )
 }

@@ -105,6 +105,48 @@ object EventOps {
         (sum("__fp").cast("double") / 1e6).as("ewma"))
   }
 
+  /** Kaplan–Meier survival curve over (duration, observed) rows — the
+    * time-to-event summary (signup→purchase latency, churn, hardware
+    * failure) with right-censoring done correctly: censored subjects
+    * leave the at-risk set without counting as events. At each distinct
+    * OBSERVED-event duration t:  n_t = #{duration ≥ t} (at risk),
+    * d_t = events at t,  S(t) = Π_{t' ≤ t} (1 − d/n).
+    *
+    * Determinism: the product runs in log space — each factor's `ln`
+    * rounds 6 dp (absorbing the cross-engine 1-ulp `ln`/`exp`
+    * divergence, the q94 discipline), the cumulative sum runs over the
+    * fixed ascending-t window order, and the final `exp` rounds 6 dp. A
+    * time where d = n (everyone remaining fails) zeroes the curve from
+    * there on explicitly — no ln(0) reaches either engine.
+    *
+    * Scale shape: rows collapse to per-duration (m, d) counts FIRST (one
+    * map-side-combining aggregate); the at-risk reverse-cumulative and
+    * the survival window then run over the distinct-duration frame —
+    * value-domain-sized, tiny BY CONSTRUCTION (durations are bucketed
+    * time units), the documented single-task window exception. Output:
+    * (t, n_risk, d, surv) at observed-event times. */
+  def survivalCurve(df: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val d = df.select(col(durCol).cast("long").as("__t"),
+      col(eventCol).cast("long").as("__e"))
+    val byT = d.groupBy("__t")
+      .agg(count(lit(1)).as("__m"), sum("__e").as("__d"))
+    val wDesc = Window.orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = byT.withColumn("__n", sum("__m").over(wDesc))
+    val wAsc = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    risk.where(col("__d") > 0)
+      .withColumn("__lf",
+        when(col("__d") < col("__n"),
+          round(log(lit(1.0) - col("__d").cast("double") / col("__n")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("__z",
+        sum(when(col("__d") === col("__n"), 1L).otherwise(0L)).over(wAsc))
+      .select(col("__t").as("t"), col("__n").as("n_risk"), col("__d").as("d"),
+        when(col("__z") > 0, lit(0.0))
+          .otherwise(round(exp(sum("__lf").over(wAsc)), 6)).as("surv"))
+  }
+
   /** Pairwise association rules over (basket, item) events — the
     * market-basket support/confidence/lift audit (Agrawal & Srikant,
     * VLDB '94 reduced to its pairwise core). A basket "contains" an item

@@ -270,6 +270,34 @@ object Profiling {
         round(col("d_num") / (col("n_a") * col("n_b")), 6).as("ks"))
   }
 
+  /** Per-group winsorized mean: values clip to the exact interpolated
+    * [pLo, pHi] percentiles (rounded 6 dp — the q89 discipline) before
+    * averaging, so a fat tail moves the mean by at most the clip bound —
+    * the robust location estimate next to [[robustOutliers]]'s detection.
+    * The mean itself is FIXED-POINT (`floor(clip·1e6)` longs summed
+    * order-exactly, one division + round at the end). One percentile
+    * aggregate broadcast back, one group aggregate; the data shuffles
+    * once by the group key. Output: (keys…, n, p_lo, p_hi, wmean). */
+  def winsorizedMean(df: DataFrame, keys: Seq[String], valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad clip range [$pLo, $pHi]")
+    Seq("__plo", "__phi").foreach { c =>
+      require(!df.columns.contains(c),
+        s"winsorizedMean: reserved column $c present") }
+    val v = col(valCol).cast("double")
+    val pcts = df.groupBy(keys.map(col): _*)
+      .agg(round(expr(s"percentile($valCol, $pLo)"), 6).as("__plo"),
+        round(expr(s"percentile($valCol, $pHi)"), 6).as("__phi"))
+    val clip = least(greatest(v, col("__plo")), col("__phi"))
+    df.join(broadcast(pcts), keys)
+      .withColumn("__fp", floor(clip * lit(1e6)).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), min("__plo").as("p_lo"),
+        min("__phi").as("p_hi"),
+        round((sum("__fp").cast("double") / 1e6) / count(lit(1)), 6)
+          .as("wmean"))
+  }
+
   def robustOutliers(df: DataFrame, keys: Seq[String], valCol: String,
       zCut: Double = 3.0): DataFrame = {
     Seq("__med", "__mad", "z").foreach { c =>

@@ -67,4 +67,23 @@ class DedupParitySpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(fast == cols)
   }
+
+  test("charEntropyFast == charEntropy Column path on real docs + unicode edges") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80).select(col("doc_id"), col("text"))
+    val edge = Seq((9101L, ""), (9102L, "a"), (9103L, "aaaa"),
+      (9104L, "abab"), (9105L, "\u4f60\u597d\u4f60"), (9106L, "mixed \u00e9\u00e9 zz"),
+      (9107L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = real.unionAll(edge)
+    val fast = TF.charEntropyFast(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cols = TF.charEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(fast == cols)
+    assert(!fast.contains(9101L) && !fast.contains(9107L)) // empty/null omitted
+  }
 }

@@ -126,6 +126,57 @@ class QuantAssocSpec extends SparkSuite {
     assert(k("g1") == ((1L, ln2r)) && k("g2") == ((1L, ln2r)))
   }
 
+  // ----------------------------------------------------------- survival
+
+  test("survivalCurve: textbook KM hand case with censoring") {
+    // durations: events at 2 (1x), 4 (1x); censored at 3, 5.
+    // t=2: n=4, d=1 -> S = 3/4. t=4: n=2, d=1 -> S = 3/4 * 1/2 = 3/8.
+    val df = Seq((2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L)).toDF("dur", "ev")
+    val got = EventOps.survivalCurve(df, "dur", "ev").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def km(fs: Seq[Double]): Double = {
+      val lnsum = fs.map(f => BigDecimal(math.log(f))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+      BigDecimal(math.exp(lnsum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == Map(2L -> ((4L, 1L, km(Seq(0.75)))),
+      4L -> ((2L, 1L, km(Seq(0.75, 0.5))))))
+  }
+
+  test("survivalCurve: everyone failing at the last time zeroes the tail, no ln(0)") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("dur", "ev")
+    val got = EventOps.survivalCurve(df, "dur", "ev").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(2L) == 0.0 && got(1L) > 0.0)
+  }
+
+  test("survivalCurve is monotone non-increasing and partitioning-invariant") {
+    val rows = (1L to 500L).map(i => ((i * 13 % 40) + 1, (i % 3 != 0)))
+      .map { case (d, e) => (d, if (e) 1L else 0L) }
+    val df = rows.toDF("dur", "ev")
+    val a = EventOps.survivalCurve(df, "dur", "ev")
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val b = EventOps.survivalCurve(df.repartition(11), "dur", "ev")
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(a.sameElements(b))
+    assert(a.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  // --------------------------------------------------------- winsorized
+
+  test("winsorizedMean: clip bounds respected, outlier influence capped") {
+    val df = ((1L to 99L).map(i => ("a", (i % 10).toDouble)) :+ (("a", 1e9)))
+      .toDF("g", "value")
+    val r = Profiling.winsorizedMean(df, Seq("g"), "value").collect()(0)
+    val phi = r.getDouble(r.fieldIndex("p_hi"))
+    assert(r.getDouble(r.fieldIndex("wmean")) <= phi)
+    assert(phi < 1e6) // the p95 clip killed the 1e9 outlier
+    intercept[IllegalArgumentException] {
+      Profiling.winsorizedMean(df, Seq("g"), "value", 0.9, 0.1) }
+  }
+
   test("unigramKl is invariant to partitioning (decimal term sums)") {
     val df = (1L to 300L)
       .map(i => (s"s${i % 3}", s"w${i % 7} w${i % 11} w${i % 13}"))
