@@ -1754,7 +1754,57 @@ object SparkEntry {
     "q135_winsorized" -> ((sp, dir) =>
       graft.functions.Profiling.winsorizedMean(
         table(sp, dir, "events").select(col("event_type"), col("value")),
-        Seq("event_type"), "value"))
+        Seq("event_type"), "value")),
+
+    // Grouped HLL: distinct users per event type as 64-register sketches
+    // + the per-group estimate, next to the exact distinct (error
+    // visible in the result). At 100 TB the exact column is the thing
+    // this replaces — here it is the audit.
+    "q136_hll_grouped" -> ((sp, dir) => {
+      val e = table(sp, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("u"))
+      val est = graft.functions.Sketches.hllEstimateGrouped(
+        graft.functions.Sketches.hllSketchGrouped(
+          e, Seq("event_type"), "u", 6, "q136"),
+        Seq("event_type"), 6)
+      est.join(e.groupBy("event_type")
+        .agg(countDistinct(col("u")).as("exact_distinct")), "event_type")
+    }),
+
+    // kNN label-agreement audit (mislabeled-sample detector): fraction of
+    // each vector's 5 nearest cosine neighbors sharing its label. The
+    // neighbor pass here is the exact brute baseline (q30's declared
+    // role); ivfTopK is the scale path for the same downstream rollup.
+    "q137_label_agreement" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val nn = Similarity.bruteForceTopK(e, e, 5)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val lab = table(sp, dir, "embeddings").select(col("vec_id"), col("label"))
+      nn.join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+          "q_id")
+        .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+          "n_id")
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+          col("n_neighbors"), col("n_agree"),
+          round(col("n_agree") / col("n_neighbors"), 6).as("agreement"))
+    }),
+
+    // Near-dup cluster-size histogram: the q46 component pipeline rolled
+    // up to (cluster_size, n_clusters) — the dedup-savings estimate.
+    "q138_cluster_sizes" -> ((sp, dir) => {
+      val sh = Dedup.simhashFast(table(sp, dir, "documents"), "text", "doc_id")
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(true)
+      val pairs = Dedup.simhashNearDupPairs(sh, maxDist = 2, bands = 4)
+      Dedup.connectedComponents(pairs, sh.select(col("id")))
+        .groupBy(col("rep")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    })
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -1813,6 +1863,29 @@ object SparkEntry {
 
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+
+  /** q46's full clusters replay (simhash → hamming-≤2 edges → recursive
+    * min-reachability CC), shared with q138's size-histogram rollup. */
+  private lazy val q46ClustersSql: String = {
+    val hsSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t),1,15))::BIGINT)"
+    val bitTerms = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n  + ")
+    // transitive closure by recursive min-reachability; rep = min id
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, $hsSql AS hs FROM documents),
+       |sh AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t),
+       |e0 AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |       FROM sh x JOIN sh y
+       |         ON x.doc_id < y.doc_id AND bit_count(xor(x.sh, y.sh)) <= 2),
+       |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
+       |FROM reach GROUP BY id""".stripMargin
+  }
 
   /** Full BM25 replay shared by q74 (direct) and q78 (persisted index —
     * must equal the direct path bit for bit): same lowercase tokens, same
@@ -2283,26 +2356,7 @@ object SparkEntry {
          |SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t""".stripMargin
     },
 
-    "q46_dedup_clusters" -> {
-      val hsSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t),1,15))::BIGINT)"
-      val bitTerms = (0 until 32).map { j =>
-        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString("\n  + ")
-      // transitive closure by recursive min-reachability; rep = min id
-      s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, $hsSql AS hs FROM documents),
-         |sh AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t),
-         |e0 AS (SELECT x.doc_id AS a, y.doc_id AS b
-         |       FROM sh x JOIN sh y
-         |         ON x.doc_id < y.doc_id AND bit_count(xor(x.sh, y.sh)) <= 2),
-         |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM sh
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
-         |FROM reach GROUP BY id""".stripMargin
-    },
+    "q46_dedup_clusters" -> q46ClustersSql,
 
     "q15_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -3988,6 +4042,74 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, min(plo) AS p_lo, min(phi) AS p_hi,
         |       round((CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / 1000000.0)
         |             / count(*), 6) AS wmean
-        |FROM c GROUP BY event_type""".stripMargin
+        |FROM c GROUP BY event_type""".stripMargin,
+
+    // q72's register/estimator replay, grouped by event type (p=6).
+    "q136_hll_grouped" -> {
+      val m = 64
+      val est0 = graft.functions.Sketches.hllAlpha(m) * m * m
+      s"""WITH u AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
+         |           FROM events),
+         |h AS (SELECT event_type,
+         |             ('0x' || substr(md5('hll:q136:' || u),1,15))::BIGINT AS h
+         |      FROM u),
+         |rr AS (SELECT event_type, h % $m AS register,
+         |              CASE WHEN (h >> 6) = 0 THEN 55
+         |                   ELSE 55 - length(bin(h >> 6)) END AS rho
+         |       FROM h),
+         |regs AS (SELECT event_type, register, max(rho) AS rho FROM rr
+         |         GROUP BY 1, 2),
+         |ks AS (SELECT DISTINCT event_type FROM u),
+         |allr AS (SELECT ks.event_type, r AS register,
+         |                coalesce(regs.rho, 0) AS rho
+         |         FROM ks CROSS JOIN range($m) t(r)
+         |         LEFT JOIN regs ON regs.event_type = ks.event_type
+         |                       AND regs.register = r),
+         |agg AS (SELECT event_type,
+         |               list(pow(2.0, -rho) ORDER BY register) AS hs,
+         |               CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+         |                    AS BIGINT) AS n_zero
+         |        FROM allr GROUP BY 1),
+         |f AS (SELECT event_type,
+         |             list_reduce(list_prepend(0.0, hs), (a, b) -> a + b)
+         |               AS hsum, n_zero FROM agg),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT u) AS BIGINT)
+         |                AS exact_distinct
+         |       FROM u GROUP BY 1)
+         |SELECT f.event_type, $m AS m, n_zero,
+         |       round(CASE WHEN $est0 / hsum <= ${2.5 * m} AND n_zero > 0
+         |                  THEN ${m.toDouble} * ln(${m.toDouble} / n_zero)
+         |                  ELSE $est0 / hsum END, 6) AS est,
+         |       exact_distinct
+         |FROM f JOIN ex USING (event_type)""".stripMargin
+    },
+
+    // q15's brute cosine replay, k=5, rolled to per-vector agreement.
+    "q137_label_agreement" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+        |             b.vec_id, b.label AS n_label,
+        |             round(list_dot_product(a.v, b.v)
+        |                   / (sqrt(list_dot_product(a.v, a.v))
+        |                      * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |      FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT q_id AS vec_id, q_label AS label,
+        |       count(*) AS n_neighbors,
+        |       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_agree,
+        |       round(CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+        |                  AS BIGINT) / count(*), 6) AS agreement
+        |FROM r WHERE rank <= 5 GROUP BY 1, 2""".stripMargin,
+
+    // q46's clusters replay rolled to the size histogram.
+    "q138_cluster_sizes" ->
+      s"""WITH clusters AS ($q46ClustersSql),
+         |sz AS (SELECT rep, count(*) AS s FROM clusters GROUP BY rep)
+         |SELECT s AS cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY s""".stripMargin
   )
 }

@@ -131,6 +131,52 @@ object Sketches {
           6).as("est"))
   }
 
+  /** Per-group HLL registers: like [[hllSketch]] but keyed — (keys…,
+    * register, rho), at most 2^p state rows per group. The grouped
+    * distinct-count estimate (distinct users per segment, distinct docs
+    * per domain) where per-group exact distincts would shuffle the
+    * world. Sketches for the same key max-merge across frames/batches. */
+  def hllSketchGrouped(df: DataFrame, keys: Seq[String], valueCol: String,
+      p: Int, salt: String = ""): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4,18]: $p")
+    val (reg, rho) = hllRegisterRho(col(valueCol), p, salt)
+    df.select(keys.map(col) :+ reg.as("register") :+ rho.as("rho"): _*)
+      .groupBy(keys.map(col) :+ col("register"): _*).agg(max("rho").as("rho"))
+  }
+
+  /** Per-group estimate from [[hllSketchGrouped]] output — the same
+    * bias-corrected harmonic mean + small-range linear counting as
+    * [[hllEstimate]], with every group's 2^p registers materialized (a
+    * broadcast `range(m)` cross of the DISTINCT key frame) and folded in
+    * register order from 0.0 (engine-exact, the q72 rule). Output:
+    * (keys…, m, n_zero, est). */
+  def hllEstimateGrouped(sketch: DataFrame, keys: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = hllAlpha(m)
+    val spark = sketch.sparkSession
+    val keyF = sketch.select(keys.map(col): _*).distinct()
+    val full = keyF.crossJoin(broadcast(spark.range(m).toDF("register")))
+      .join(sketch, keys :+ "register", "left")
+      .select(keys.map(col) :+ col("register") :+
+        coalesce(col("rho"), lit(0)).as("rho"): _*)
+    full.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("register"), col("rho"))))
+        .as("__rs"))
+      .select(keys.map(col) :+
+        aggregate(transform(col("__rs"), x => pow(lit(2.0), -x.getField("rho"))),
+          lit(0.0), (a, v) => a + v).as("__hsum") :+
+        aggregate(transform(col("__rs"),
+            x => when(x.getField("rho") === 0, 1L).otherwise(0L)),
+          lit(0L), (a, v) => a + v).as("n_zero"): _*)
+      .select(keys.map(col) :+ lit(m).as("m") :+ col("n_zero") :+
+        round(
+          when(lit(alpha * m * m) / col("__hsum") <= lit(2.5 * m) &&
+               col("n_zero") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
+          .otherwise(lit(alpha * m * m) / col("__hsum")),
+          6).as("est"): _*)
+  }
+
   // ------------------------------------------------------------ heavy hitters
 
   /** EXACT heavy hitters — every value whose multiset count reaches

@@ -189,4 +189,29 @@ class SketchesSpec extends SparkSuite {
       Sketches.bloomBits(a.union(b), "v", 4096L, 3, "t"),
       ua.union(ub).distinct())
   }
+
+  test("hllSketchGrouped/hllEstimateGrouped: per-group estimate tracks exact; merge = max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 2000).map(i => (s"g${i % 3}", s"v${i % (40 * (i % 3 + 1))}"))
+      .toDF("g", "v")
+    val sk = Sketches.hllSketchGrouped(df, Seq("g"), "v", 10, "t")
+    val est = Sketches.hllEstimateGrouped(sk, Seq("g"), 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("est"))).toMap
+    val exact = df.distinct().groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, ex) =>
+      assert(math.abs(est(g) - ex) / ex < 0.15, s"$g: est ${est(g)} vs $ex")
+    }
+    // grouped sketch of a union == per-frame sketches max-merged
+    def skOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllSketchGrouped(d, Seq("g"), "v", 10, "t")
+    val (d1, d2) = (df.limit(900), df.exceptAll(df.limit(900)))
+    val merged = skOf(d1).unionAll(skOf(d2))
+      .groupBy("g", "register").agg(max("rho").as("rho"))
+      .collect().map(r => (s"${r.get(0)}", s"${r.get(1)}") -> s"${r.get(2)}").toMap
+    val whole = sk.collect()
+      .map(r => (s"${r.get(0)}", s"${r.get(1)}") -> s"${r.get(2)}").toMap
+    assert(merged == whole)
+  }
 }
