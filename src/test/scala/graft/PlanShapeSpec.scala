@@ -33,6 +33,22 @@ class PlanShapeSpec extends SparkSuite {
     // single-row ring-size (max idx + 1) broadcast cross into the
     // modular-offset pairing
     "q90_negative_pairs",
+    // single-row basket-count broadcast cross into the support/lift math
+    // (q42's idiom); the pair join itself is the basket equi-join
+    "q131_assoc_rules",
+    // single-row broadcast crosses of the same idiom: node-count N
+    // (pagerank), corpus token total (source mix), group sizes (n_a, n_b)
+    // (KS test), corpus unigram total (KL), censoring horizon max(t)
+    // (survival)
+    "q124_pagerank_step", "q129_source_mix", "q130_ks_test",
+    "q132_kl_divergence", "q134_survival",
+    // q126's edge list comes from the activity band join, whose single-row
+    // fixed-point total broadcast is the q95 idiom; the wedge/closing joins
+    // themselves are equi-joins
+    "q126_triangles",
+    // inherits q15's declared brute-force kNN baseline (ivfTopK is the
+    // scale path for the same rollup)
+    "q137_label_agreement",
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
     "q52_interval_join_bounded", "q53_interval_join_float",
@@ -47,7 +63,11 @@ class PlanShapeSpec extends SparkSuite {
     "q95_sq8",
     // label-prototype all-pairs theta join: one row per label survives the
     // centroid aggregate, so the side is broadcast-sized BY CONSTRUCTION
-    "q115_label_centroids")
+    "q115_label_centroids",
+    // the 2^p-row register range broadcast-crossed with the distinct-key
+    // frame to materialize absent registers (q72's single-row idiom, per
+    // group) — 64 rows here, bounded by the sketch width at any scale
+    "q136_hll_grouped")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
