@@ -1804,7 +1804,86 @@ object SparkEntry {
         .groupBy(col("rep")).agg(count(lit(1)).as("__sz"))
         .groupBy(col("__sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
-    })
+    }),
+
+    // EXACT set-similarity self-join at token-set Jaccard >= 0.5 via
+    // AllPairs/PPJoin prefix filtering — the exact counterpart whose
+    // estimate q17/q127 audit: candidates from the rarest-token-first
+    // prefix equi-join, exact array_intersect verify on candidates only.
+    // Runs on the deterministic 10% sample: the synthetic corpus is
+    // template-generated (~70% of ALL pairs exceed tau=0.5 at full SF),
+    // so the full-corpus exact result is output-bound at ~9M pairs — the
+    // production flow is LSH candidates (q12) -> this exact verify.
+    "q139_jaccard_join" -> ((sp, dir) =>
+      Dedup.jaccardJoin(
+        table(sp, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 0.5)),
+
+    // Maximal intervals: drop every order span CONTAINED in another span
+    // of the same customer — one window pass per key, no contains
+    // self-join (q28's span fixture).
+    "q140_max_intervals" -> ((sp, dir) => {
+      val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+      val spans = table(sp, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        IntervalCols.interval(startNs,
+          startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L) *
+            lit(86400000000000L)).as("span"))
+      graft.operators.IntervalOps
+        .removeContained(spans, Seq("o_custkey"), "span", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("span.start").as("s"), col("span.stop").as("e"))
+    }),
+
+    // Per-type OLS trend of value (milli-units) on event day — exact
+    // DECIMAL(38,0) moment sums, closed form at the end (q108's rule).
+    "q141_regression" -> ((sp, dir) =>
+      graft.functions.Stats.groupedOls(
+        table(sp, dir, "events").select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("x"),
+          floor(col("value") * 1000).cast("long").as("y")),
+        Seq("event_type"), "x", "y")),
+
+    // Exact ROC AUC (Mann-Whitney with tie correction, pure integer) of
+    // the q80 hashed linear classifier predicting lang = 'en' — the
+    // evaluation metric for the model-based quality filter.
+    "q142_roc_auc" -> ((sp, dir) =>
+      graft.functions.Stats.rocAuc(
+        table(sp, dir, "documents").select(
+          TF.hashedLinearScore(col("text"), dim = 64, salt = "q80")
+            .as("qscore"),
+          col("lang")),
+        "qscore", col("lang") === "en")),
+
+    // Join-key skew pre-flight on events.user_id — the sizing input for
+    // q98's salting and AQE skew thresholds.
+    "q143_skew_profile" -> ((sp, dir) =>
+      graft.functions.Stats.skewProfile(table(sp, dir, "events"),
+        Seq("user_id"))),
+
+    // Normalization-equivalence dedup keep-list: case/punct/whitespace
+    // edit classes collapse on the canonical form's 60-bit hash.
+    "q144_norm_dedup" -> ((sp, dir) =>
+      Dedup.normalizedDedup(table(sp, dir, "documents"), "doc_id", "text")),
+
+    // Item co-occurrence similarity (cosine/jaccard/lift) over order
+    // baskets — the pair explode is bounded by basket width (<= 7 parts
+    // per TPC-H order), never corpus-quadratic.
+    "q145_copurchase" -> ((sp, dir) =>
+      graft.functions.EventOps.cooccurrence(
+        table(sp, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
+    // Exact sample covariance matrix of four integer-ized lineitem
+    // measures — all ten moment sums in ONE aggregate over one scan.
+    "q146_cov_matrix" -> ((sp, dir) =>
+      graft.functions.Stats.covMatrix(
+        table(sp, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          floor(col("l_discount") * 100).cast("long").as("disc_c"),
+          floor(col("l_tax") * 100).cast("long").as("tax_c")),
+        Seq("qty", "price_c", "disc_c", "tax_c")))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -4110,6 +4189,183 @@ object SparkEntry {
       s"""WITH clusters AS ($q46ClustersSql),
          |sz AS (SELECT rep, count(*) AS s FROM clusters GROUP BY rep)
          |SELECT s AS cluster_size, count(*) AS n_clusters
-         |FROM sz GROUP BY s""".stripMargin
+         |FROM sz GROUP BY s""".stripMargin,
+
+    // Exact all-pairs replay of the prefix-filtered join: the threshold
+    // gates the same unrounded IEEE division on both engines.
+    "q139_jaccard_join" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS t
+         |             FROM documents WHERE doc_id % 10 = 0),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+         |       FROM tok GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |              CAST(count(*) AS BIGINT) AS inter
+         |       FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, sa.s AS size_a, sb.s AS size_b, inter,
+         |       round(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6)
+         |         AS jaccard
+         |FROM pr JOIN sz sa ON id_a = sa.doc_id
+         |        JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.s + sb.s - inter) >= 0.5""".stripMargin,
+
+    // Containment replay: the window survivors are exactly the rows with
+    // no (s' <= s, e' >= e) peer under the smaller-id tie rule.
+    "q140_max_intervals" ->
+      """WITH os AS (SELECT o_orderkey, o_custkey,
+        |                   epoch_us(o_orderdate)*1000 AS s,
+        |                   epoch_us(o_orderdate)*1000
+        |                     + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |            FROM orders)
+        |SELECT o_custkey, o_orderkey, s, e FROM os r1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM os r2
+        |  WHERE r2.o_custkey = r1.o_custkey
+        |    AND r2.s <= r1.s AND r2.e >= r1.e
+        |    AND (r2.s < r1.s OR r2.e > r1.e
+        |         OR r2.o_orderkey < r1.o_orderkey))""".stripMargin,
+
+    // q108's HUGEINT moment discipline, OLS closed form.
+    "q141_regression" ->
+      """WITH p AS (SELECT event_type,
+        |                  CAST(epoch_us(ts) // 86400000000 AS HUGEINT) AS x,
+        |                  CAST(CAST(floor(value * 1000) AS BIGINT) AS HUGEINT)
+        |                    AS y
+        |           FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |             sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM p GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+        |            THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |                       / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+        |       END AS slope,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+        |            THEN round((CAST(sy AS DOUBLE)
+        |                        - (CAST(n*sxy - sx*sy AS DOUBLE)
+        |                           / CAST(n*sxx - sx*sx AS DOUBLE))
+        |                          * CAST(sx AS DOUBLE))
+        |                       / CAST(n AS DOUBLE), 6)
+        |       END AS intercept,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+        |             AND CAST(n*syy - sy*sy AS DOUBLE) > 0.0
+        |            THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |                       * CAST(n*sxy - sx*sy AS DOUBLE)
+        |                       / (CAST(n*sxx - sx*sx AS DOUBLE)
+        |                          * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM m""".stripMargin,
+
+    // q80's bit-exact score replay feeding the integer Mann-Whitney sum.
+    "q142_roc_auc" -> {
+      val half = TF.HashMod / 2L
+      s"""WITH t AS (
+         |  SELECT lang,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> x <> '') AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT lang, len(toks) AS ntok,
+         |         CAST(coalesce(list_sum(list_transform(toks, tok ->
+         |           ((${hSql("'q80:' || tok")} % 64) * 2654435761)
+         |             % ${TF.HashMod} - $half)), 0) AS BIGINT) AS raw
+         |  FROM t),
+         |p AS (SELECT round(1.0 / (1.0 + exp(-(0.0 + 4.0 *
+         |        (CASE WHEN ntok > 0
+         |              THEN raw / (CAST(ntok AS DOUBLE) * $half.0)
+         |              ELSE 0.0 END)))), 6) AS s,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |      FROM sc),
+         |g AS (SELECT s, CAST(sum(pos) AS BIGINT) AS cp,
+         |             CAST(sum(1 - pos) AS BIGINT) AS cq
+         |      FROM p GROUP BY 1),
+         |c AS (SELECT s, cp, cq,
+         |             CAST(coalesce(sum(cq) OVER (ORDER BY s
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               AS BIGINT) AS cneg
+         |      FROM g),
+         |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |               CAST(sum(1 - pos) AS BIGINT) AS nn FROM p)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |       round(CAST(sum(cp * (2 * cneg + cq)) AS DOUBLE)
+         |             / (2.0 * np * nn), 6) AS auc
+         |FROM c, tot GROUP BY np, nn""".stripMargin
+    },
+
+    // Per-key counts -> one profile row; quantile_cont = Spark's exact
+    // interpolated percentile (the q89 discipline).
+    "q143_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |             CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(max(c) AS BIGINT) AS max_cnt,
+        |             round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+        |             round(quantile_cont(c, 0.99), 6) AS p99_cnt
+        |      FROM c)
+        |SELECT n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+        |       round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_cnt,
+        |       round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew
+        |FROM a""".stripMargin,
+
+    // Same canonical form (DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default), 60-bit md5 group id.
+    "q144_norm_dedup" ->
+      """WITH n AS (SELECT doc_id AS id,
+        |                  trim(regexp_replace(regexp_replace(lower(text),
+        |                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nm
+        |           FROM documents),
+        |g AS (SELECT nm, CAST(count(*) AS BIGINT) AS group_n,
+        |             min(id) AS mn
+        |      FROM n GROUP BY 1)
+        |SELECT id, ('0x' || substr(md5(nm), 1, 15))::BIGINT AS group_id,
+        |       group_n, (id = mn) AS keep
+        |FROM n JOIN g USING (nm)""".stripMargin,
+
+    "q145_copurchase" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |            FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+        |pr AS (SELECT l.it AS item_a, r.it AS item_b,
+        |              CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |       GROUP BY 1, 2)
+        |SELECT item_a, item_b, ia.ni AS n_a, ib.ni AS n_b, n_ab,
+        |       round(n_ab / sqrt(CAST(ia.ni * ib.ni AS DOUBLE)), 6) AS cosine,
+        |       round(n_ab / (ia.ni + ib.ni - n_ab), 6) AS jaccard,
+        |       round((n_ab * nb.nb) / (ia.ni * ib.ni), 6) AS lift
+        |FROM pr JOIN ic ia ON item_a = ia.it
+        |        JOIN ic ib ON item_b = ib.it, nb
+        |WHERE n_ab >= 2""".stripMargin,
+
+    // All ten HUGEINT moment sums in one aggregate; ten closed-form rows.
+    "q146_cov_matrix" -> {
+      val cols = Seq("qty", "price_c", "disc_c", "tax_c")
+      val pairs = for (i <- cols.indices; j <- i until cols.length)
+        yield (cols(i), cols(j))
+      val moments = cols.map(c => s"sum($c) AS s_$c") ++
+        pairs.map { case (a, b) => s"sum($a*$b) AS s_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+           |       CASE WHEN n >= 2
+           |            THEN round(CAST(n*s_${a}_$b - s_$a*s_$b AS DOUBLE)
+           |                       / CAST(n*(n-1) AS DOUBLE), 6)
+           |       END AS cov FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (SELECT CAST(l_quantity AS HUGEINT) AS qty,
+         |                  CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+         |                    AS HUGEINT) AS price_c,
+         |                  CAST(CAST(floor(l_discount * 100) AS BIGINT)
+         |                    AS HUGEINT) AS disc_c,
+         |                  CAST(CAST(floor(l_tax * 100) AS BIGINT)
+         |                    AS HUGEINT) AS tax_c
+         |           FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |             ${moments.mkString(",\n             ")}
+         |      FROM p)
+         |$rows""".stripMargin
+    }
   )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -757,5 +758,73 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** EXACT set-similarity self-join: every pair with whitespace-token-set
+    * Jaccard >= tau, via AllPairs/PPJoin prefix filtering (Bayardo et al.,
+    * WWW '07; Xiao et al., WWW '08) — the exact counterpart to the
+    * MinHash/LSH estimate path ([[nearDupPairs]]). Tokens order globally
+    * by (document frequency asc, token); each document keeps only its
+    * first `|s| − ⌈tau·|s|⌉ + 1` tokens as its PREFIX, and a pair can
+    * reach tau only if the two PREFIXES share a token — so candidates
+    * come from a prefix-token equi-join (rarest tokens first ⇒ small
+    * buckets), never an all-pairs comparison. The global order needs no
+    * materialized rank: (freq, token) is already a total order, so each
+    * document just sorts its own token structs. Candidates dedup on the
+    * id pair and verify EXACTLY via `array_intersect` on the full token
+    * sets; tau gates the unrounded IEEE division (identical operands on
+    * any engine), the reported jaccard rounds 6 dp.
+    *
+    * Output: (id_a, id_b, size_a, size_b, inter, jaccard), id_a < id_b. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"jaccardJoin tau must be in (0, 1]: $tau")
+    val toks = df.select(col(idCol).cast("long").as("__jid"),
+        array_distinct(tokens(col(textCol))).as("__ts"))
+      .where(size(col("__ts")) > 0)
+    val freq = toks.select(explode(col("__ts")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__f"))
+    val ordered = toks.select(col("__jid"), explode(col("__ts")).as("__t"))
+      .join(freq, "__t")
+      .groupBy("__jid")
+      .agg(sort_array(collect_list(struct(col("__f"), col("__t")))).as("__o"))
+      .select(col("__jid"),
+        transform(col("__o"), _.getField("__t")).as("__sorted"),
+        size(col("__o")).cast("long").as("__sz"))
+    val prefixLen = (col("__sz") - ceil(lit(tau) * col("__sz")) + 1).cast("int")
+    val pre = ordered.select(col("__jid"), col("__sorted"), col("__sz"),
+      explode(slice(col("__sorted"), lit(1), prefixLen)).as("__pt"))
+    val cand = pre.as("l").join(pre.as("r"),
+        col("l.__pt") === col("r.__pt") && col("l.__jid") < col("r.__jid"))
+      .select(col("l.__jid").as("id_a"), col("r.__jid").as("id_b"),
+        col("l.__sorted").as("__ta"), col("r.__sorted").as("__tb"),
+        col("l.__sz").as("size_a"), col("r.__sz").as("size_b"))
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("long")
+    cand.withColumn("inter", inter)
+      .withColumn("__un", col("size_a") + col("size_b") - col("inter"))
+      .where(col("inter").cast("double") / col("__un") >= tau)
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+        col("inter"), round(col("inter") / col("__un"), 6).as("jaccard"))
+  }
+
+  /** Normalization-equivalence dedup keep-list — the cheapest near-dup
+    * class (case / punctuation / whitespace edits) collapsed EXACTLY:
+    * canonical form = lower → strip non-`[a-z0-9 ]` → collapse space runs
+    * → trim, group id = the md5-derived 60-bit hash of that form
+    * ([[TextFunctions.tokenHash]], engine-replayable). One row PER INPUT
+    * DOC: (id, group_id, group_n, keep) with keep = (id == min id of the
+    * group) — the downstream filter is `WHERE keep`. One hash-partitioned
+    * window pays the only shuffle; at 100 TB swap the window for the
+    * min-struct aggregate + join ([[dedupSegments]]'s shape) if group
+    * sizes skew. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val w = Window.partitionBy("__norm")
+    df.select(col(idCol).cast("long").as("id"), norm.as("__norm"))
+      .select(col("id"), tokenHash(col("__norm")).as("group_id"),
+        count(lit(1)).over(w).as("group_n"),
+        (col("id") === min("id").over(w)).as("keep"))
   }
 }

@@ -181,4 +181,43 @@ object EventOps {
         round((col("n_xy") * col("__nb")) / (col("n_x") * col("n_y")), 6)
           .as("lift"))
   }
+
+  /** Item–item co-occurrence similarity over binary basket incidence —
+    * the recommender / "covered-together" rollup next to
+    * [[associationPairs]]'s rule mining: for every item pair sharing >=
+    * `minSupport` baskets, cosine = n_ab/√(n_a·n_b), jaccard =
+    * n_ab/(n_a+n_b−n_ab), lift = n_ab·N/(n_a·n_b). Same scale shape:
+    * DISTINCT (basket, item) first, so the pair self-join explodes only
+    * within-basket combinations (bounded by basket width — C(7,2) on
+    * TPC-H orders), map-side-combining into (a, b) counts; per-item
+    * counts join back keyed on the pair frame; the single-row basket
+    * total broadcasts. √ of an exact integer product is IEEE-exact on
+    * any engine; each ratio rounds 6 dp. */
+  def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val bi = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val nBaskets = bi.agg(countDistinct(col("__bk")).as("__nb"))
+    val itemCounts = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+    val pairs = bi.as("l")
+      .join(bi.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("__it").as("item_a"), col("__ni").as("n_a")),
+        "item_a")
+      .join(itemCounts.select(col("__it").as("item_b"), col("__ni").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab") / sqrt((col("n_a") * col("n_b")).cast("double")), 6)
+          .as("cosine"),
+        round(col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")), 6)
+          .as("jaccard"),
+        round((col("n_ab") * col("__nb")) / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+  }
 }

@@ -34,6 +34,30 @@ object IntervalOps {
         col("n_merged"): _*)
   }
 
+  /** Drop every interval CONTAINED in another interval of its key group
+    * (∃ other with s' <= s AND e' >= e; exact duplicates keep the smallest
+    * `idCol`): the survivors are the MAXIMAL intervals — the minimal
+    * subset with identical coverage when downstream cost is per-row.
+    * ONE key shuffle + one window pass: ordered by (start asc, stop desc,
+    * id), a row is contained iff the running max stop over STRICTLY PRIOR
+    * rows >= its own stop — every prior row starts at-or-before it, and
+    * the (stop desc, id) tiebreak puts each row's would-be container
+    * first. O(n log n) per key where the naive contains-join is O(n²),
+    * and the window partitioning distributes by key. */
+  def removeContained(df: DataFrame, keys: Seq[String], spancol: String,
+      idCol: String): DataFrame = {
+    require(!df.columns.contains("__pmax"),
+      "removeContained: reserved column __pmax present")
+    val s = col(s"$spancol.start")
+    val e = col(s"$spancol.stop")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(s.asc, e.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__pmax", max(e).over(w))
+      .where(col("__pmax").isNull || col("__pmax") < e)
+      .drop("__pmax")
+  }
+
   /** Per-key coverage segments from a single boundary sweep: one row per
     * (key, boundary) with the coverage count on `[__pos, __nxt)`. Shared by
     * [[coveredDuration]] and [[gaps]] — ONE shuffle + one in-partition sort,

@@ -46,6 +46,9 @@ class PlanShapeSpec extends SparkSuite {
     // fixed-point total broadcast is the q95 idiom; the wedge/closing joins
     // themselves are equi-joins
     "q126_triangles",
+    // single-row (n_pos, n_neg) / basket-count broadcast crosses; the
+    // data-sized sides are aggregates and equi-joins
+    "q142_roc_auc", "q145_copurchase",
     // inherits q15's declared brute-force kNN baseline (ivfTopK is the
     // scale path for the same rollup)
     "q137_label_agreement",

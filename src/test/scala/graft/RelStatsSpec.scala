@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, EventOps, Stats}
+import graft.operators.IntervalOps
+
+/** Round-9 batch: exact prefix-filtered Jaccard join, maximal-interval
+  * reduction, grouped OLS, exact ROC AUC, skew profile, normalized dedup,
+  * basket co-occurrence, covariance matrix. */
+class RelStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- jaccardJoin
+
+  private def bruteJaccard(docs: Seq[(Long, String)], tau: Double) = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSet }.toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      if sets(a).nonEmpty && sets(b).nonEmpty
+      inter = (sets(a) & sets(b)).size
+      un = (sets(a) | sets(b)).size
+      if inter.toDouble / un >= tau
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, inter.toLong,
+      math.rint(inter.toDouble / un * 1e6) / 1e6)).toSet
+  }
+
+  test("jaccardJoin: equals the brute-force all-pairs join, incl. the exact-tau boundary") {
+    val docs = Seq(
+      1L -> "a b",          // with doc 2: inter 2, union 4 -> exactly 0.5
+      2L -> "a b c d",
+      3L -> "a b c e",      // with 2: 3/5 = 0.6; with 1: 2/4 = 0.5
+      4L -> "x y z",        // disjoint from the a-cluster
+      5L -> "x y z w q",    // with 4: 3/5 = 0.6
+      6L -> "u v",          // with nothing
+      7L -> "a b",          // duplicate of 1: j = 1.0
+      8L -> "   ",          // empty after tokenization: excluded
+      9L -> "c d e f g h i j") // with 2: 2/10 = 0.2 < tau
+    val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == bruteJaccard(docs, 0.5), s"got $got")
+  }
+
+  test("jaccardJoin: random corpus agrees with brute force at several taus") {
+    val rng = new scala.util.Random(7L)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(3 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    for (tau <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(got == bruteJaccard(docs, tau), s"tau=$tau")
+    }
+  }
+
+  test("jaccardJoin: candidate generation is an equi-join, never all-pairs; tau guarded") {
+    val df = Seq(1L -> "a b", 2L -> "b c").toDF("doc_id", "text")
+    val plan = Dedup.jaccardJoin(df, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"prefix join degenerated:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, "doc_id", "text", 0.0) }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, "doc_id", "text", 1.5) }
+  }
+
+  // --------------------------------------------------- removeContained
+
+  test("removeContained: nested chains, duplicates, and equal-start ties") {
+    val rows = Seq(
+      // key A: [0,10) contains [2,8) contains [3,5); [5,15) overlaps only
+      ("A", 1L, 0L, 10L), ("A", 2L, 2L, 8L), ("A", 3L, 3L, 5L),
+      ("A", 4L, 5L, 15L),
+      // key B: duplicates — smaller id survives; equal-start shorter drops
+      ("B", 10L, 2L, 8L), ("B", 11L, 2L, 8L), ("B", 12L, 2L, 6L),
+      // key C: touching, neither contains
+      ("C", 20L, 0L, 5L), ("C", 21L, 5L, 9L))
+    val df = rows.toDF("k", "id", "s", "e")
+      .select(col("k"), col("id"),
+        struct(col("s").as("start"), col("e").as("stop")).as("span"))
+    val got = IntervalOps.removeContained(df, Seq("k"), "span", "id")
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(got == Set(("A", 1L), ("A", 4L), ("B", 10L), ("C", 20L), ("C", 21L)))
+  }
+
+  test("removeContained: survivors keep full coverage; plan has no join") {
+    val f = fixture().withColumn("id", monotonically_increasing_id())
+    val out = IntervalOps.removeContained(f, Seq("label"), "span", "id")
+    // the fixture's spans are disjoint per construction — nothing drops
+    assert(out.count() == f.count())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"removeContained must not join:\n$plan")
+    intercept[IllegalArgumentException] {
+      IntervalOps.removeContained(f.withColumn("__pmax", lit(1)),
+        Seq("label"), "span", "id") }
+  }
+
+  // -------------------------------------------------------- groupedOls
+
+  test("groupedOls: perfect line is exact; zero x-variance nulls out") {
+    val pts = Seq.tabulate(20)(i => ("line", i.toLong, 3L * i + 7L)) ++
+      Seq(("flat", 5L, 1L), ("flat", 5L, 9L))
+    val got = Stats.groupedOls(pts.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val line = got("line")
+    assert(line.getLong(1) == 20L && line.getDouble(2) == 3.0 &&
+      line.getDouble(3) == 7.0 && line.getDouble(4) == 1.0)
+    val flat = got("flat")
+    assert(flat.isNullAt(2) && flat.isNullAt(3) && flat.isNullAt(4))
+  }
+
+  test("groupedOls: random data matches the driver-side closed form") {
+    val rng = new scala.util.Random(11L)
+    val pts = Seq.fill(200)(("g", rng.nextInt(1000).toLong,
+      rng.nextInt(1000).toLong - 500L))
+    val r = Stats.groupedOls(pts.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect()(0)
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._2)).sum; val sy = pts.map(p => BigInt(p._3)).sum
+    val sxy = pts.map(p => BigInt(p._2) * BigInt(p._3)).sum
+    val sxx = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val syy = pts.map(p => BigInt(p._3) * BigInt(p._3)).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val dxx = (n * sxx - sx * sx).toDouble
+    val dyy = (n * syy - sy * sy).toDouble
+    val slope = num / dxx
+    assert(r.getDouble(2) == math.rint(slope * 1e6) / 1e6)
+    assert(r.getDouble(3) ==
+      math.rint((sy.toDouble - slope * sx.toDouble) / n.toDouble * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(num * num / (dxx * dyy) * 1e6) / 1e6)
+  }
+
+  // ------------------------------------------------------------ rocAuc
+
+  test("rocAuc: perfect separation 1.0, reversed 0.0, single tie 0.5") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Stats.rocAuc(rows.toDF("s", "l"), "s", col("l"))
+        .collect()(0).getDouble(2)
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) == 1.0)
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))) == 0.0)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true))) == 0.5)
+  }
+
+  test("rocAuc: tie correction matches the driver rank replica; bucket-scale invariant") {
+    val rng = new scala.util.Random(5L)
+    // coarse scores force heavy ties
+    val rows = Seq.fill(300)((rng.nextInt(10) / 10.0, rng.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val a2 = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val expect = math.rint(a2.toDouble / (2.0 * pos.size * neg.size) * 1e6) / 1e6
+    for (scale <- Seq(1.0, 7.0, 1000.0)) {
+      val r = Stats.rocAuc(rows.toDF("s", "l"), "s", col("l"), scale).collect()(0)
+      assert(r.getLong(0) == pos.size && r.getLong(1) == neg.size &&
+        r.getDouble(2) == expect, s"scale=$scale")
+    }
+  }
+
+  test("rocAuc plan: the data-sized window stays partitioned") {
+    val df = Seq((0.1, true), (0.9, false)).toDF("s", "l")
+    val plan = Stats.rocAuc(df, "s", col("l"))
+      .queryExecution.executedPlan.toString
+    // the only SinglePartition window allowed is the bucket-totals frame;
+    // the per-score window must be hash-partitioned by bucket
+    assert(plan.contains("Window"), plan)
+    assert("hashpartitioning\\(__bk".r.findFirstIn(plan).isDefined,
+      s"per-score window lost its bucket partitioning:\n$plan")
+  }
+
+  // ------------------------------------------------------- skewProfile
+
+  test("skewProfile: closed-form small fixture") {
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val r = Stats.skewProfile(df, Seq("k")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)            // p50 of (1, 3)
+    assert(r.getDouble(4) == 2.98)           // p99 interpolated
+    assert(r.getDouble(5) == 2.0)            // avg
+    assert(r.getDouble(6) == 1.5)            // max / avg
+    intercept[IllegalArgumentException] { Stats.skewProfile(df, Nil) }
+  }
+
+  // --------------------------------------------------- normalizedDedup
+
+  test("normalizedDedup: case/punct/whitespace classes collapse; keep = min id") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   world..."),
+      (4L, "something else"), (5L, "Hello worlds")).toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((3L, true)) && got(2L) == ((3L, false)) &&
+      got(3L) == ((3L, false)))
+    assert(got(4L) == ((1L, true)) && got(5L) == ((1L, true)))
+    // group ids agree within a group and differ across
+    val gids = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gids(1L) == gids(2L) && gids(2L) == gids(3L))
+    assert(Set(gids(1L), gids(4L), gids(5L)).size == 3)
+  }
+
+  // ------------------------------------------------------ cooccurrence
+
+  test("cooccurrence: hand-computed cosine/jaccard/lift; minSupport gates") {
+    val ev = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (3L, "z"), (3L, "z")).toDF("bk", "it") // dup (3, z) collapses
+    val got = EventOps.cooccurrence(ev, "bk", "it", minSupport = 2L)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == math.rint(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
+    assert(r.getDouble(6) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(7) == 1.0) // 2*3/(3*2)
+    val all = EventOps.cooccurrence(ev, "bk", "it", minSupport = 1L)
+      .collect().map(r2 => (r2.getString(0), r2.getString(1))).toSet
+    assert(all == Set(("x", "y"), ("x", "z")))
+    intercept[IllegalArgumentException] {
+      EventOps.cooccurrence(ev, "bk", "it", minSupport = 0L) }
+  }
+
+  // --------------------------------------------------------- covMatrix
+
+  test("covMatrix: driver replica on random ints; diagonal is the variance") {
+    val rng = new scala.util.Random(3L)
+    val rows = Seq.fill(50)((rng.nextInt(100).toLong,
+      rng.nextInt(1000).toLong - 500L, rng.nextInt(10).toLong))
+    val got = Stats.covMatrix(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val cols = Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val names = Seq("a", "b", "c")
+    val n = BigInt(rows.size)
+    for (i <- 0 until 3; j <- i until 3) {
+      val (x, y) = (cols(i), cols(j))
+      val num = (n * x.zip(y).map { case (u, v) => BigInt(u) * BigInt(v) }.sum -
+        x.map(BigInt(_)).sum * y.map(BigInt(_)).sum).toDouble
+      val expect = math.rint(num / (n * (n - 1)).toDouble * 1e6) / 1e6
+      assert(got((names(i), names(j))) == expect, s"${names(i)},${names(j)}")
+    }
+    assert(got.size == 6)
+  }
+
+  test("covMatrix: n < 2 nulls; guards fire; ONE aggregate over one scan") {
+    val one = Seq((1L, 2L)).toDF("a", "b")
+    val r = Stats.covMatrix(one, Seq("a", "b")).collect()
+    assert(r.forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] { Stats.covMatrix(one, Nil) }
+    intercept[IllegalArgumentException] { Stats.covMatrix(one, Seq("a", "a")) }
+    val plan = Stats.covMatrix(one, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, // single final-agg exchange
+      s"covMatrix should be one aggregate:\n$plan")
+  }
+}
