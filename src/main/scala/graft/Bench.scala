@@ -81,6 +81,14 @@ object Bench {
     val qs = shortKeys.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The suite outgrew the driver's 2000-char stdout window (the short-key
+    // map alone passed 1800 chars at 140+ queries, so the machine line now
+    // falls back to the headline total) — persist the full per-query split
+    // where truncation can't reach it. BASELINE.md cites this file.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"sf":"$sfDir","agg":"min-of-$reps-passes","total_sec":${f(total)},"queries":$longLine}""" + "\n")
+    catch { case _: Throwable => () }
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"min-of-$reps-passes","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: if the line somehow outgrows the window again, emit
     // the headline without the map rather than an unparseable fragment.

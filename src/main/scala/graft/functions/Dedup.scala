@@ -792,16 +792,24 @@ object Dedup {
         transform(col("__o"), _.getField("__t")).as("__sorted"),
         size(col("__o")).cast("long").as("__sz"))
     val prefixLen = (col("__sz") - ceil(lit(tau) * col("__sz")) + 1).cast("int")
-    val pre = ordered.select(col("__jid"), col("__sorted"), col("__sz"),
+    // Candidates travel as BARE ID PAIRS: a pair sharing k prefix tokens
+    // would otherwise carry both full token arrays k times through the
+    // join and the dedup shuffle (measured 3x the whole operator's cost on
+    // a template-heavy corpus); the arrays join back once per side after
+    // the pair-level distinct.
+    val pre = ordered.select(col("__jid"),
       explode(slice(col("__sorted"), lit(1), prefixLen)).as("__pt"))
     val cand = pre.as("l").join(pre.as("r"),
         col("l.__pt") === col("r.__pt") && col("l.__jid") < col("r.__jid"))
-      .select(col("l.__jid").as("id_a"), col("r.__jid").as("id_b"),
-        col("l.__sorted").as("__ta"), col("r.__sorted").as("__tb"),
-        col("l.__sz").as("size_a"), col("r.__sz").as("size_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("l.__jid").as("id_a"), col("r.__jid").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(ordered.select(col("__jid").as("id_a"), col("__sorted").as("__ta"),
+        col("__sz").as("size_a")), "id_a")
+      .join(ordered.select(col("__jid").as("id_b"), col("__sorted").as("__tb"),
+        col("__sz").as("size_b")), "id_b")
     val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("long")
-    cand.withColumn("inter", inter)
+    withSets.withColumn("inter", inter)
       .withColumn("__un", col("size_a") + col("size_b") - col("inter"))
       .where(col("inter").cast("double") / col("__un") >= tau)
       .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
