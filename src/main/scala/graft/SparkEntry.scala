@@ -1883,7 +1883,59 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
           floor(col("l_discount") * 100).cast("long").as("disc_c"),
           floor(col("l_tax") * 100).cast("long").as("tax_c")),
-        Seq("qty", "price_c", "disc_c", "tax_c")))
+        Seq("qty", "price_c", "disc_c", "tax_c"))),
+
+    // EXACT interpolated quantiles by distributed rank selection — the
+    // scalable form of percentile() (no per-group value buffering).
+    "q147_exact_quantiles" -> ((sp, dir) =>
+      graft.functions.Stats.exactQuantiles(table(sp, dir, "events"),
+        "value", Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
+
+    // Welch's two-sample t (click vs view on milli-units): one single-row
+    // aggregate of exact decimal moments, closed form at the end.
+    "q148_welch_t" -> ((sp, dir) =>
+      graft.functions.Stats.welchT(
+        table(sp, dir, "events").select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v1000")),
+        "event_type", "v1000", "click", "view")),
+
+    // Benford first-digit audit of extended prices (integer cents; digit
+    // via integer-to-string, never log10).
+    "q149_benford" -> ((sp, dir) =>
+      graft.functions.Profiling.benfordAudit(
+        table(sp, dir, "lineitem"), "l_extendedprice", scale = 100L)),
+
+    // Inter-event gap distribution per type: lag deltas in exact micros,
+    // decimal mean + exact percentiles.
+    "q150_event_gaps" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").select(col("user_id"),
+        col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      ev.select(col("event_type"),
+          (col("t") - lag("t", 1).over(w)).as("gap_us"))
+        .where(col("gap_us").isNotNull)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_gaps"),
+          round(sum(col("gap_us").cast(DecimalType(38, 0))).cast("double") /
+            count(lit(1)), 6).as("mean_us"),
+          round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),
+          round(expr("percentile(gap_us, 0.95)"), 6).as("p95_us"))
+    }),
+
+    // Session-length histogram: q29's sessions rolled to
+    // (n_events, n_sessions, mean duration) — the engagement-shape rollup.
+    "q151_session_hist" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events")
+        .withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      graft.operators.IntervalOps.sessionize(ev, Seq("user_id"), "tsq",
+          gapNs = 1800000000000L, orderTiebreak = Seq("event_id"))
+        .select(col("n_events"),
+          (col("span.stop") - col("span.start")).as("__dur"))
+        .groupBy("n_events").agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("__dur").cast(DecimalType(38, 0))).cast("double") /
+            count(lit(1)), 6).as("mean_dur_ns"))
+    })
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -4366,6 +4418,108 @@ object SparkEntry {
          |             ${moments.mkString(",\n             ")}
          |      FROM p)
          |$rows""".stripMargin
-    }
+    },
+
+    "q147_exact_quantiles" -> {
+      val rows = Seq(0.01, 0.25, 0.5, 0.75, 0.99).map { q =>
+        s"""SELECT CAST($q AS DOUBLE) AS q,
+           |       round(quantile_cont(value, $q), 6) AS val FROM v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
+         |$rows""".stripMargin
+    },
+
+    // Exact HUGEINT moments; every double op mirrors the Scala tree.
+    "q148_welch_t" ->
+      """WITH p AS (SELECT event_type,
+        |                  CAST(CAST(floor(value*1000) AS BIGINT) AS HUGEINT)
+        |                    AS x
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS na,
+        |             CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS nb,
+        |             sum(CASE WHEN event_type='click' THEN x ELSE 0 END) AS sa,
+        |             sum(CASE WHEN event_type='view' THEN x ELSE 0 END) AS sb,
+        |             sum(CASE WHEN event_type='click' THEN x*x ELSE 0 END) AS qa,
+        |             sum(CASE WHEN event_type='view' THEN x*x ELSE 0 END) AS qb
+        |      FROM p),
+        |v AS (SELECT na, nb,
+        |             CAST(sa AS DOUBLE) / na AS ma,
+        |             CAST(sb AS DOUBLE) / nb AS mb,
+        |             CAST(na*qa - sa*sa AS DOUBLE)
+        |               / CAST(na*(na-1) AS DOUBLE) AS va,
+        |             CAST(nb*qb - sb*sb AS DOUBLE)
+        |               / CAST(nb*(nb-1) AS DOUBLE) AS vb
+        |      FROM m),
+        |s AS (SELECT *, va/na + vb/nb AS se2 FROM v)
+        |SELECT na AS n_a, nb AS n_b,
+        |       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0.0
+        |            THEN round((ma - mb) / sqrt(se2), 6) END AS t,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0.0
+        |            THEN round(se2 * se2
+        |                       / ((va/na)*(va/na)/(na-1.0)
+        |                          + (vb/nb)*(vb/nb)/(nb-1.0)), 6)
+        |       END AS df
+        |FROM s""".stripMargin,
+
+    // First digit of integer cents via integer-to-string (exact on both
+    // engines); Benford p_d embedded as shortest-round-trip literals.
+    "q149_benford" -> {
+      val digits = (1 to 9).map { d =>
+        s"SELECT $d AS digit, CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE) AS p"
+      }.mkString("\nUNION ALL ")
+      s"""WITH c0 AS (SELECT CAST(floor(abs(l_extendedprice) * 100) AS BIGINT)
+         |              AS m
+         |            FROM lineitem),
+         |c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit,
+         |             CAST(count(*) AS BIGINT) AS nd
+         |      FROM c0 WHERE m > 0 GROUP BY 1),
+         |n AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM c),
+         |d AS ($digits)
+         |SELECT d.digit, coalesce(c.nd, 0) AS n_d,
+         |       round(coalesce(c.nd, 0) / n.n, 6) AS obs_frac,
+         |       round(d.p, 6) AS benford_p,
+         |       round((coalesce(c.nd, 0) - n.n * d.p)
+         |             * (coalesce(c.nd, 0) - n.n * d.p) / (n.n * d.p), 6)
+         |         AS chi2_term
+         |FROM d LEFT JOIN c ON d.digit = c.digit, n""".stripMargin
+    },
+
+    "q150_event_gaps" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |                   epoch_us(ts) AS t
+        |            FROM events),
+        |g AS (SELECT event_type,
+        |             t - lag(t) OVER (PARTITION BY user_id
+        |                              ORDER BY t, event_id) AS gap_us
+        |      FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(CAST(sum(gap_us) AS DOUBLE) / count(*), 6) AS mean_us,
+        |       round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+        |       round(quantile_cont(gap_us, 0.95), 6) AS p95_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q29's session replay rolled to the length histogram.
+    "q151_session_hist" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+        |l AS (SELECT user_id, event_id, t,
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |               AS prev
+        |      FROM ev),
+        |s AS (SELECT user_id, t,
+        |             sum(CASE WHEN prev IS NULL OR t - prev > 1800000000000
+        |                      THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM l),
+        |sess AS (SELECT user_id, session, min(t) AS ss, max(t) AS se,
+        |                CAST(count(*) AS BIGINT) AS n_events
+        |         FROM s GROUP BY 1, 2)
+        |SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       round(CAST(sum(se - ss) AS DOUBLE) / count(*), 6)
+        |         AS mean_dur_ns
+        |FROM sess GROUP BY 1""".stripMargin
   )
 }

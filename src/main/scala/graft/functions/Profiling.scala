@@ -97,6 +97,37 @@ object Profiling {
     * correctly rounded by IEEE-754, unlike ln — no rounding guard needed).
     * Output: (keys..., n, corr) with corr at 6 dp, NULL when either
     * variance is zero. One map-side-combining aggregate. */
+  /** Benford first-digit audit — the classic fabricated-numbers /
+    * truncation-artifact detector: the leading digit of the fixed-point
+    * integer `⌊|v|·scale⌋` (first-digit extraction via INTEGER-to-string,
+    * exact and identical on any engine — never via log10, whose 1-ulp
+    * wobble at powers of ten flips the digit) against the Benford
+    * expectation p_d = log10(1+1/d). One aggregate + the 9-row digit
+    * frame joined back (absent digits surface as zero counts, they're the
+    * signal); each χ² term rounds 6 dp PER DIGIT — no cross-row double
+    * sum, so the result is order-exact. Output: (digit, n_d, obs_frac,
+    * benford_p, chi2_term). */
+  def benfordAudit(df: DataFrame, valCol: String, scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val m = floor(abs(col(valCol)) * scale).cast("long")
+    val counts = df.select(m.as("__m")).where(col("__m") > 0)
+      .select(substring(col("__m").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__nd"))
+    val total = counts.agg(sum("__nd").as("__n"))
+    val digits = (1 to 9).map { d =>
+      struct(lit(d).as("digit"), lit(math.log10(1.0 + 1.0 / d)).as("__p"))
+    }
+    val frame = total.select(col("__n"), explode(array(digits: _*)).as("__d"))
+      .select(col("__n"), col("__d.digit").as("digit"), col("__d.__p").as("__p"))
+    val nd = coalesce(col("__nd"), lit(0L))
+    frame.join(counts, Seq("digit"), "left")
+      .select(col("digit"), nd.as("n_d"),
+        round(nd / col("__n"), 6).as("obs_frac"),
+        round(col("__p"), 6).as("benford_p"),
+        round((nd - col("__n") * col("__p")) * (nd - col("__n") * col("__p")) /
+          (col("__n") * col("__p")), 6).as("chi2_term"))
+  }
+
   def exactCorr(df: DataFrame, keys: Seq[String], xCol: String,
       yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

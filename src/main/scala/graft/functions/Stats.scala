@@ -103,6 +103,97 @@ object Stats {
           .as("skew"))
   }
 
+  /** EXACT interpolated quantiles at corpus scale via distributed rank
+    * selection — the scalable form of `percentile()` (which buffers every
+    * group value in one aggregation buffer; fine per small group, fatal on
+    * a 100 TB column): the data collapses to (distinct value, count), the
+    * running cumulative uses the bucket-offset prefix sum ([[rocAuc]] /
+    * ksTest — the value-domain bucket totals take the one-task scan, the
+    * data-sized frame only sees a PARTITIONED window), and each quantile's
+    * two order statistics come from a broadcast rank-probe join. The
+    * interpolation replicates `percentile`'s own op order
+    * (`v_lo + (v_hi − v_lo)·frac`, pos = q·(n−1)) so results agree with
+    * the built-in (and DuckDB's `quantile_cont`) bitwise pre-round; output
+    * rounds 6 dp. Output: one row per q — (q, val). */
+  def exactQuantiles(df: DataFrame, valCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1]: $qs")
+    require(qs.distinct == qs, s"duplicate quantiles: $qs")
+    val vals = df.select(col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val byV = vals.groupBy("__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__bk", floor(col("__v")).cast("long"))
+    val bucketTotals = byV.groupBy("__bk").agg(sum("__c").as("__t"))
+    val wOff = Window.orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketTotals.select(col("__bk"),
+      coalesce(sum("__t").over(wOff), lit(0L)).as("__o"))
+    val wIn = Window.partitionBy("__bk").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = byV.join(broadcast(offs), "__bk")
+      .select(col("__v"),
+        (col("__o") + sum("__c").over(wIn)).as("__cum"),
+        (col("__o") + sum("__c").over(wIn) - col("__c")).as("__lo"))
+    val n = vals.agg(count(lit(1)).as("__n"))
+    val h = col("q") * (col("__n").cast("double") - 1.0)
+    val targets = n.where(col("__n") > 0)
+      .select(explode(array(qs.map(lit): _*)).as("q"), col("__n"))
+      .select(col("q"), h.as("__h"))
+      .select(col("q"), (col("__h") - floor(col("__h"))).as("__frac"),
+        explode(array(
+          struct(lit(0).as("w"), floor(col("__h")).cast("long").as("i")),
+          struct(lit(1).as("w"), ceil(col("__h")).cast("long").as("i"))))
+          .as("__t"))
+      .select(col("q"), col("__frac"),
+        col("__t.w").as("__w"), col("__t.i").as("__i"))
+    runs.join(broadcast(targets),
+        col("__i") >= col("__lo") && col("__i") < col("__cum"))
+      .groupBy("q", "__frac")
+      .agg(min(when(col("__w") === 0, col("__v"))).as("__v0"),
+        min(when(col("__w") === 1, col("__v"))).as("__v1"))
+      .select(col("q"),
+        round(col("__v0") + (col("__v1") - col("__v0")) * col("__frac"), 6)
+          .as("val"))
+  }
+
+  /** Welch's unequal-variance two-sample t-test over an INTEGER-valued
+    * measure, fully deterministic: both groups' (n, Σx, Σx²) come from ONE
+    * single-row aggregate over one scan (DECIMAL(38,0) sums), then the t
+    * statistic and Welch–Satterthwaite df run in double — every operand
+    * derives from exact integers, so any engine agrees bitwise pre-round.
+    * NULL t/df when either group is smaller than 2 or both variances are
+    * zero. Output: one row (n_a, n_b, mean_a, mean_b, t, df). */
+  def welchT(df: DataFrame, groupCol: String, valCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val x = col(valCol).cast(dec)
+    val g = df.where(col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__na"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__nb"),
+        sum(when(isA, x).otherwise(lit(0).cast(dec))).as("__sa"),
+        sum(when(!isA, x).otherwise(lit(0).cast(dec))).as("__sb"),
+        sum(when(isA, x * x).otherwise(lit(0).cast(dec))).as("__qa"),
+        sum(when(!isA, x * x).otherwise(lit(0).cast(dec))).as("__qb"))
+    val na = col("__na").cast("double"); val nb = col("__nb").cast("double")
+    def variance(n: Column, s: Column, q: Column) =
+      (n * q.cast("double") - s.cast("double") * s.cast("double")) /
+        (n * (n - 1.0))
+    val va = variance(na, col("__sa"), col("__qa"))
+    val vb = variance(nb, col("__sb"), col("__qb"))
+    val se2 = va / na + vb / nb
+    val t = (col("__sa").cast("double") / na - col("__sb").cast("double") / nb) /
+      sqrt(se2)
+    val dfw = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+    val ok = col("__na") >= 2 && col("__nb") >= 2 && se2 > 0.0
+    g.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(col("__sa").cast("double") / na, 6).as("mean_a"),
+      round(col("__sb").cast("double") / nb, 6).as("mean_b"),
+      when(ok, round(t, 6)).as("t"),
+      when(ok, round(dfw, 6)).as("df"))
+  }
+
   /** Exact sample covariance matrix over INTEGER-valued columns in ONE
     * aggregate over ONE scan: every pairwise DECIMAL(38,0) moment sum in a
     * single row, exploded to (col_x, col_y, n, cov) with the diagonal

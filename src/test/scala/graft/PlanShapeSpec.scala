@@ -49,6 +49,9 @@ class PlanShapeSpec extends SparkSuite {
     // single-row (n_pos, n_neg) / basket-count broadcast crosses; the
     // data-sized sides are aggregates and equi-joins
     "q142_roc_auc", "q145_copurchase",
+    // the 2|qs|-row rank-probe frame broadcast range-joined into the
+    // running-count frame — bounded by the quantile list, never data-sized
+    "q147_exact_quantiles",
     // inherits q15's declared brute-force kNN baseline (ivfTopK is the
     // scale path for the same rollup)
     "q137_label_agreement",

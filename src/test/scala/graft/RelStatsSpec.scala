@@ -246,6 +246,91 @@ class RelStatsSpec extends SparkSuite {
     assert(got.size == 6)
   }
 
+  // ---------------------------------------------------- exactQuantiles
+
+  test("exactQuantiles: equals the built-in percentile() at 6 dp on random data") {
+    val rng = new scala.util.Random(19L)
+    // heavy ties + negatives + fractional values across several buckets
+    val vals = Seq.fill(500)(math.floor(rng.nextGaussian() * 300) / 100.0)
+    val df = vals.toDF("v")
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = Stats.exactQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val expect = qs.map { q =>
+      q -> df.agg(round(expr(s"percentile(v, $q)"), 6)).collect()(0).getDouble(0)
+    }.toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("exactQuantiles: n=1, empty input, and guards") {
+    val one = Seq(42.5).toDF("v")
+    val r1 = Stats.exactQuantiles(one, "v", Seq(0.5)).collect()
+    assert(r1.length == 1 && r1(0).getDouble(1) == 42.5)
+    assert(Stats.exactQuantiles(one.where(col("v") < 0), "v", Seq(0.5))
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(one, "v", Seq(1.5)) }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(one, "v", Seq(0.5, 0.5)) }
+    intercept[IllegalArgumentException] { Stats.exactQuantiles(one, "v", Nil) }
+  }
+
+  test("exactQuantiles plan: the data-sized window stays partitioned") {
+    val plan = Stats.exactQuantiles(Seq(1.0, 2.0).toDF("v"), "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(__bk".r.findFirstIn(plan).isDefined,
+      s"per-value window lost its bucket partitioning:\n$plan")
+  }
+
+  // ------------------------------------------------------------ welchT
+
+  test("welchT: driver replica; identical groups give t=0; degenerate groups null out") {
+    val rng = new scala.util.Random(23L)
+    val rows = Seq.fill(200)(
+      (if (rng.nextBoolean()) "a" else "b", rng.nextInt(1000).toLong))
+    val r = Stats.welchT(rows.toDF("g", "v"), "g", "v", "a", "b").collect()(0)
+    val xa = rows.filter(_._1 == "a").map(_._2)
+    val xb = rows.filter(_._1 == "b").map(_._2)
+    def mom(x: Seq[Long]) = (x.size.toLong, x.map(BigInt(_)).sum,
+      x.map(v => BigInt(v) * BigInt(v)).sum)
+    val (na, sa, qa) = mom(xa); val (nb, sb, qb) = mom(xb)
+    def vr(n: Long, s: BigInt, q: BigInt) =
+      (BigInt(n) * q - s * s).toDouble / (BigInt(n) * BigInt(n - 1)).toDouble
+    val (va, vb) = (vr(na, sa, qa), vr(nb, sb, qb))
+    val se2 = va / na + vb / nb
+    val ma = sa.toDouble / na; val mb = sb.toDouble / nb
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getDouble(2) == math.rint(ma * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint((ma - mb) / math.sqrt(se2) * 1e6) / 1e6)
+    val dfw = se2 * se2 / ((va / na) * (va / na) / (na - 1.0) +
+      (vb / nb) * (vb / nb) / (nb - 1.0))
+    assert(r.getDouble(5) == math.rint(dfw * 1e6) / 1e6)
+    // constant-valued groups: se2 = 0 -> null t/df, means still reported
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+    val rc = Stats.welchT(const.toDF("g", "v"), "g", "v", "a", "b").collect()(0)
+    assert(rc.getDouble(2) == 5.0 && rc.isNullAt(4) && rc.isNullAt(5))
+  }
+
+  // ------------------------------------------------------ benfordAudit
+
+  test("benfordAudit: hand-computed digits incl. absent-digit zero rows") {
+    // values scale=1 -> integers 1, 19, 190, 2, 2, 35; digits 1,1,1,2,2,3
+    val df = Seq(1.0, 19.0, 190.0, 2.0, 2.4, 35.0, 0.0, -1.9).toDF("v")
+    // -1.9 -> abs 1.9 -> floor 1 -> digit 1; 0.0 excluded
+    val got = graft.functions.Profiling.benfordAudit(df, "v", scale = 1L)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == 9)
+    assert(got(1)._1 == 4L && got(2)._1 == 2L && got(3)._1 == 1L)
+    assert((4 to 9).forall(got(_)._1 == 0L))
+    assert(got(1)._2 == math.rint(4.0 / 7.0 * 1e6) / 1e6)
+    val p1 = math.log10(2.0)
+    val chi1 = graft.functions.Profiling.benfordAudit(df, "v", 1L)
+      .where(col("digit") === 1).collect()(0).getDouble(4)
+    assert(chi1 == math.rint((4.0 - 7 * p1) * (4.0 - 7 * p1) / (7 * p1) * 1e6) / 1e6)
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.benfordAudit(df, "v", 0L) }
+  }
+
   test("covMatrix: n < 2 nulls; guards fire; ONE aggregate over one scan") {
     val one = Seq((1L, 2L)).toDF("a", "b")
     val r = Stats.covMatrix(one, Seq("a", "b")).collect()
