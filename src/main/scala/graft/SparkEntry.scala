@@ -1935,7 +1935,66 @@ object SparkEntry {
         .groupBy("n_events").agg(count(lit(1)).as("n_sessions"),
           round(sum(col("__dur").cast(DecimalType(38, 0))).cast("double") /
             count(lit(1)), 6).as("mean_dur_ns"))
-    })
+    }),
+
+    // ANN quality audit: recall@10 of the LSH bucketed path (q16's plan)
+    // against the exact brute-force truth (q15's declared baseline role) —
+    // the "are 8 planes enough for my corpus" pre-flight before shipping
+    // the approximate path. Both sides are deterministic, so the oracle
+    // replays the full composition; audits run on a query SAMPLE, which is
+    // what keeps the brute side bounded at scale.
+    "q152_ann_recall" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
+      val brute = Similarity.bruteForceTopK(e, q, 10).select("q_id", "vec_id")
+      val approx = Similarity.lshTopK(e, q, 10, Similarity.randomPlanes(8, 64))
+        .select("q_id", "vec_id")
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / lit(10.0), 6)
+            .as("recall"))
+    }),
+
+    // Pearson χ² independence: is document language independent of source?
+    // One data-sized contingency aggregate; margins, total, and the
+    // expected-count join all run on the vocab-bounded cell frame (the
+    // single total row broadcasts — q42's idiom).
+    "q153_chi2" -> ((sp, dir) =>
+      graft.functions.Stats.chiSquareIndependence(
+        table(sp, dir, "documents"), "lang", "source")),
+
+    // One BPE merge-candidate counting step (tokenizer training's inner
+    // loop): adjacent symbol pairs weighted by word frequency, with the
+    // pair explode running over the VOCAB, not the corpus. Top-20 merges,
+    // ties by pair.
+    "q154_bpe_pairs" -> ((sp, dir) =>
+      TF.bpePairStats(table(sp, dir, "documents"), "text", 20)),
+
+    // Blocked fuzzy-duplicate pairs over 40-char document "titles":
+    // prefix-12 blocking equi-join + exact thresholded Levenshtein verify —
+    // record linkage's blocking+verify shape (the recall trade is
+    // documented on the operator; FastSS q85 is the exact-recall sibling
+    // at distance 1). ASCII corpus ⇒ DuckDB's byte-based levenshtein
+    // agrees with Spark's code-point one.
+    "q155_fuzzy_pairs" -> ((sp, dir) =>
+      Dedup.blockedEditPairs(
+        table(sp, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
+        "doc_id", "title", maxDist = 2, prefixLen = 12)),
+
+    // Z-order (Morton) locality key over (user_id, event day) — the
+    // multi-dimensional clustering key behind OPTIMIZE ZORDER, as one
+    // codegen'd bit-interleave projection (no shuffle, no UDF).
+    // ZOrderSpec pins the locality property and the layout writer.
+    "q156_zorder" -> ((sp, dir) =>
+      table(sp, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          graft.sources.ZOrderLayout.zValue(col("user_id"), col("day"), 20)
+            .as("z")))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -4520,6 +4579,113 @@ object SparkEntry {
         |SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
         |       round(CAST(sum(se - ss) AS DOUBLE) / count(*), 6)
         |         AS mean_dur_ns
-        |FROM sess GROUP BY 1""".stripMargin
+        |FROM sess GROUP BY 1""".stripMargin,
+
+    // Full composition replay: q15's brute truth and q16's LSH ranking as
+    // CTEs, intersected per query, missing queries kept at zero recall.
+    "q152_ann_recall" -> {
+      val code = (v: String) => signCodeSql(v, Similarity.randomPlanes(8, 64))
+      s"""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |            FROM embeddings WHERE vec_id % 100 = 0),
+         |c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bs AS (SELECT q_id, vec_id,
+         |              round(list_dot_product(v, qv)
+         |                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS sim
+         |       FROM c0, q0 WHERE vec_id <> q_id),
+         |br AS (SELECT q_id, vec_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |         FROM bs) WHERE rank <= 10),
+         |qc AS (SELECT q_id, qv, ${code("qv")} AS lcode FROM q0),
+         |cc AS (SELECT vec_id, v, ${code("v")} AS lcode FROM c0),
+         |ls AS (SELECT q_id, vec_id,
+         |              round(list_dot_product(v, qv)
+         |                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS sim
+         |       FROM cc JOIN qc USING (lcode) WHERE vec_id <> q_id),
+         |lr AS (SELECT q_id, vec_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |         FROM ls) WHERE rank <= 10),
+         |h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+         |      FROM br JOIN lr USING (q_id, vec_id) GROUP BY 1)
+         |SELECT q0.q_id, COALESCE(h.hits, 0) AS hits,
+         |       round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10, 6) AS recall
+         |FROM q0 LEFT JOIN h USING (q_id)""".stripMargin
+    },
+
+    // Contingency replay: expected counts as double·double/double in the
+    // same op order, per-cell terms rounded 6 dp, DECIMAL(18,6) sum.
+    "q153_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |                      CAST(count(*) AS BIGINT) AS o
+        |               FROM documents
+        |               WHERE lang IS NOT NULL AND source IS NOT NULL
+        |               GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |               CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+        |ex AS (SELECT n, r, c, o,
+        |              CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |       FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot),
+        |t AS (SELECT n, r, c,
+        |             CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6)
+        |                  AS DECIMAL(18,6)) AS term
+        |      FROM ex)
+        |SELECT n, r AS n_a, c AS n_b, CAST((r-1)*(c-1) AS BIGINT) AS dof,
+        |       CAST(sum(term) AS DOUBLE) AS chi2,
+        |       CASE WHEN (r-1)*(c-1) > 0 THEN
+        |         round(sqrt(CAST(sum(term) AS DOUBLE) /
+        |               (CAST(n AS DOUBLE) * CAST(least(r-1, c-1) AS DOUBLE))), 6)
+        |       END AS cramers_v
+        |FROM t GROUP BY n, r, c""".stripMargin,
+
+    // Word-frequency-weighted adjacent symbol pairs, replayed over the
+    // vocab; pairs travel as 'a b' strings (symbols never contain spaces).
+    "q154_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
+        |            FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0 GROUP BY 1),
+        |sy AS (SELECT f, list_concat(list_transform(range(1, length(w) + 1),
+        |                                            i -> substr(w, i, 1)),
+        |                             ['</w>']) AS s
+        |       FROM v),
+        |p0 AS (SELECT f, unnest(list_transform(range(1, len(s)),
+        |                        i -> s[i] || ' ' || s[i + 1])) AS pr
+        |       FROM sy),
+        |g AS (SELECT split_part(pr, ' ', 1) AS pair_a,
+        |             split_part(pr, ' ', 2) AS pair_b,
+        |             CAST(sum(f) AS BIGINT) AS cnt
+        |      FROM p0 GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair_a, pair_b) AS rank
+        |      FROM g)
+        |SELECT pair_a, pair_b, cnt, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
+
+    // Blocking + verify replay; byte-based vs code-point levenshtein agree
+    // on this ASCII corpus (pinned by the entry comment).
+    "q155_fuzzy_pairs" ->
+      """WITH p AS (SELECT doc_id AS id, substr(text, 1, 40) AS s,
+        |                  substr(text, 1, 12) AS blk
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM p AS a JOIN p AS b ON a.blk = b.blk
+        |WHERE a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |  AND levenshtein(a.s, b.s) <= 2""".stripMargin,
+
+    // Pure integer bit-interleave replay (mask, shift, or).
+    "q156_zorder" -> {
+      val mask = (1L << 20) - 1
+      val zTerms = (0 until 20).map(i =>
+        s"((((user_id & $mask) & ${1L << i}) << $i) | " +
+          s"(((d & $mask) & ${1L << i}) << ${i + 1}))")
+        .mkString("(", " |\n         ", ")")
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |                   epoch_us(ts) // 86400000000 AS d
+         |            FROM events)
+         |SELECT event_id, user_id, d AS day,
+         |       $zTerms AS z
+         |FROM ev""".stripMargin
+    }
   )
 }

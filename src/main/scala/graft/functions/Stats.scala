@@ -223,4 +223,45 @@ object Stats {
       .select(col("__r.col_x").as("col_x"), col("__r.col_y").as("col_y"),
         col("__r.n").as("n"), col("__r.cov").as("cov"))
   }
+
+  /** Pearson χ² test of independence between two categorical columns, with
+    * Cramér's V effect size — "is doc language independent of source?" as a
+    * one-row answer. The ONLY data-sized operation is the (a, b) contingency
+    * aggregate (map-side combining); row totals, column totals, and the
+    * grand total all DERIVE from that vocab-bounded cell frame, so the
+    * expected-count join never touches the corpus again. Determinism: every
+    * expected count is `ra·cb/n` evaluated double·double/double in a fixed
+    * op order (doubles first — the BIGINT product would overflow at corpus
+    * scale), each cell's (o−e)²/e term rounds at 6 dp, and the terms sum as
+    * DECIMAL(18,6) — order-exact under any partitioning. NULL rows in
+    * either column are excluded (a test over observed pairs). Output: one
+    * row (n, n_a, n_b, dof, chi2, cramers_v); `cramers_v` is NULL when
+    * either margin is a single category (dof = 0). */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      countDistinct(col("__a")).as("__r"), countDistinct(col("__b")).as("__c"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val d = col("__o").cast("double") - e
+    val joined = cells.join(rowT, "__a").join(colT, "__b")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__r"), col("__c"),
+        round(d * d / e, 6).cast(DecimalType(18, 6)).as("__term"))
+    val dof = (col("__r") - 1) * (col("__c") - 1)
+    joined.groupBy("__n", "__r", "__c")
+      .agg(sum("__term").as("__chi2"))
+      .select(col("__n").as("n"), col("__r").as("n_a"), col("__c").as("n_b"),
+        dof.as("dof"),
+        col("__chi2").cast("double").as("chi2"),
+        when(dof > 0, round(
+          sqrt(col("__chi2").cast("double") /
+            (col("__n").cast("double") *
+              least(col("__r") - 1, col("__c") - 1).cast("double"))), 6))
+          .as("cramers_v"))
+  }
 }

@@ -604,4 +604,40 @@ object TextFunctions {
         round(when(col("tot_words") > 0,
           col("tot_tokens").cast("double") / col("tot_words"))
           .otherwise(lit(0.0)), 6).as("fertility"))
+
+  /** One BPE merge-candidate counting step — the inner loop of tokenizer
+    * training (Sennrich ACL '16): with every word split into characters plus
+    * an end-of-word marker, count each adjacent symbol pair weighted by word
+    * frequency and rank the top-k merge candidates. Two aggregates, both
+    * map-side combining: corpus → word frequencies (vocab-bounded), then
+    * pair occurrences EXPLODE FROM THE VOCAB, not from the corpus — a word
+    * seen a million times contributes its pairs once, weighted by its count.
+    * Words are the `[a-z0-9]+` runs of the lowercased text (ASCII by
+    * construction, so character indexing agrees across engines); a pair
+    * occurring twice in one word counts twice (position-enumerated, as the
+    * real algorithm does). Ties rank by (count desc, pair_a, pair_b) —
+    * total order, deterministic. Output: (pair_a, pair_b, cnt, rank),
+    * rank <= k. */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"bpePairStats requires k >= 1, got $k")
+    val vocab = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    val pairs = vocab
+      .withColumn("__s", expr(
+        "concat(transform(sequence(1, char_length(__w)), i -> substring(__w, i, 1)), array('</w>'))"))
+      .select(col("__f"), explode(expr(
+        """transform(sequence(1, size(__s) - 1),
+          |  i -> struct(element_at(__s, i) AS pair_a, element_at(__s, i + 1) AS pair_b))"""
+          .stripMargin)).as("__p"))
+      .select(col("__p.pair_a"), col("__p.pair_b"), col("__f"))
+      .groupBy("pair_a", "pair_b").agg(sum("__f").as("cnt"))
+    // rank on the alphabet-bounded pair frame (≤ |alphabet|² rows at ANY
+    // corpus size — a one-task window here is a constant, not a scale risk)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

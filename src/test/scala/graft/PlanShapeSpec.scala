@@ -73,7 +73,14 @@ class PlanShapeSpec extends SparkSuite {
     // the 2^p-row register range broadcast-crossed with the distinct-key
     // frame to materialize absent registers (q72's single-row idiom, per
     // group) — 64 rows here, bounded by the sketch width at any scale
-    "q136_hll_grouped")
+    "q136_hll_grouped",
+    // inherits q15's declared brute-force baseline (the recall audit's
+    // ground truth) — the LSH side and the hit-intersection are equi-joins
+    "q152_ann_recall",
+    // single-row (n, r, c) grand-total broadcast cross into the
+    // expected-count math (q42's idiom); margins join the vocab-bounded
+    // cell frame
+    "q153_chi2")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

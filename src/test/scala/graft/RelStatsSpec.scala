@@ -342,4 +342,34 @@ class RelStatsSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(plan).size <= 1, // single final-agg exchange
       s"covMatrix should be one aggregate:\n$plan")
   }
+
+  // ------------------------------------------- chiSquareIndependence
+
+  test("chiSquareIndependence: hand-computed 2x2 table; null rows excluded") {
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v")) ++
+      Seq((null.asInstanceOf[String], "u"), ("x", null.asInstanceOf[String]))
+    val r = Stats.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 2L, 2L, 1L)))
+    // per-cell (o-e)^2/e rounded 6 dp, then the exact decimal sum
+    val terms = Seq((10.0, 12.0), (20.0, 18.0), (30.0, 28.0), (40.0, 42.0))
+      .map { case (o, e) => math.rint((o - e) * (o - e) / e * 1e6) / 1e6 }
+    val chi2 = terms.map(BigDecimal(_)).sum.toDouble
+    assert(r.getDouble(4) == chi2)
+    assert(r.getDouble(5) ==
+      math.rint(math.sqrt(r.getDouble(4) / 100.0) * 1e6) / 1e6)
+  }
+
+  test("chiSquareIndependence: proportional table scores zero; dof 0 nulls cramers_v") {
+    val prop = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(40)(("y", "v"))
+    val r = Stats.chiSquareIndependence(prop.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    val flat = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val r2 = Stats.chiSquareIndependence(flat, "a", "b").collect()(0)
+    assert(r2.getLong(3) == 0L && r2.isNullAt(5))
+  }
 }

@@ -504,4 +504,45 @@ class TextDedupSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"))
   }
+
+  // ------------------------------------------------------- bpePairStats
+
+  test("bpePairStats: frequency-weighted pairs with the end-of-word marker, deterministic tie rank") {
+    // words: aa (x1), ab (x2; once via 'Ab!' -> lowercase + punct strip)
+    val df = Seq("aa ab", "Ab!").toDF("text")
+    val got = TF.bpePairStats(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // (a,b):2, (b,</w>):2, then cnt-1 ties: (a,</w>) before (a,a)
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 1L), ("b", "</w>", 2L, 2L), ("a", "</w>", 1L, 3L)))
+    // a pair occurring twice in ONE word counts twice per occurrence
+    val dbl = TF.bpePairStats(Seq("aaa").toDF("text"), "text", 1).collect()(0)
+    assert((dbl.getString(0), dbl.getString(1), dbl.getLong(2)) == (("a", "a", 2L)))
+    intercept[IllegalArgumentException] { TF.bpePairStats(df, "text", 0) }
+  }
+
+  // --------------------------------------------------- blockedEditPairs
+
+  test("blockedEditPairs: in-block pairs within threshold; blocking miss and over-threshold excluded") {
+    val df = Seq(
+      (1L, "abcdefgh"),  // vs 2: dist 1 (same block)
+      (2L, "abcdefxh"),
+      (3L, "xbcdefgh"),  // dist 1 from 1 but differs INSIDE the prefix -> blocked away
+      (4L, "abcdzzzz"),  // same block as 1/2, dist 4 -> over threshold
+      (5L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = graft.functions.Dedup.blockedEditPairs(df, "id", "s", maxDist = 2, prefixLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.functions.Dedup.blockedEditPairs(df, "id", "s", 0, 4) }
+    intercept[IllegalArgumentException] {
+      graft.functions.Dedup.blockedEditPairs(df, "id", "s", 2, 0) }
+  }
+
+  test("blockedEditPairs: candidate plan is a block-keyed equi-join, never a nested loop") {
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefxh")).toDF("id", "s")
+    val plan = graft.functions.Dedup.blockedEditPairs(df, "id", "s", 2, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
 }
