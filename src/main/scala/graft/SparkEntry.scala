@@ -1994,7 +1994,56 @@ object SparkEntry {
           expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
         .select(col("event_id"), col("user_id"), col("day"),
           graft.sources.ZOrderLayout.zValue(col("user_id"), col("day"), 20)
-            .as("z")))
+            .as("z"))),
+
+    // Position-based (U-shaped) multi-touch attribution: click/view
+    // touches inside 7 days before each purchase earn 0.4/0.4/middle
+    // credit; per-channel DECIMAL rollup. The pairing is a per-user
+    // equi-join; data-sized windows stay partitioned.
+    "q157_attribution" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"))
+      graft.functions.EventOps.attribution(ev, Seq("user_id"), "event_type",
+        "t", "event_id", Seq("click", "view"), "purchase",
+        lookback = 7L * 86400000000L, model = "position")
+    }),
+
+    // Mutual information lang↔source in nats (+ marginal entropies and
+    // normalized MI) — q153's contingency plan with information terms:
+    // 6 dp-rounded ln terms, DECIMAL sums, vocab-bounded frames.
+    "q158_mutual_info" -> ((sp, dir) =>
+      graft.functions.Stats.mutualInformation(
+        table(sp, dir, "documents"), "lang", "source")),
+
+    // One label-propagation step over the co-purchase graph: parts take
+    // the weight-majority brand among co-ordered parts (ties to smallest
+    // brand), isolated parts keep their own. Edges = basket pair explode
+    // bounded by order width (q145's idiom).
+    "q159_label_prop" -> ((sp, dir) => {
+      val li = table(sp, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.functions.GraphOps.labelPropagationStep(edges,
+        table(sp, dir, "part").select(col("p_partkey"), col("p_brand")),
+        "src", "dst", "w", "p_partkey", "p_brand")
+    }),
+
+    // Calibration curve of the q80 hashed-linear quality score against
+    // the lang='en' label (q142's labeling): 10 equal-width bins, exact
+    // integer counts, fixed-point mean score. The reliability diagram
+    // next to q142's AUC.
+    "q160_calibration" -> ((sp, dir) => {
+      val scored = table(sp, dir, "documents").select(
+        TF.hashedLinearScore(col("text"), dim = 64, salt = "q80").as("score"),
+        col("lang"))
+      graft.functions.Stats.calibrationCurve(scored, "score",
+        col("lang") === "en", 10)
+    })
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -4686,6 +4735,129 @@ object SparkEntry {
          |SELECT event_id, user_id, d AS day,
          |       $zTerms AS z
          |FROM ev""".stripMargin
+    },
+
+    // Per-user touch↔conversion pairing, U-shaped credits rounded 6 dp,
+    // DECIMAL channel rollup (float literals CAST to DOUBLE — DuckDB
+    // parses bare float literals as DECIMAL).
+    "q157_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |           FROM events),
+        |tc AS (SELECT t.event_type AS channel, t.t AS tt,
+        |              t.event_id AS tie, c.event_id AS cid, c.user_id
+        |       FROM e t JOIN e c ON t.user_id = c.user_id
+        |       WHERE c.event_type = 'purchase'
+        |         AND t.event_type IN ('click', 'view')
+        |         AND t.t >= c.t - 604800000000 AND t.t < c.t),
+        |p AS (SELECT channel, cid,
+        |             row_number() OVER (PARTITION BY user_id, cid
+        |                                ORDER BY tt, tie) AS pos,
+        |             count(*) OVER (PARTITION BY user_id, cid) AS n
+        |      FROM tc),
+        |cr AS (SELECT channel, cid,
+        |              CAST(round(CASE
+        |                WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |                WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |                WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+        |                ELSE CAST(0.2 AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0)
+        |              END, 6) AS DECIMAL(18,6)) AS credit
+        |       FROM p)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+        |       CAST(sum(credit) AS DOUBLE) AS credit
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // q153's contingency replay with information terms: 6 dp-rounded ln
+    // terms, DECIMAL(18,6) sums, one final normalization.
+    "q158_mutual_info" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |                      CAST(count(*) AS BIGINT) AS o
+        |               FROM documents
+        |               WHERE lang IS NOT NULL AND source IS NOT NULL
+        |               GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |ha AS (SELECT sum(CAST(round(
+        |                 -(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                  ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |               AS DECIMAL(18,6))) AS ha
+        |       FROM rt CROSS JOIN tot),
+        |hb AS (SELECT sum(CAST(round(
+        |                 -(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                  ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |               AS DECIMAL(18,6))) AS hb
+        |       FROM ct CROSS JOIN tot),
+        |mi AS (SELECT n, sum(CAST(round(
+        |                 (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                 ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+        |                    (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))), 6)
+        |               AS DECIMAL(18,6))) AS mi
+        |       FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+        |       GROUP BY n)
+        |SELECT n, CAST(mi AS DOUBLE) AS mi,
+        |       CAST(ha AS DOUBLE) AS h_a, CAST(hb AS DOUBLE) AS h_b,
+        |       CASE WHEN CAST(ha AS DOUBLE) > 0 AND CAST(hb AS DOUBLE) > 0
+        |            THEN round(CAST(mi AS DOUBLE) /
+        |                       sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)
+        |       END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // Co-purchase edges (basket pair explode), both-direction tallies,
+    // (weight desc, label asc) argmax, isolated parts keep their brand.
+    "q159_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |             CAST(count(*) AS BIGINT) AS w
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |d AS (SELECT src AS u, dst AS v, w FROM e
+        |      UNION ALL SELECT dst, src, w FROM e),
+        |t AS (SELECT d.u, p.p_brand AS nl, CAST(sum(d.w) AS BIGINT) AS tw
+        |      FROM d JOIN part p ON d.v = p.p_partkey GROUP BY 1, 2),
+        |wn AS (SELECT u, nl FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY u
+        |                                      ORDER BY tw DESC, nl) AS r
+        |         FROM t) WHERE r = 1)
+        |SELECT p.p_partkey AS node, COALESCE(wn.nl, p.p_brand) AS label,
+        |       p.p_brand AS prev_label
+        |FROM part p LEFT JOIN wn ON wn.u = p.p_partkey""".stripMargin,
+
+    // q80's bit-exact score replay bucketed to the reliability diagram;
+    // fixed-point mean (6 dp scores ⇒ round(s·1e6) is an exact integer).
+    "q160_calibration" -> {
+      val half = TF.HashMod / 2L
+      s"""WITH t AS (
+         |  SELECT lang,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, len(toks) AS ntok,
+         |         CAST(coalesce(list_sum(list_transform(toks, tok ->
+         |           ((${hSql("'q80:' || tok")} % 64) * 2654435761)
+         |             % ${TF.HashMod} - $half)), 0) AS BIGINT) AS raw
+         |  FROM t),
+         |sc AS (
+         |  SELECT lang,
+         |         round(1.0 / (1.0 + exp(-(0.0 + 4.0 *
+         |           (CASE WHEN ntok > 0
+         |                 THEN raw / (CAST(ntok AS DOUBLE) * $half.0)
+         |                 ELSE 0.0 END)))), 6) AS score
+         |  FROM s),
+         |b AS (
+         |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |         CAST(round(score * 1e6, 0) AS DECIMAL(38,0)) AS fx,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM sc)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(y) AS BIGINT) AS n_pos,
+         |       round(CAST(sum(fx) AS DOUBLE) /
+         |             (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_score,
+         |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |         AS pos_rate
+         |FROM b GROUP BY 1""".stripMargin
     }
   )
 }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-sequence analytics over keyed, timestamped event streams: funnel
   * progression and gaps-and-islands run detection — the product-analytics
@@ -219,5 +220,69 @@ object EventOps {
           .as("jaccard"),
         round((col("n_ab") * col("__nb")) / (col("n_a") * col("n_b")), 6)
           .as("lift"))
+  }
+
+  /** Multi-touch attribution over a keyed event stream: for each
+    * CONVERSION event, every TOUCH event by the same key inside the
+    * lookback window `[convTs − lookback, convTs)` (in the timestamp
+    * column's unit) earns credit under
+    * `model`:
+    *
+    *  - `"linear"`:   1/n to each of the conversion's n touches;
+    *  - `"position"`: U-shaped — 0.4 to the first touch, 0.4 to the last,
+    *                  0.2/(n−2) to each middle one (n=1 → 1.0, n=2 →
+    *                  0.5/0.5) — the standard position-based model.
+    *
+    * Every credit rounds at 6 dp and the per-channel totals sum as
+    * DECIMAL(18,6) — order-exact. Touch order inside a window is
+    * (ts, tieCol) — a total order, so first/last are well-defined and any
+    * engine replays them. Output: one row per channel (touch type) that
+    * earned credit: (channel, n_touches, n_conversions, credit).
+    *
+    * Shape at 100 TB: the touch↔conversion pairing is a per-key equi-join
+    * (key-partitioned shuffle, AQE-splittable skew) with the window
+    * predicate as the join residual; per-conversion counts/positions are
+    * windows over (key, conversion id) — data-sized frames only ever see
+    * PARTITIONED windows; the channel rollup is a map-side-combining
+    * aggregate over a touch-type-bounded frame. */
+  def attribution(df: DataFrame, keys: Seq[String], typeCol: String,
+      tsCol: String, tieCol: String, touchTypes: Seq[String],
+      convType: String, lookback: Long, model: String): DataFrame = {
+    require(lookback > 0, s"attribution requires lookback > 0, got $lookback")
+    require(Seq("linear", "position").contains(model),
+      s"unknown attribution model `$model` (expected linear or position)")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touchTypes must be non-empty and must not contain convType")
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .select(keys.map(col) :+ col(typeCol).as("__channel") :+
+        col(tsCol).as("__tt") :+ col(tieCol).as("__tie"): _*)
+    val convs = df.where(col(typeCol) === convType)
+      .select(keys.map(col) :+ col(tsCol).as("__ct") :+
+        col(tieCol).as("__cid"): _*)
+    val paired = touches.join(convs, keys)
+      .where(col("__tt") >= col("__ct") - lookback && col("__tt") < col("__ct"))
+    val w = Window.partitionBy((keys :+ "__cid").map(col): _*)
+      .orderBy(col("__tt"), col("__tie"))
+    val positioned = paired
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy((keys :+ "__cid").map(col): _*)))
+    val nD = col("__n").cast("double")
+    val credit = model match {
+      case "linear" => round(lit(1.0) / nD, 6)
+      case "position" => round(
+        when(col("__n") === 1, 1.0)
+          .when(col("__n") === 2, 0.5)
+          .when(col("__pos") === 1 || col("__pos") === col("__n"), 0.4)
+          .otherwise(lit(0.2) / (nD - 2.0)), 6)
+    }
+    positioned
+      .select(col("__channel"), col("__cid"),
+        credit.cast(DecimalType(18, 6)).as("__credit"))
+      .groupBy("__channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("__cid")).as("n_conversions"),
+        sum("__credit").cast("double").as("credit"))
+      .withColumnRenamed("__channel", "channel")
   }
 }

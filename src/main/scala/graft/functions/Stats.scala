@@ -264,4 +264,72 @@ object Stats {
               least(col("__r") - 1, col("__c") - 1).cast("double"))), 6))
           .as("cramers_v"))
   }
+
+  /** Mutual information (and marginal entropies) between two categorical
+    * columns, in nats — the information-theoretic sibling of
+    * [[chiSquareIndependence]], same plan: ONE data-sized contingency
+    * aggregate, everything else on the vocab-bounded cell frame. Each
+    * cell's `(c/n)·ln(c·n/(ra·cb))` term and each margin's entropy term
+    * round at 6 dp and sum as DECIMAL(18,6) (order-exact; `ln` of
+    * identical doubles agrees across engines — the q59/q132 discipline).
+    * Output: one row (n, mi, h_a, h_b, nmi) with
+    * `nmi = mi/sqrt(h_a·h_b)` (NULL when either entropy is zero). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    def entTerm(c: Column, n: Column): Column = {
+      val p = c.cast("double") / n.cast("double")
+      round(-p * log(p), 6).cast(DecimalType(18, 6))
+    }
+    val ha = rowT.crossJoin(broadcast(tot))
+      .agg(sum(entTerm(col("__ra"), col("__n"))).as("__ha"))
+    val hb = colT.crossJoin(broadcast(tot))
+      .agg(sum(entTerm(col("__cb"), col("__n"))).as("__hb"))
+    val p = col("__o").cast("double") / col("__n").cast("double")
+    val ratio = col("__o").cast("double") * col("__n").cast("double") /
+      (col("__ra").cast("double") * col("__cb").cast("double"))
+    val miSum = cells.join(rowT, "__a").join(colT, "__b")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"),
+        round(p * log(ratio), 6).cast(DecimalType(18, 6)).as("__term"))
+      .groupBy("__n").agg(sum("__term").as("__mi"))
+    val haD = col("__ha").cast("double"); val hbD = col("__hb").cast("double")
+    miSum.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("__n").as("n"), col("__mi").cast("double").as("mi"),
+        haD.as("h_a"), hbD.as("h_b"),
+        when(haD > 0.0 && hbD > 0.0,
+          round(col("__mi").cast("double") / sqrt(haD * hbD), 6)).as("nmi"))
+  }
+
+  /** Classifier calibration curve (reliability diagram): scores in [0, 1]
+    * bucket into `nBins` equal-width bins (`least(floor(s·nBins),
+    * nBins−1)` so 1.0 lands in the top bin), each bin reporting size,
+    * positives, mean score, and positive rate. Scores are expected
+    * already 6-dp-rounded (every graft scorer emits that), so
+    * `round(s·1e6)` is an exact integer — the mean accumulates as a
+    * DECIMAL sum of those integers, order-exact, with ONE division at the
+    * end. One map-side-combining aggregate over one scan. Output:
+    * (bin, n, n_pos, mean_score, pos_rate). */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"calibrationCurve requires nBins >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val bin = least(floor(s * nBins).cast("long"), lit(nBins - 1L))
+    val fixed = round(s * 1e6, 0).cast(DecimalType(38, 0))
+    df.where(col(scoreCol).isNotNull)
+      .select(bin.as("bin"), fixed.as("__fx"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum("__fx").as("__sfx"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sfx").cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
 }

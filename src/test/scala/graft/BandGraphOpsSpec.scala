@@ -219,4 +219,28 @@ class BandGraphOpsSpec extends SparkSuite {
     // zh: 1 word, 3 CJK chars = 3 bpe tokens
     assert(got("zh") == ((1L, 1L, 3L, 3.0)))
   }
+
+  // --------------------------------------------- labelPropagationStep
+
+  test("labelPropagationStep: weight-majority wins, ties to smallest label, isolated keeps own") {
+    // nodes 1,2,3 labeled A,B,B; edges 1-2 (w2), 1-3 (w1): node 1 sees
+    // B with weight 3 -> flips; node 2 sees A(2), node 3 sees A(1) ->
+    // both flip to A; node 4 isolated keeps C.
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val labels = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"))
+      .toDF("node_id", "lab")
+    val got = graft.functions.GraphOps.labelPropagationStep(edges, labels,
+        "src", "dst", "w", "node_id", "lab")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got == Map(1L -> (("B", "A")), 2L -> (("A", "B")),
+      3L -> (("A", "B")), 4L -> (("C", "C"))))
+    // tie: node 1 sees B(1) via 2 and A(1) via 3 -> smallest label A wins
+    val tie = graft.functions.GraphOps.labelPropagationStep(
+      Seq((1L, 2L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+      Seq((1L, "C"), (2L, "B"), (3L, "A")).toDF("node_id", "lab"),
+      "src", "dst", "w", "node_id", "lab")
+      .where(col("node") === 1L).collect()(0)
+    assert(tie.getString(1) == "A")
+  }
 }

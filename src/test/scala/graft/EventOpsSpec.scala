@@ -75,4 +75,52 @@ class EventOpsSpec extends SparkSuite {
       java.lang.Double.doubleToRawLongBits(got(2L)._2) == 0L) // +0.0, not -0.0
     assert(!got.contains(3L))
   }
+
+  // ------------------------------------------------------- attribution
+
+  test("attribution: U-shaped credits, window exclusion, single-touch conversion") {
+    import spark.implicits._
+    // user 1: touches t=1,2,3 before conv at t=10 (all in window);
+    // a stale touch at t=-500 outside the 100-tick lookback;
+    // user 2: one touch -> full credit
+    val ev = Seq(
+      (101L, 1L, "click", -500L), (102L, 1L, "click", 1L),
+      (103L, 1L, "view", 2L), (104L, 1L, "click", 3L),
+      (105L, 1L, "purchase", 10L),
+      (201L, 2L, "view", 5L), (202L, 2L, "purchase", 6L)
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val m = graft.functions.EventOps.attribution(ev, Seq("user_id"),
+        "event_type", "t", "event_id", Seq("click", "view"), "purchase",
+        lookback = 100L, model = "position")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // clicks: first (0.4) + last (0.4) of user1; views: middle 0.2 + solo 1.0
+    assert(m("click") == ((2L, 1L, 0.8)))
+    assert(m("view") == ((2L, 2L, 1.2)))
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.attribution(ev, Seq("user_id"), "event_type",
+        "t", "event_id", Seq("click"), "purchase", 0L, "position") }
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.attribution(ev, Seq("user_id"), "event_type",
+        "t", "event_id", Seq("click", "purchase"), "purchase", 10L, "linear") }
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.attribution(ev, Seq("user_id"), "event_type",
+        "t", "event_id", Seq("click"), "purchase", 10L, "shapley") }
+  }
+
+  test("attribution: linear model splits evenly; overlapping windows credit both conversions") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click", 1L), (2L, 1L, "view", 2L),
+      (3L, 1L, "purchase", 3L), (4L, 1L, "purchase", 4L)
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val got = graft.functions.EventOps.attribution(ev, Seq("user_id"),
+        "event_type", "t", "event_id", Seq("click", "view"), "purchase",
+        lookback = 100L, model = "linear")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // both touches precede both conversions: each conv splits 0.5/0.5
+    assert(got("click") == ((2L, 2L, 1.0)))
+    assert(got("view") == ((2L, 2L, 1.0)))
+  }
 }

@@ -80,7 +80,10 @@ class PlanShapeSpec extends SparkSuite {
     // single-row (n, r, c) grand-total broadcast cross into the
     // expected-count math (q42's idiom); margins join the vocab-bounded
     // cell frame
-    "q153_chi2")
+    "q153_chi2",
+    // same contingency plan with three single-row broadcast crosses
+    // (total, H(a), H(b))
+    "q158_mutual_info")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -372,4 +372,35 @@ class RelStatsSpec extends SparkSuite {
     val r2 = Stats.chiSquareIndependence(flat, "a", "b").collect()(0)
     assert(r2.getLong(3) == 0L && r2.isNullAt(5))
   }
+
+  // ----------------------------------------------- mutualInformation
+
+  test("mutualInformation: zero under independence, equals entropy under identity") {
+    val ind = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    val r = Stats.mutualInformation(ind, "a", "b").collect()(0)
+    assert(r.getLong(0) == 40L && r.getDouble(1) == 0.0)
+    // identity: mi == h_a == h_b (uniform 2-way: ln 2 per margin), nmi 1
+    val idm = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y"))).toDF("a", "b")
+    val r2 = Stats.mutualInformation(idm, "a", "b").collect()(0)
+    val ln2 = math.rint(0.5 * math.log(2.0) * 1e6) / 1e6 * 2 // two 6dp terms
+    assert(r2.getDouble(2) == ln2 && r2.getDouble(3) == ln2)
+    assert(r2.getDouble(1) == r2.getDouble(2))
+    assert(r2.getDouble(4) == 1.0)
+  }
+
+  // ------------------------------------------------ calibrationCurve
+
+  test("calibrationCurve: hand bins, top-bin closure, exact means; guard") {
+    val df = Seq((0.05, true), (0.15, false), (0.17, true), (1.0, true),
+      (0.999999, false)).toDF("score", "y")
+    val got = Stats.calibrationCurve(df, "score", col("y"), 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((1L, 1L, 0.05, 1.0)))
+    assert(got(1L) == ((2L, 1L, 0.16, 0.5)))
+    assert(got(9L) == ((2L, 1L, 1.0, 0.5))) // 1.0 and 0.999999 share bin 9
+    intercept[IllegalArgumentException] {
+      Stats.calibrationCurve(df, "score", col("y"), 1) }
+  }
 }
