@@ -2151,11 +2151,10 @@ object SparkEntry {
        |               / (tf + 1.2 * (${1.0 - 0.75} + (0.75 * dl) / avgdl)) AS c
        |      FROM q JOIN tf USING (term) JOIN dl USING (id)
        |             JOIN dfr USING (term), st),
-       |s AS (SELECT qid, id, list(c ORDER BY term) AS cs FROM j GROUP BY 1, 2),
        |f AS (SELECT qid, id AS doc_id,
-       |             round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+       |             CAST(sum(CAST(round(c, 6) AS DECIMAL(18,6))) AS DOUBLE)
        |               AS score
-       |      FROM s),
+       |      FROM j GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
        |                                   ORDER BY score DESC, doc_id) AS rank
        |      FROM f)

@@ -18,8 +18,9 @@ class Bm25Spec extends SparkSuite {
   private val queries = Seq(10L -> "quick brown fox", 20L -> "lazy dog")
 
   /** Plain-Scala BM25 with the exact contract: lowercase whitespace tokens,
-    * distinct query terms, idf = ln(1 + (N - df + .5)/(df + .5)),
-    * contributions summed in sorted term order, rounded to 6 dp. */
+    * distinct query terms, idf = ln(1 + (N - df + .5)/(df + .5)), each
+    * contribution rounded to 6 dp then summed exactly (decimal — the
+    * operator's order-exact DECIMAL(18,6) discipline). */
   private def reference(k1: Double, b: Double): Map[(Long, Long), Double] = {
     def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val docToks = corpus.map { case (id, t) => id -> toks(t) }.toMap
@@ -41,8 +42,8 @@ class Bm25Spec extends SparkSuite {
         }
       }
       if contribs.nonEmpty
-      score = BigDecimal(contribs.foldLeft(0.0)(_ + _))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      score = contribs.map(c => BigDecimal(c)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
     } yield (qid, id) -> score
     out.toMap
   }
