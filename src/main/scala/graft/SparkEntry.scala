@@ -2054,6 +2054,51 @@ object SparkEntry {
         col("lang"))
       graft.functions.Stats.calibrationCurve(scored, "score",
         col("lang") === "en", 10)
+    }),
+
+    // CUPED readout: per-user post-period purchase value adjusted by the
+    // pre-period covariate (Jan 1-15 vs 16-30), arms = user_id parity.
+    // Exact DECIMAL moments, one pooled + one arm-keyed aggregate.
+    "q161_cuped" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t"),
+        floor(col("value") * 1000).cast("long").as("mv"))
+      val split = lit(1705363200000000L) // 2024-01-16T00:00:00Z in micros
+      val users = ev.groupBy("user_id").agg(
+        sum(when(col("t") < split, col("mv")).otherwise(0L)).as("pre"),
+        sum(when(col("t") >= split, col("mv")).otherwise(0L)).as("post"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2L)) === 0L, "a").otherwise("b"))
+      graft.functions.Stats.cuped(users, "arm", "post", "pre")
+    }),
+
+    // Sample-ratio-mismatch health check on the same unit-level split:
+    // χ² goodness of fit of observed arm counts vs the 50/50 design.
+    "q162_srm" -> ((sp, dir) => {
+      val users = table(sp, dir, "events").select(col("user_id")).distinct()
+        .select(when(pmod(col("user_id"), lit(2L)) === 0L, "a")
+          .otherwise("b").as("arm"))
+      graft.functions.Stats.srmCheck(users, "arm",
+        Seq("a" -> 0.5, "b" -> 0.5))
+    }),
+
+    // Grouped exact quantiles: per event type, the same rank-selection
+    // machinery as q147 with all windows PARTITIONED by the group key.
+    "q163_grouped_quantiles" -> ((sp, dir) =>
+      graft.functions.Stats.exactQuantilesBy(
+        table(sp, dir, "events").select(col("event_type"), col("value")),
+        Seq("event_type"), "value", Seq(0.25, 0.5, 0.75, 0.95))),
+
+    // PSI drift monitor: event value distribution, first half of the
+    // month as reference vs second half as current, 20 bins on [0, 500),
+    // Laplace-smoothed shares.
+    "q164_psi" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").select(col("value"),
+        expr("unix_micros(cast(ts as timestamp))").as("t"))
+      val split = 1705363200000000L
+      graft.functions.Stats.psi(
+        ev.where(col("t") < split), ev.where(col("t") >= split),
+        "value", lo = 0.0, hi = 500.0, nBins = 20)
     })
   )
 
@@ -4868,6 +4913,91 @@ object SparkEntry {
          |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
          |         AS pos_rate
          |FROM b GROUP BY 1""".stripMargin
-    }
+    },
+
+    // Exact HUGEINT moments mirror the DECIMAL(38,0) sums; θ and the
+    // adjusted means run the identical double tree.
+    "q161_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t,
+        |                   CAST(floor(value * 1000) AS BIGINT) AS mv
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |             CAST(sum(CASE WHEN t < 1705363200000000 THEN mv ELSE 0 END) AS HUGEINT) AS pre,
+        |             CAST(sum(CASE WHEN t >= 1705363200000000 THEN mv ELSE 0 END) AS HUGEINT) AS post,
+        |             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+        |      FROM ev GROUP BY 1),
+        |p AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(pre) AS sx,
+        |             sum(post) AS sy, sum(pre * post) AS sxy,
+        |             sum(pre * pre) AS sxx
+        |      FROM u),
+        |s AS (SELECT CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+        |                  THEN CAST(n*sxy - sx*sy AS DOUBLE)
+        |                       / CAST(n*sxx - sx*sx AS DOUBLE)
+        |                  ELSE CAST(0 AS DOUBLE) END AS theta,
+        |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |      FROM p),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |             sum(post) AS ay, sum(pre) AS ax
+        |      FROM u GROUP BY 1)
+        |SELECT arm, n, round(CAST(ay AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |       round(CAST(ay AS DOUBLE) / CAST(n AS DOUBLE)
+        |             - theta * (CAST(ax AS DOUBLE) / CAST(n AS DOUBLE) - xbar), 6)
+        |         AS mean_adj,
+        |       round(theta, 6) AS theta
+        |FROM a CROSS JOIN s""".stripMargin,
+
+    // Goodness-of-fit replay: the 2-row design frame anchors on the total.
+    "q162_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+        |      FROM u),
+        |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS o FROM a GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |d AS (SELECT n, v.arm, CAST(0.5 AS DOUBLE) AS p
+        |      FROM t, (VALUES ('a'), ('b')) v(arm)),
+        |j AS (SELECT n,
+        |             CAST(round((CAST(COALESCE(o, 0) AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |                  * (CAST(COALESCE(o, 0) AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |                  / (CAST(n AS DOUBLE) * p), 6) AS DECIMAL(18,6)) AS x
+        |      FROM d LEFT JOIN c USING (arm))
+        |SELECT n, CAST(2 AS BIGINT) AS k, CAST(1 AS BIGINT) AS dof,
+        |       CAST(sum(x) AS DOUBLE) AS chi2
+        |FROM j GROUP BY n""".stripMargin,
+
+    // quantile_cont per group — the interpolation q147 already pins.
+    "q163_grouped_quantiles" -> {
+      val rows = Seq(0.25, 0.5, 0.75, 0.95).map { q =>
+        s"""SELECT event_type, CAST($q AS DOUBLE) AS q,
+           |       round(quantile_cont(value, $q), 6) AS val
+           |FROM v GROUP BY event_type""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT event_type, value FROM events
+         |           WHERE value IS NOT NULL)
+         |$rows""".stripMargin
+    },
+
+    // Binned-share replay with the identical Laplace smoothing and term
+    // order.
+    "q164_psi" ->
+      """WITH ev AS (SELECT value, epoch_us(ts) AS t FROM events
+        |            WHERE value IS NOT NULL),
+        |r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS b,
+        |             CAST(count(*) AS BIGINT) AS cr
+        |      FROM ev WHERE t < 1705363200000000 GROUP BY 1),
+        |c AS (SELECT least(greatest(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS b,
+        |             CAST(count(*) AS BIGINT) AS cc
+        |      FROM ev WHERE t >= 1705363200000000 GROUP BY 1),
+        |n AS (SELECT (SELECT CAST(COALESCE(sum(cr), 0) AS BIGINT) FROM r) AS nr,
+        |             (SELECT CAST(COALESCE(sum(cc), 0) AS BIGINT) FROM c) AS nc),
+        |f AS (SELECT nr, nc, unnest(range(0, 20)) AS b FROM n),
+        |j AS (SELECT nr, nc,
+        |             CAST(round(((CAST(COALESCE(cc, 0) AS DOUBLE) + 1.0) / (CAST(nc AS DOUBLE) + 20)
+        |                         - (CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 20))
+        |                  * ln(((CAST(COALESCE(cc, 0) AS DOUBLE) + 1.0) / (CAST(nc AS DOUBLE) + 20))
+        |                       / ((CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 20))), 6)
+        |              AS DECIMAL(18,6)) AS x
+        |      FROM f LEFT JOIN r USING (b) LEFT JOIN c USING (b))
+        |SELECT nr AS n_ref, nc AS n_cur, CAST(sum(x) AS DOUBLE) AS psi
+        |FROM j GROUP BY 1, 2""".stripMargin
   )
 }

@@ -332,4 +332,165 @@ object Stats {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("pos_rate"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM '13):
+    * per-arm mean of `metricCol` adjusted by the pre-experiment covariate,
+    * `mean_adj = ȳ_arm − θ·(x̄_arm − x̄_pooled)` with the pooled
+    * `θ = cov(x, y)/var(x)`. Over INTEGER-valued columns (caller
+    * integer-izes) every moment accumulates as DECIMAL(38,0) in ONE
+    * single-row aggregate plus ONE arm-keyed aggregate — both map-side
+    * combining — and the closed form runs in double at the end (identical
+    * operands ⇒ any engine agrees bitwise pre-round). Zero covariate
+    * variance ⇒ θ = 0 (adjustment is a no-op, not a NULL — the readout
+    * degrades to the raw means). Output: one row per arm
+    * (arm, n, mean, mean_adj, theta), means rounded 6 dp. */
+  def cuped(df: DataFrame, armCol: String, metricCol: String,
+      covCol: String): DataFrame = {
+    val y = col(metricCol).cast(dec)
+    val x = col(covCol).cast(dec)
+    val pooled = df.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    val covxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val varx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val stats = pooled.select(
+      when(varx > 0.0, covxy / varx).otherwise(0.0).as("__theta"),
+      (col("__sx").cast("double") / col("__n").cast("double")).as("__xbar"))
+    val arms = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(y).as("__ay"), sum(x).as("__ax"))
+    val meanY = col("__ay").cast("double") / col("n").cast("double")
+    val meanX = col("__ax").cast("double") / col("n").cast("double")
+    arms.crossJoin(broadcast(stats))
+      .select(col("arm"), col("n"), round(meanY, 6).as("mean"),
+        round(meanY - col("__theta") * (meanX - col("__xbar")), 6)
+          .as("mean_adj"),
+        round(col("__theta"), 6).as("theta"))
+  }
+
+  /** Sample-ratio-mismatch check: χ² goodness of fit of the observed arm
+    * counts against the DESIGNED split (the first health check of any
+    * experiment readout — a mismatched split invalidates everything
+    * downstream). `expected` maps arm → design weight (normalized by
+    * their sum); rows with arms outside the design are ignored, designed
+    * arms with no rows count 0 (that IS the signal). One data-sized
+    * aggregate; the k-row design frame anchors on the single total row.
+    * Per-arm (o−e)²/e terms round 6 dp and sum as DECIMAL(18,6). Output:
+    * one row (n, k, dof, chi2). */
+  def srmCheck(df: DataFrame, armCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "srmCheck requires at least one designed arm")
+    require(expected.map(_._1).distinct.size == expected.size,
+      s"duplicate arms in the design: ${expected.map(_._1)}")
+    require(expected.forall(_._2 > 0.0),
+      s"design weights must be positive: $expected")
+    val wSum = expected.map(_._2).sum
+    val cnts = df.where(col(armCol).isin(expected.map(_._1): _*))
+      .groupBy(col(armCol).as("__arm")).agg(count(lit(1)).as("__o"))
+    val tot = cnts.agg(coalesce(sum("__o"), lit(0L)).as("__t"))
+    val design = tot.select(col("__t"), explode(array(expected.map {
+      case (a, w) => struct(lit(a).as("arm"), lit(w / wSum).as("p"))
+    }: _*)).as("__e"))
+      .select(col("__t"), col("__e.arm").as("__arm"), col("__e.p").as("__p"))
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
+    val e = col("__t").cast("double") * col("__p")
+    val terms = design.join(cnts, Seq("__arm"), "left")
+      .select(col("__t"),
+        round((o - e) * (o - e) / e, 6).cast(DecimalType(18, 6)).as("__x"))
+    terms.groupBy("__t").agg(sum("__x").as("__chi2"))
+      .select(col("__t").as("n"), lit(expected.size.toLong).as("k"),
+        lit(expected.size.toLong - 1L).as("dof"),
+        col("__chi2").cast("double").as("chi2"))
+  }
+
+  /** Per-group EXACT interpolated quantiles — [[exactQuantiles]] grouped.
+    * The grouped case needs NO bucket-offset machinery: the running
+    * cumulative is a window PARTITIONED by the group key (per-group order,
+    * never a one-task global sort), rank targets derive from the per-group
+    * counts, and each q's two order statistics arrive via a group-keyed
+    * equi-join with the rank-range residual. Interpolation replicates the
+    * built-in `percentile` op order; result rounds 6 dp. Output: one row
+    * per (group, q): (keys..., q, val). */
+  def exactQuantilesBy(df: DataFrame, keys: Seq[String], valCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(keys.nonEmpty, "exactQuantilesBy requires at least one key")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1]: $qs")
+    require(qs.distinct == qs, s"duplicate quantiles: $qs")
+    val reserved = Seq("__v", "__c", "__cum", "__lo", "__n", "q")
+    require(!keys.exists(reserved.contains),
+      s"keys clash with reserved names $reserved")
+    val vals = df.select(keys.map(col) :+ col(valCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val byV = vals.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wIn = Window.partitionBy(keys.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = byV.select(keys.map(col) :+ col("__v") :+
+      (sum("__c").over(wIn)).as("__cum") :+
+      (sum("__c").over(wIn) - col("__c")).as("__lo"): _*)
+    val ns = vals.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val h = col("q") * (col("__n").cast("double") - 1.0)
+    val targets = ns
+      .select(keys.map(col) :+ explode(array(qs.map(lit): _*)).as("q") :+
+        col("__n"): _*)
+      .select(keys.map(col) :+ col("q") :+
+        (h - floor(h)).as("__frac") :+
+        explode(array(
+          struct(lit(0).as("w"), floor(h).cast("long").as("i")),
+          struct(lit(1).as("w"), ceil(h).cast("long").as("i"))))
+          .as("__t"): _*)
+      .select(keys.map(col) :+ col("q") :+ col("__frac") :+
+        col("__t.w").as("__w") :+ col("__t.i").as("__i"): _*)
+    runs.join(targets, keys)
+      .where(col("__i") >= col("__lo") && col("__i") < col("__cum"))
+      .groupBy(keys.map(col) :+ col("q") :+ col("__frac"): _*)
+      .agg(min(when(col("__w") === 0, col("__v"))).as("__v0"),
+        min(when(col("__w") === 1, col("__v"))).as("__v1"))
+      .select(keys.map(col) :+ col("q") :+
+        round(col("__v0") + (col("__v1") - col("__v0")) * col("__frac"), 6)
+          .as("val"): _*)
+  }
+
+  /** Population stability index between a reference and a current sample
+    * of `valCol` — the standard drift monitor for model inputs/scores:
+    * `PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)` over `nBins`
+    * equal-width bins on [lo, hi) (values clamp into the edge bins, so
+    * out-of-range mass is counted, not dropped). Laplace-smoothed shares
+    * `p = (c + 1)/(n + nBins)` keep empty bins finite AND deterministic
+    * (no epsilon clamp ordering games); per-bin terms round 6 dp and sum
+    * as DECIMAL(18,6). Two map-side-combining aggregates (one per side),
+    * a bin-frame join bounded by nBins. Rule of thumb: < 0.1 stable,
+    * > 0.25 drifted. Output: one row (n_ref, n_cur, psi). */
+  def psi(ref: DataFrame, cur: DataFrame, valCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"psi requires nBins >= 2, got $nBins")
+    require(lo < hi, s"psi requires lo < hi, got [$lo, $hi)")
+    def bins(df: DataFrame, cname: String) = {
+      val b = least(greatest(
+        floor((col(valCol).cast("double") - lo) / (hi - lo) * nBins)
+          .cast("long"), lit(0L)), lit(nBins - 1L))
+      df.where(col(valCol).isNotNull).select(b.as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as(cname))
+    }
+    val r = bins(ref, "__cr")
+    val c = bins(cur, "__cc")
+    val nr = r.agg(coalesce(sum("__cr"), lit(0L)).as("__nr"))
+    val nc = c.agg(coalesce(sum("__cc"), lit(0L)).as("__nc"))
+    val frame = nr.crossJoin(broadcast(nc))
+      .select(col("__nr"), col("__nc"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("__b"))
+    val p = (coalesce(col("__cr"), lit(0L)).cast("double") + 1.0) /
+      (col("__nr").cast("double") + nBins)
+    val q = (coalesce(col("__cc"), lit(0L)).cast("double") + 1.0) /
+      (col("__nc").cast("double") + nBins)
+    frame.join(broadcast(r), Seq("__b"), "left")
+      .join(broadcast(c), Seq("__b"), "left")
+      .select(col("__nr"), col("__nc"),
+        round((q - p) * log(q / p), 6).cast(DecimalType(18, 6)).as("__x"))
+      .groupBy("__nr", "__nc").agg(sum("__x").as("__psi"))
+      .select(col("__nr").as("n_ref"), col("__nc").as("n_cur"),
+        col("__psi").cast("double").as("psi"))
+  }
 }

@@ -83,7 +83,11 @@ class PlanShapeSpec extends SparkSuite {
     "q153_chi2",
     // same contingency plan with three single-row broadcast crosses
     // (total, H(a), H(b))
-    "q158_mutual_info")
+    "q158_mutual_info",
+    // single-row pooled (theta, xbar) broadcast cross into the arm frame
+    "q161_cuped",
+    // single-row n_ref x n_cur broadcast cross anchoring the bin frame
+    "q164_psi")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

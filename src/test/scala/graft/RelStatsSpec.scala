@@ -403,4 +403,92 @@ class RelStatsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Stats.calibrationCurve(df, "score", col("y"), 1) }
   }
+
+  // --------------------------------------------------------------- cuped
+
+  test("cuped: perfectly predictive covariate collapses arm difference; zero variance degrades to raw means") {
+    // y = x + arm-independent noise pattern: theta = 1, adjusted means equal
+    val rows = Seq(("a", 10L, 10L), ("a", 20L, 20L), ("b", 30L, 30L),
+      ("b", 40L, 40L))
+    val got = Stats.cuped(rows.toDF("arm", "y", "x"), "arm", "y", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a")._4 == 1.0 && got("b")._4 == 1.0) // theta
+    assert(got("a")._3 == got("b")._3) // adjusted means collapse to pooled
+    assert(got("a")._2 == 15.0 && got("b")._2 == 35.0) // raw means intact
+    val flat = Seq(("a", 10L, 5L), ("b", 30L, 5L)).toDF("arm", "y", "x")
+    val g2 = Stats.cuped(flat, "arm", "y", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(g2 == Map("a" -> 10.0, "b" -> 30.0)) // theta 0 -> raw means
+  }
+
+  // ------------------------------------------------------------ srmCheck
+
+  test("srmCheck: hand chi2, absent designed arm counts zero, off-design arms ignored; guards") {
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b") ++ Seq.fill(7)("zz"))
+      .toDF("arm")
+    val r = Stats.srmCheck(df, "arm", Seq("a" -> 0.5, "b" -> 0.5)).collect()(0)
+    // n=100, e=50 each: (60-50)^2/50 + (40-50)^2/50 = 2 + 2 = 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((100L, 2L, 1L, 4.0)))
+    val r2 = Stats.srmCheck(df, "arm",
+      Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)).collect()(0)
+    // n=100, e = 25/25/50; c absent: (60-25)^2/25+(40-25)^2/25+(0-50)^2/50
+    assert(r2.getDouble(3) == 49.0 + 9.0 + 50.0)
+    intercept[IllegalArgumentException] { Stats.srmCheck(df, "arm", Nil) }
+    intercept[IllegalArgumentException] {
+      Stats.srmCheck(df, "arm", Seq("a" -> 0.5, "a" -> 0.5)) }
+    intercept[IllegalArgumentException] {
+      Stats.srmCheck(df, "arm", Seq("a" -> 0.0)) }
+  }
+
+  // ---------------------------------------------------- exactQuantilesBy
+
+  test("exactQuantilesBy: equals the built-in percentile per group at 6 dp; guards") {
+    val rng = new scala.util.Random(13L)
+    val rows = for (g <- Seq("g1", "g2", "g3"); _ <- 1 to 120)
+      yield (g, (rng.nextInt(500) - 250).toDouble)
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = Stats.exactQuantilesBy(df, Seq("g"), "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val expect = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("p"))
+      .collect().flatMap(r => qs.zip(r.getSeq[Double](1))
+        .map { case (q, v) => (r.getString(0), q) ->
+          math.rint(v * 1e6) / 1e6 }).toMap
+    assert(got == expect)
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantilesBy(df, Nil, "v", qs) }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantilesBy(df, Seq("g"), "v", Seq(1.5)) }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantilesBy(df, Seq("g"), "v", Seq(0.5, 0.5)) }
+  }
+
+  test("exactQuantilesBy plan: windows stay partitioned by the group key") {
+    val df = Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v")
+    val plan = Stats.exactQuantilesBy(df, Seq("g"), "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    // every Window in the plan must carry a partition spec
+    "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(1).trim.startsWith("v"),
+        s"unpartitioned window over data:\n$plan")
+    }
+  }
+
+  // ------------------------------------------------------------------ psi
+
+  test("psi: identical samples score zero; shifted mass is positive; clamping and guards") {
+    val ref = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val r0 = Stats.psi(ref, same, "v", 0.0, 10.0, 10).collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2)) == ((100L, 100L, 0.0)))
+    val shifted = (1 to 100).map(i => (i % 10) + 500.0).toDF("v") // clamps to top bin
+    val r1 = Stats.psi(ref, shifted, "v", 0.0, 10.0, 10).collect()(0)
+    assert(r1.getDouble(2) > 1.0)
+    intercept[IllegalArgumentException] { Stats.psi(ref, same, "v", 0.0, 10.0, 1) }
+    intercept[IllegalArgumentException] { Stats.psi(ref, same, "v", 5.0, 5.0, 10) }
+  }
 }
