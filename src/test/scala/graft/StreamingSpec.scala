@@ -828,4 +828,53 @@ class StreamingSpec extends SparkSuite {
       assert(got == batch)
     } finally q2.stop()
   }
+
+  test("streaming attribution: per-conversion credits across batches equal the batch rollup under ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Long, String, Long, Long)] // (user, type, ts, id)
+    val out = graft.streaming.StreamingAttribution.attributionStream(
+      ev.toDF().toDF("u", "et", "t", "id"), Seq("u"), "et", "t", "id",
+      Seq("click", "view"), "purchase", lookback = 100L, model = "position")
+    val q = out.writeStream.format("memory").queryName("sattr")
+      .outputMode("append").start()
+    try {
+      // batch 1: touches, then a conversion inside the same batch
+      ev.addData((1L, "click", 1L, 101L), (1L, "view", 2L, 102L),
+        (1L, "click", 3L, 103L), (1L, "purchase", 10L, 104L))
+      q.processAllAvailable()
+      // batch 2: a second conversion credits the SAME buffered touches;
+      // user 2's solo touch + conversion; a stale touch outside lookback
+      ev.addData((1L, "purchase", 20L, 105L), (2L, "view", 5L, 201L),
+        (2L, "purchase", 6L, 202L), (3L, "click", 0L, 301L))
+      q.processAllAvailable()
+      // batch 3: user 3 converts AFTER its touch was evicted (> lookback)
+      ev.addData((3L, "purchase", 200L, 302L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sattr").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+          r.getInt(4), r.getDouble(5)))
+      // u1 conv 104: clicks pos1/pos3 0.4 each, view pos2 0.2;
+      // u1 conv 105: same three touches still in window; u2 solo 1.0
+      assert(got.toSet == Set(
+        (1L, "click", 104L, 1, 3, 0.4), (1L, "view", 104L, 2, 3, 0.2),
+        (1L, "click", 104L, 3, 3, 0.4),
+        (1L, "click", 105L, 1, 3, 0.4), (1L, "view", 105L, 2, 3, 0.2),
+        (1L, "click", 105L, 3, 3, 0.4),
+        (2L, "view", 202L, 1, 1, 1.0)))
+      // rollup equals the batch operator on the union (ordered arrival)
+      val all = Seq((1L, "click", 1L, 101L), (1L, "view", 2L, 102L),
+        (1L, "click", 3L, 103L), (1L, "purchase", 10L, 104L),
+        (1L, "purchase", 20L, 105L), (2L, "view", 5L, 201L),
+        (2L, "purchase", 6L, 202L), (3L, "click", 0L, 301L),
+        (3L, "purchase", 200L, 302L)).toDF("u", "et", "t", "id")
+      val batch = graft.functions.EventOps.attribution(all, Seq("u"), "et",
+        "t", "id", Seq("click", "view"), "purchase", 100L, "position")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val roll = got.groupBy(_._2).map { case (ch, xs) =>
+        ch -> ((xs.size.toLong, xs.map(_._3).distinct.size.toLong,
+          xs.map(x => BigDecimal(x._6)).sum.toDouble)) }
+      assert(roll == batch)
+    } finally q.stop()
+  }
 }
