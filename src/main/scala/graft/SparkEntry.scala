@@ -2099,7 +2099,56 @@ object SparkEntry {
       graft.functions.Stats.psi(
         ev.where(col("t") < split), ev.where(col("t") >= split),
         "value", lo = 0.0, hi = 500.0, nBins = 20)
-    })
+    }),
+
+    // Leakage-safe split: q46's simhash near-dup clusters, split assigned
+    // at the CLUSTER representative — near-duplicate documents can never
+    // straddle train/val/test (the decontamination-by-construction
+    // counterpart of q54's detection).
+    "q165_cluster_split" -> ((sp, dir) => {
+      val sh = Dedup.simhashFast(table(sp, dir, "documents"), "text", "doc_id")
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(true)
+      val pairs = Dedup.simhashNearDupPairs(sh, maxDist = 2, bands = 4)
+      val clusters = Dedup.connectedComponents(pairs, sh.select(col("id")))
+      graft.functions.Sampling.splitByHash(
+        clusters.select(col("id").as("doc_id"), col("rep")), "rep",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
+    // Lagged cross-correlation: hourly click counts vs purchase counts at
+    // lags 0..12 — "do purchases follow clicks, and how far behind?".
+    // Exact DECIMAL moments per lag over the observed hour grid.
+    "q166_xcorr" -> ((sp, dir) => {
+      val ev = table(sp, dir, "events").select(
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hr"),
+        col("event_type"))
+      val grid = ev.groupBy("hr").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+      graft.functions.Stats.lagCorrelation(grid, "hr", "clicks",
+        "purchases", 12)
+    }),
+
+    // Top 15 event-type trigrams per user stream — sequential pattern
+    // mining's staple; PARTITIONED lead windows, vocab-bounded rank.
+    "q167_seq_patterns" -> ((sp, dir) =>
+      graft.functions.EventOps.topSequences(
+        table(sp, dir, "events").select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"), col("event_id")),
+        Seq("user_id"), "event_type", "t", "event_id", n = 3, k = 15)),
+
+    // k-anonymity audit (k=5) over the (event_type, user bucket, day)
+    // quasi-identifier — the privacy pre-flight next to q55's redaction.
+    "q168_kanon" -> ((sp, dir) =>
+      graft.functions.Profiling.kAnonymity(
+        table(sp, dir, "events").select(col("event_type"),
+          pmod(col("user_id"), lit(100L)).as("user_bucket"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day")),
+        Seq("event_type", "user_bucket", "day"), 5L))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -4998,6 +5047,79 @@ object SparkEntry {
         |              AS DECIMAL(18,6)) AS x
         |      FROM f LEFT JOIN r USING (b) LEFT JOIN c USING (b))
         |SELECT nr AS n_ref, nc AS n_cur, CAST(sum(x) AS DOUBLE) AS psi
-        |FROM j GROUP BY 1, 2""".stripMargin
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // q46's cluster replay + q34's split-hash replay keyed on the
+    // representative.
+    "q165_cluster_split" ->
+      s"""WITH clusters AS ($q46ClustersSql),
+         |b AS (SELECT doc_id, rep,
+         |             (('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)),1,15))::BIGINT
+         |              % ${TF.HashMod}) % 1000 AS bucket
+         |      FROM clusters)
+         |SELECT doc_id, rep,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    // Per-lag HUGEINT moments mirror the DECIMAL sums; the guard and the
+    // corr double tree match op for op.
+    "q166_xcorr" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+        |            FROM events),
+        |g AS (SELECT hr,
+        |             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+        |             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS y
+        |      FROM ev GROUP BY 1),
+        |l AS (SELECT unnest(range(0, 13)) AS lag),
+        |p AS (SELECT l.lag, a.x, b.y
+        |      FROM l, g a, g b WHERE b.hr = a.hr + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |             sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+        |             AND CAST(n*syy - sy*sy AS DOUBLE) > 0 AND n >= 2
+        |            THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |                        * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |       END AS corr
+        |FROM m""".stripMargin,
+
+    // NULL-propagating || builds the trigram only when both leads exist —
+    // the same guard as the when() on the Spark side.
+    "q167_seq_patterns" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |           FROM events),
+        |s AS (SELECT event_type
+        |             || '>' || lead(event_type, 1) OVER w
+        |             || '>' || lead(event_type, 2) OVER w AS seq
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |c AS (SELECT seq, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM s WHERE seq IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, seq) AS rank
+        |      FROM c)
+        |SELECT seq, cnt, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 15""".stripMargin,
+
+    // Group-size rollup replay.
+    "q168_kanon" ->
+      """WITH qi AS (SELECT event_type, user_id % 100 AS user_bucket,
+        |                   epoch_us(ts) // 86400000000 AS day
+        |            FROM events),
+        |g AS (SELECT event_type, user_bucket, day,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM qi GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(min(c) AS BIGINT) AS k_min,
+        |       CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating,
+        |       round(CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS frac_at_risk
+        |FROM g""".stripMargin
   )
 }

@@ -296,4 +296,27 @@ object EventOps {
         sum("__credit").cast("double").as("credit"))
       .withColumnRenamed("__channel", "channel")
   }
+
+  /** Top-k most frequent event-type sequences of length `n` (sliding
+    * windows over each key's (ts, tie)-ordered stream — the sequential
+    * pattern mining staple). The window is PARTITIONED by key; sequence
+    * counting is a map-side-combining aggregate over a type-vocab-bounded
+    * frame (<= |types|^n distinct sequences), where the final rank runs.
+    * Sequences render as "a>b>c" (types must not contain '>').
+    * Output: (seq, cnt, rank), rank <= k by (cnt desc, seq). */
+  def topSequences(df: DataFrame, keys: Seq[String], typeCol: String,
+      tsCol: String, tieCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"topSequences requires n >= 2, got $n")
+    require(k >= 1, s"topSequences requires k >= 1, got $k")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val leads = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    val full = when(leads.map(_.isNotNull).reduce(_ && _),
+      concat_ws(">", col(typeCol) +: leads: _*))
+    val counts = df.select(full.as("seq")).where(col("seq").isNotNull)
+      .groupBy("seq").agg(count(lit(1)).as("cnt"))
+    val rw = Window.orderBy(col("cnt").desc, col("seq"))
+    counts.withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

@@ -348,4 +348,27 @@ object Profiling {
       .where(abs(col("z")) > lit(zCut))
       .drop("__med", "__mad")
   }
+
+  /** k-anonymity audit over quasi-identifier columns: every row should be
+    * hidden in a group of at least `k` rows sharing its QI tuple (Sweeney
+    * 2002) — the privacy pre-flight before releasing or training on
+    * quasi-identified data. ONE QI-keyed aggregate, then a single-row
+    * rollup: total rows, distinct QI groups, the smallest group (the
+    * dataset's actual anonymity level), violating groups (< k), and the
+    * fraction of rows at risk. NULL QI values form their own groups (they
+    * are identifying in practice). Output: one row
+    * (n_rows, n_groups, k_min, n_violating, frac_at_risk). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity requires at least one QI column")
+    require(k >= 2, s"kAnonymity requires k >= 2, got $k")
+    val g = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__c"))
+    g.agg(sum("__c").as("__nr"), count(lit(1)).as("n_groups"),
+        min("__c").as("k_min"),
+        sum(when(col("__c") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__c") < k, col("__c")).otherwise(0L)).as("__risk"))
+      .select(col("__nr").as("n_rows"), col("n_groups"), col("k_min"),
+        col("n_violating"),
+        round(col("__risk").cast("double") / col("__nr").cast("double"), 6)
+          .as("frac_at_risk"))
+  }
 }

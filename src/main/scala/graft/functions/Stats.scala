@@ -493,4 +493,39 @@ object Stats {
       .select(col("__nr").as("n_ref"), col("__nc").as("n_cur"),
         col("__psi").cast("double").as("psi"))
   }
+
+  /** Lagged cross-correlation of two INTEGER-valued aligned series
+    * (t, x, y): for each lag 0..maxLag, the Pearson correlation of
+    * (x_t, y_{t+lag}) over the OBSERVED grid points present at both ends
+    * (missing grid rows are skipped, not imputed — resample first for a
+    * dense grid). The y side explodes by (maxLag+1) — a bounded
+    * multiplier — and pairs form on a t equi-join; per-lag DECIMAL(38,0)
+    * moments in one map-side-combining aggregate, closed form in double,
+    * NULL under n < 2 or zero variance. Output: (lag, n, corr). */
+  def lagCorrelation(df: DataFrame, tCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"lagCorrelation requires maxLag >= 0, got $maxLag")
+    val a = df.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast(dec).as("__x"))
+    val b = df.select(col(tCol).cast("long").as("__ty"),
+        col(yCol).cast(dec).as("__y"))
+      .select(explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"),
+        col("__ty"), col("__y"))
+      .select(col("lag"), (col("__ty") - col("lag")).as("__t"), col("__y"))
+    val m = a.join(b, "__t").groupBy("lag")
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val dxx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val dyy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    m.select(col("lag"), col("__n").cast("long").as("n"),
+      when(dxx > 0.0 && dyy > 0.0 && col("__n") >= 2,
+        round(num / sqrt(dxx * dyy), 6)).as("corr"))
+  }
 }

@@ -123,4 +123,26 @@ class EventOpsSpec extends SparkSuite {
     assert(got("click") == ((2L, 2L, 1.0)))
     assert(got("view") == ((2L, 2L, 1.0)))
   }
+
+  // --------------------------------------------------------- topSequences
+
+  test("topSequences: ordered trigrams per key, tie rank, incomplete windows dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "v", 1L, 1L), (1L, "c", 2L, 2L), (1L, "p", 3L, 3L),
+      (1L, "v", 4L, 4L), (1L, "c", 5L, 5L), (1L, "p", 6L, 6L),
+      (2L, "v", 1L, 7L), (2L, "c", 2L, 8L), (2L, "p", 3L, 9L),
+      (3L, "v", 1L, 10L), (3L, "c", 2L, 11L)) // too short: no trigram
+      .toDF("u", "et", "t", "id")
+    val got = graft.functions.EventOps.topSequences(rows, Seq("u"), "et",
+        "t", "id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // u1 contributes v>c>p, c>p>v, p>v>c, v>c>p; u2 v>c>p => v>c>p x3
+    assert(got.toSeq == Seq(("v>c>p", 3L, 1L), ("c>p>v", 1L, 2L),
+      ("p>v>c", 1L, 3L)))
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.topSequences(rows, Seq("u"), "et", "t", "id", 1, 5) }
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.topSequences(rows, Seq("u"), "et", "t", "id", 3, 0) }
+  }
 }

@@ -491,4 +491,42 @@ class RelStatsSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Stats.psi(ref, same, "v", 0.0, 10.0, 1) }
     intercept[IllegalArgumentException] { Stats.psi(ref, same, "v", 5.0, 5.0, 10) }
   }
+
+  // ------------------------------------------------------ lagCorrelation
+
+  test("lagCorrelation: perfect lag-1 shift, zero-variance null, guards") {
+    // y is x shifted by one grid step: corr at lag 1 is exactly 1
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val rows = xs.indices.map(i =>
+      (i.toLong, xs(i), if (i >= 1) xs(i - 1) else 0L))
+    // y_t = x_{t-1}  =>  corr(x_t, y_{t+1}) = 1 at lag 1
+    val got = Stats.lagCorrelation(rows.toDF("t", "x", "y"), "t", "x", "y", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1L)._2 == Some(1.0))
+    assert(got(0L)._1 == 8L && got(1L)._1 == 7L && got(2L)._1 == 6L)
+    val const = (0L to 5L).map(t => (t, 7L, t)).toDF("t", "x", "y")
+    val g2 = Stats.lagCorrelation(const, "t", "x", "y", 0).collect()(0)
+    assert(g2.isNullAt(2)) // zero x-variance
+    intercept[IllegalArgumentException] {
+      Stats.lagCorrelation(const, "t", "x", "y", -1) }
+  }
+
+  // ---------------------------------------------------------- kAnonymity
+
+  test("kAnonymity: hand rollup, nulls group together, guards") {
+    val rows = Seq.fill(6)(("a", 1L)) ++ Seq.fill(2)(("b", 1L)) ++
+      Seq(("c", 2L)) ++ Seq.fill(3)((null.asInstanceOf[String], 9L))
+    val r = graft.functions.Profiling.kAnonymity(
+      rows.toDF("qa", "qb"), Seq("qa", "qb"), 5L).collect()(0)
+    // groups: (a,1)=6 ok, (b,1)=2 viol, (c,2)=1 viol, (null,9)=3 viol
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((12L, 4L, 1L, 3L)))
+    assert(r.getDouble(4) == 0.5) // 6 of 12 rows at risk
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.kAnonymity(rows.toDF("qa", "qb"), Nil, 5L) }
+    intercept[IllegalArgumentException] {
+      graft.functions.Profiling.kAnonymity(rows.toDF("qa", "qb"), Seq("qa"), 1L) }
+  }
 }
