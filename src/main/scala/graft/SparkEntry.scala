@@ -2148,7 +2148,42 @@ object SparkEntry {
           pmod(col("user_id"), lit(100L)).as("user_bucket"),
           expr("unix_micros(cast(ts as timestamp)) div 86400000000")
             .as("day")),
-        Seq("event_type", "user_bucket", "day"), 5L))
+        Seq("event_type", "user_bucket", "day"), 5L)),
+
+    // Entity-resolution golden record: blocking + Levenshtein verify
+    // (q155's pairs) → connected components → per-cluster survivorship
+    // (longest record wins, ties to smallest id) — the classic record
+    // linkage pipeline end to end, every stage individually verified.
+    "q169_entity_resolution" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val titles = d.select(col("doc_id"),
+        substring(col("text"), 1, 40).as("title"))
+      val pairs = Dedup.blockedEditPairs(titles, "doc_id", "title",
+          maxDist = 2, prefixLen = 12)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Dedup.canonicalByQuality(pairs,
+        d.select(col("doc_id").as("id"), col("n_chars").as("quality")))
+    }),
+
+    // Rolling engagement: per day, exact DAU, trailing-7-day WAU (each
+    // (user, day) incidence supports the 7 windows it falls in — a
+    // bounded ×7 explode + distinct, never a per-day scan), and the
+    // DAU/WAU stickiness ratio.
+    "q170_rolling_dau" -> ((sp, dir) => {
+      val ud = table(sp, dir, "events").select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    })
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -5120,6 +5155,54 @@ object SparkEntry {
         |         AS n_violating,
         |       round(CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE)
         |             / CAST(sum(c) AS DOUBLE), 6) AS frac_at_risk
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // q155's blocked pairs → the q75 recursive-CC idiom → first_value
+    // survivorship on (quality desc, id).
+    "q169_entity_resolution" ->
+      """WITH RECURSIVE
+        |p AS (SELECT doc_id AS id, substr(text, 1, 40) AS s,
+        |             substr(text, 1, 12) AS blk
+        |      FROM documents WHERE text IS NOT NULL),
+        |e0 AS (SELECT a.id AS pa, b.id AS pb
+        |       FROM p AS a JOIN p AS b ON a.blk = b.blk
+        |       WHERE a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |         AND levenshtein(a.s, b.s) <= 2),
+        |edges AS (SELECT pa AS a, pb AS b FROM e0
+        |          UNION ALL SELECT pb, pa FROM e0),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |cc AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY 1),
+        |jn AS (SELECT cc.id AS doc_id, cluster,
+        |              CAST(d.n_chars AS BIGINT) AS quality
+        |       FROM cc JOIN documents d ON cc.id = d.doc_id),
+        |w AS (SELECT doc_id, cluster,
+        |             first_value(doc_id) OVER (PARTITION BY cluster
+        |               ORDER BY quality DESC, doc_id) AS canon_id,
+        |             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+        |               AS csize
+        |      FROM jn)
+        |SELECT doc_id, cluster, canon_id, csize,
+        |       doc_id = canon_id AS kept
+        |FROM w""".stripMargin,
+
+    // Incidence-supported window replay: each (user, day) feeds days
+    // day..day+6; inner join restricts to observed days.
+    "q170_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |                   epoch_us(ts) // 86400000000 AS day
+        |            FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |w0 AS (SELECT DISTINCT user_id, day + o AS day
+        |       FROM ud, (SELECT unnest(range(0, 7)) AS o)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |        FROM w0 GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |       round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+        |         AS stickiness
+        |FROM dau d JOIN wau w USING (day)""".stripMargin
   )
 }
