@@ -2183,6 +2183,47 @@ object SparkEntry {
         .select(col("day"), col("dau"), col("wau"),
           round(col("dau").cast("double") / col("wau").cast("double"), 6)
             .as("stickiness"))
+    }),
+
+    // Trailing-24h rate anomaly per event type: hourly counts scored
+    // against their own trailing day (exclusive), z rounded 6 dp, NULL
+    // under 12 trailing points or zero variance.
+    "q171_rate_anomaly" -> ((sp, dir) =>
+      graft.functions.EventOps.rateAnomaly(
+        table(sp, dir, "events").select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("hr")),
+        Seq("event_type"), "hr", window = 24, minPoints = 12)),
+
+    // Split-leakage audit — q165's guarantee MEASURED: the same simhash
+    // near-dup pairs that defined the clusters, joined to (a) the
+    // cluster-level split and (b) a naive doc-level split. Cluster rows
+    // must show zero crossing pairs; the doc rows show what naive
+    // splitting leaks.
+    "q172_leakage_audit" -> ((sp, dir) => {
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val sh = Dedup.simhashFast(table(sp, dir, "documents"), "text", "doc_id")
+        .repartition(sp.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(true)
+      val pairs = Dedup.simhashNearDupPairs(sh, maxDist = 2, bands = 4)
+        .select(col("a"), col("b"))
+      val clusters = Dedup.connectedComponents(pairs, sh.select(col("id")))
+      val splits = clusters.select(col("id"),
+        graft.functions.Sampling.splitAssign(col("rep"), fr).as("cl"),
+        graft.functions.Sampling.splitAssign(col("id"), fr).as("doc"))
+      def audit(scheme: String) = pairs
+        .join(splits.select(col("id").as("a"),
+          col(scheme).as("__sa")), "a")
+        .join(splits.select(col("id").as("b"),
+          col(scheme).as("__sb")), "b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .as("n_cross"))
+        .select(lit(if (scheme == "cl") "cluster_split" else "doc_split")
+            .as("scheme"), col("n_pairs"), col("n_cross"),
+          round(col("n_cross").cast("double") /
+            col("n_pairs").cast("double"), 6).as("frac_cross"))
+      audit("cl").unionAll(audit("doc"))
     })
   )
 
@@ -5203,6 +5244,75 @@ object SparkEntry {
         |SELECT d.day, d.dau, w.wau,
         |       round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
         |         AS stickiness
-        |FROM dau d JOIN wau w USING (day)""".stripMargin
+        |FROM dau d JOIN wau w USING (day)""".stripMargin,
+
+    // Trailing-frame replay: identical ROWS window, identical guard tree.
+    "q171_rate_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+        |           FROM events),
+        |c AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS x
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, x,
+        |             CAST(count(*) OVER tw AS BIGINT) AS n_trail,
+        |             sum(x) OVER tw AS s, sum(x * x) OVER tw AS q
+        |      FROM c
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+        |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr AS tick, x, n_trail,
+        |       CASE WHEN n_trail >= 12 AND
+        |                 (CAST(n_trail AS DOUBLE) * CAST(q AS DOUBLE)
+        |                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |                 / (CAST(n_trail AS DOUBLE) * (CAST(n_trail AS DOUBLE) - 1.0)) > 0
+        |            THEN round((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_trail AS DOUBLE))
+        |                 / sqrt((CAST(n_trail AS DOUBLE) * CAST(q AS DOUBLE)
+        |                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |                        / (CAST(n_trail AS DOUBLE) * (CAST(n_trail AS DOUBLE) - 1.0))), 6)
+        |       END AS z
+        |FROM w""".stripMargin,
+
+    // q46's simhash pair + recursive-CC replay, both split hashes, two
+    // audit rows.
+    "q172_leakage_audit" -> {
+      val hsSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t),1,15))::BIGINT)"
+      val bitTerms = (0 until 32).map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $hsSql AS hs FROM documents),
+         |sh AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM t),
+         |e0 AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |       FROM sh x JOIN sh y
+         |         ON x.doc_id < y.doc_id AND bit_count(xor(x.sh, y.sh)) <= 2),
+         |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cc AS (SELECT id, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY 1),
+         |sp AS (SELECT id,
+         |         CASE WHEN br < 800 THEN 'train' WHEN br < 900 THEN 'val'
+         |              ELSE 'test' END AS cl,
+         |         CASE WHEN bd < 800 THEN 'train' WHEN bd < 900 THEN 'val'
+         |              ELSE 'test' END AS doc
+         |       FROM (SELECT id,
+         |               (('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)),1,15))::BIGINT
+         |                % ${TF.HashMod}) % 1000 AS br,
+         |               (('0x' || substr(md5('split:' || CAST(id AS VARCHAR)),1,15))::BIGINT
+         |                % ${TF.HashMod}) % 1000 AS bd
+         |             FROM cc)),
+         |j AS (SELECT sa.cl AS acl, sb.cl AS bcl, sa.doc AS adoc, sb.doc AS bdoc
+         |      FROM e0 JOIN sp sa ON e0.a = sa.id JOIN sp sb ON e0.b = sb.id)
+         |SELECT 'cluster_split' AS scheme, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN acl <> bcl THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+         |       round(CAST(sum(CASE WHEN acl <> bcl THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS frac_cross
+         |FROM j
+         |UNION ALL
+         |SELECT 'doc_split', CAST(count(*) AS BIGINT),
+         |       CAST(sum(CASE WHEN adoc <> bdoc THEN 1 ELSE 0 END) AS BIGINT),
+         |       round(CAST(sum(CASE WHEN adoc <> bdoc THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6)
+         |FROM j""".stripMargin
+    }
   )
 }

@@ -319,4 +319,39 @@ object EventOps {
     counts.withColumn("rank", row_number().over(rw).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Trailing-window rate anomaly: per (key, tick) event counts scored
+    * against the TRAILING `window` ticks (exclusive of the current one) —
+    * the ops-floor "is this hour weird for this event type" monitor.
+    * z = (x − mean)/std over the trailing frame, NULL when fewer than
+    * `minPoints` trailing ticks exist or the trailing variance is zero.
+    * Counts are exact integers; the trailing sums run over a fixed ROWS
+    * frame of a key-PARTITIONED window (deterministic integer adds), and
+    * the z closed form runs in double, rounded 6 dp. ONE key shuffle
+    * shared by the count aggregate and the windows. Output:
+    * (keys..., tick, x, n_trail, z). */
+  def rateAnomaly(df: DataFrame, keys: Seq[String], tickCol: String,
+      window: Int, minPoints: Int): DataFrame = {
+    require(window >= 2, s"rateAnomaly requires window >= 2, got $window")
+    require(minPoints >= 2 && minPoints <= window,
+      s"minPoints must be in [2, window]: $minPoints")
+    val counts = df.groupBy(keys.map(col) :+ col(tickCol).as("tick"): _*)
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("tick"))
+      .rowsBetween(-window, -1)
+    val s = sum("x").over(w)
+    val q = sum(col("x") * col("x")).over(w)
+    val n = count(lit(1)).over(w)
+    val nD = n.cast("double")
+    val mean = s.cast("double") / nD
+    val varT = (nD * q.cast("double") - s.cast("double") * s.cast("double")) /
+      (nD * (nD - 1.0))
+    // the divisions stay INSIDE the when-guard (ANSI mode raises on a
+    // double divide-by-zero; minPoints >= 2 makes both denominators
+    // nonzero on the taken branch, and when() evaluates branches lazily)
+    val z = when(n >= minPoints,
+      when(varT > 0.0, round((col("x").cast("double") - mean) / sqrt(varT), 6)))
+    counts.select(keys.map(col) :+ col("tick") :+ col("x") :+
+      n.as("n_trail") :+ z.as("z"): _*)
+  }
 }

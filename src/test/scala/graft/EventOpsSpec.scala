@@ -145,4 +145,40 @@ class EventOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       graft.functions.EventOps.topSequences(rows, Seq("u"), "et", "t", "id", 3, 0) }
   }
+
+  // ---------------------------------------------------------- rateAnomaly
+
+  test("rateAnomaly: trailing-frame z, min-points and zero-variance guards") {
+    import spark.implicits._
+    // key k: 24 ticks of alternating 10/14 then a spike of 36
+    val base = (0 until 24).map(i => ("k", i.toLong, if (i % 2 == 0) 10 else 14))
+    val rows = (base ++ Seq(("k", 24L, 36))).flatMap { case (k, t, c) =>
+      Seq.fill(c)((k, t)) }
+    val got = graft.functions.EventOps.rateAnomaly(
+        rows.toDF("et", "hr"), Seq("et"), "hr", window = 24, minPoints = 12)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // tick 24 sees all 24 trailing ticks: mean 12, var = 24*4/(24*23)... 
+    val s = base.map(_._3.toLong).sum
+    val q = base.map(c => c._3.toLong * c._3).sum
+    val n = 24.0
+    val v = (n * q - s * s) / (n * (n - 1.0))
+    val z = math.rint((36.0 - s / n) / math.sqrt(v) * 1e6) / 1e6
+    assert(got(24L) == ((36L, 24L, Some(z))))
+    // early ticks: fewer than 12 trailing points -> NULL z
+    assert(got(0L)._3.isEmpty && got(11L)._3.isEmpty)
+    assert(got(12L)._3.isDefined)
+    // constant series -> zero variance -> NULL
+    val const = (0 until 30).flatMap(i => Seq.fill(5)(("c", i.toLong)))
+    val g2 = graft.functions.EventOps.rateAnomaly(
+        const.toDF("et", "hr"), Seq("et"), "hr", 24, 12)
+      .collect().map(r => r.getLong(1) -> r.isNullAt(4)).toMap
+    assert(g2.values.forall(identity))
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.rateAnomaly(const.toDF("et", "hr"),
+        Seq("et"), "hr", 1, 1) }
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.rateAnomaly(const.toDF("et", "hr"),
+        Seq("et"), "hr", 24, 25) }
+  }
 }
