@@ -81,4 +81,22 @@ class ZOrderSpec extends SparkSuite {
       ZOrderLayout.writeZOrdered(grid.withColumn("__z", lit(1)),
         s"$dir/t2", "x", "y", 6, 2) }
   }
+
+  test("z-ordered files prune on the NON-leading dimension; a 1-D sort cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("zprune").toString
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    ZOrderLayout.writeZOrdered(grid, s"$dir/z", "x", "y", bits = 6,
+      numFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/x")
+    def filesTouched(path: String): Long = spark.read.parquet(path)
+      .where(col("y") < 8).select(input_file_name()).distinct().count()
+    // a y-only predicate: the z layout confines y<8 rows to the files of
+    // the bottom tile row; the x-sorted layout spreads them over EVERY file
+    val zf = filesTouched(s"$dir/z")
+    val xf = filesTouched(s"$dir/x")
+    assert(xf == 16L, s"x-sorted layout should spread y rows everywhere, got $xf")
+    assert(zf <= 8L, s"z layout should confine the y slice, got $zf")
+  }
 }
