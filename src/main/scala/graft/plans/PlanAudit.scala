@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape introspection: the 100 TB viability checks PlanShapeSpec
+  * applies to every shipped query, packaged as an API so USER pipelines can
+  * gate their own plans in CI — "no cartesian product ever reaches the
+  * cluster" as an assertion, not a code review hope.
+  *
+  * The audit reads the compiled physical plan (pre-execution; under AQE
+  * this is the initial plan, which is exactly what static CI can see —
+  * runtime re-optimization only ever improves on it, e.g. demoting a
+  * sort-merge join to broadcast). Counts come from the plan's rendered
+  * operator tree, the same surface `explain()` prints.
+  */
+object PlanAudit {
+
+  /** One row of plan facts. `unpartitionedWindows` counts window operators
+    * whose specification carries no PARTITION BY — the one-task global
+    * sort that dies first at scale (bounded-domain frames are the
+    * documented exception; the audit reports, the caller decides). */
+  final case class Audit(
+      cartesianProducts: Int,
+      nestedLoopJoins: Int,
+      exchanges: Int,
+      broadcastExchanges: Int,
+      unpartitionedWindows: Int,
+      parquetScans: Int,
+      wholeStageCodegenSpans: Int) {
+    def scaleSafe(allowNestedLoop: Boolean = false): Boolean =
+      cartesianProducts == 0 && (allowNestedLoop || nestedLoopJoins == 0)
+  }
+
+  def audit(df: DataFrame): Audit = {
+    val plan = df.queryExecution.executedPlan.toString
+    def count(re: String): Int = re.r.findAllIn(plan).size
+    Audit(
+      cartesianProducts = count("CartesianProduct"),
+      nestedLoopJoins = count("BroadcastNestedLoopJoin"),
+      exchanges = count("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition"),
+      broadcastExchanges = count("BroadcastExchange"),
+      // a spec with no PARTITION BY renders its ORDER BY expression first:
+      // `windowspecdefinition(x#1L ASC NULLS FIRST, ...` — a partitioned
+      // spec leads with bare partition attributes (no sort direction)
+      unpartitionedWindows = count("windowspecdefinition\\([^,()]* (ASC|DESC)"),
+      parquetScans = count("Scan parquet|FileScan parquet"),
+      wholeStageCodegenSpans = count("WholeStageCodegen"))
+  }
+
+  /** Throw (with the offending plan attached) if the plan contains a
+    * cartesian product, or a nested-loop join the caller did not
+    * explicitly allow (broadcast-small frames are the legitimate use). */
+  def assertScaleSafe(df: DataFrame, allowNestedLoop: Boolean = false): Unit = {
+    val a = audit(df)
+    if (!a.scaleSafe(allowNestedLoop))
+      throw new IllegalStateException(
+        s"plan is not scale-safe ($a):\n${df.queryExecution.executedPlan}")
+  }
+}
