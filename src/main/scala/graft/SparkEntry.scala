@@ -1916,22 +1916,37 @@ object SparkEntry {
       graft.functions.Profiling.benfordAudit(
         table(sp, dir, "lineitem"), "l_extendedprice", scale = 100L)),
 
-    // Inter-event gap distribution per type: lag deltas in exact micros,
-    // decimal mean + exact percentiles.
+    // Inter-event gap distribution per type, INTEGER-EXACT throughout:
+    // gaps are ~1e10 µs, where a 6 dp grid is SUB-ULP of a double — the
+    // sf0.1 sweep caught two cross-engine last-bit flips from the old
+    // rounded-double mean/percentiles. Now: mean as floor fixed-point
+    // micro-millionths ((Σ·1e6) div n, DECIMAL-exact), percentiles by
+    // NEAREST RANK (value at ceil(q·n) — an exact element, no
+    // interpolated float ever exists).
     "q150_event_gaps" -> ((sp, dir) => {
       val ev = table(sp, dir, "events").select(col("user_id"),
         col("event_type"), col("event_id"),
         expr("unix_micros(cast(ts as timestamp))").as("t"))
       val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-      ev.select(col("event_type"),
+      val gaps = ev.select(col("event_type"),
           (col("t") - lag("t", 1).over(w)).as("gap_us"))
         .where(col("gap_us").isNotNull)
-        .groupBy("event_type").agg(
-          count(lit(1)).as("n_gaps"),
-          round(sum(col("gap_us").cast(DecimalType(38, 0))).cast("double") /
-            count(lit(1)), 6).as("mean_us"),
-          round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),
-          round(expr("percentile(gap_us, 0.95)"), 6).as("p95_us"))
+      val rw = Window.partitionBy("event_type").orderBy("gap_us")
+      val ranked = gaps
+        .withColumn("__rn", row_number().over(rw).cast("long"))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      val agg = gaps.groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        expr("CAST((CAST(sum(gap_us) AS DECIMAL(38,0)) * 1000000) div count(1) AS BIGINT)")
+          .as("mean_us_e6"))
+      def atRank(q: Int, name: String) = ranked
+        .where(col("__rn") === expr(s"(__n * $q + 99) div 100"))
+        .select(col("event_type"), col("gap_us").as(name))
+      agg.join(atRank(50, "p50_us"), "event_type")
+        .join(atRank(95, "p95_us"), "event_type")
+        .select(col("event_type"), col("n_gaps"), col("mean_us_e6"),
+          col("p50_us"), col("p95_us"))
     }),
 
     // Session-length histogram: q29's sessions rolled to
@@ -4775,19 +4790,32 @@ object SparkEntry {
          |FROM d LEFT JOIN c ON d.digit = c.digit, n""".stripMargin
     },
 
+    // Integer-exact replay: HUGEINT floor-div mean, nearest-rank values
+    // at ceil(q·n) — no interpolated double ever exists on either engine.
     "q150_event_gaps" ->
       """WITH ev AS (SELECT user_id, event_type, event_id,
         |                   epoch_us(ts) AS t
         |            FROM events),
-        |g AS (SELECT event_type,
-        |             t - lag(t) OVER (PARTITION BY user_id
-        |                              ORDER BY t, event_id) AS gap_us
-        |      FROM ev)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-        |       round(CAST(sum(gap_us) AS DOUBLE) / count(*), 6) AS mean_us,
-        |       round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
-        |       round(quantile_cont(gap_us, 0.95), 6) AS p95_us
-        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+        |g0 AS (SELECT event_type,
+        |              t - lag(t) OVER (PARTITION BY user_id
+        |                               ORDER BY t, event_id) AS gap_us
+        |       FROM ev),
+        |g AS (SELECT event_type, gap_us FROM g0 WHERE gap_us IS NOT NULL),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |             CAST((CAST(sum(gap_us) AS HUGEINT) * 1000000) // count(*)
+        |                  AS BIGINT) AS mean_us_e6
+        |      FROM g GROUP BY 1),
+        |r AS (SELECT event_type, gap_us,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY gap_us) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM g),
+        |p50 AS (SELECT event_type, gap_us AS p50_us FROM r
+        |        WHERE rn = (n * 50 + 99) // 100),
+        |p95 AS (SELECT event_type, gap_us AS p95_us FROM r
+        |        WHERE rn = (n * 95 + 99) // 100)
+        |SELECT a.event_type, a.n_gaps, a.mean_us_e6, p50.p50_us, p95.p95_us
+        |FROM a JOIN p50 USING (event_type) JOIN p95 USING (event_type)""".stripMargin,
 
     // q29's session replay rolled to the length histogram.
     "q151_session_hist" ->

@@ -44,7 +44,11 @@ object PlanAudit {
       // spec leads with bare partition attributes (no sort direction)
       unpartitionedWindows = count("windowspecdefinition\\([^,()]* (ASC|DESC)"),
       parquetScans = count("Scan parquet|FileScan parquet"),
-      wholeStageCodegenSpans = count("WholeStageCodegen"))
+      // the tree renderer prints a codegen'd operator as `*(<stageId>)`
+      // (explain("formatted") would say WholeStageCodegen) — distinct
+      // stage ids = codegen spans
+      wholeStageCodegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size)
   }
 
   /** Throw (with the offending plan attached) if the plan contains a
