@@ -93,5 +93,26 @@ package object api {
     def chunkByTokens(idCol: String, textCol: String,
         window: Int, stride: Int): DataFrame =
       functions.Packing.chunkByTokens(df, idCol, textCol, window, stride)
+
+    /** Deterministic hash split (train/val/test) on a key column. */
+    def splitByHash(keyCol: String,
+        fractions: Seq[(String, Double)]): DataFrame =
+      functions.Sampling.splitByHash(df, keyCol, fractions)
+
+    /** MinHash-LSH near-duplicate pairs at the library's default operating
+      * point (k=16, 4 bands, 5-char shingles); see [[functions.Dedup]]. */
+    def nearDupPairs(textCol: String, idCol: String,
+        threshold: Double = 0.5): DataFrame =
+      functions.Dedup.nearDupPairs(df, textCol, idCol,
+        k = 16, bands = 4, shingleN = 5, threshold = threshold)
+
+    /** Write this frame parquet Z-ORDERED on two dimensions (tight per-file
+      * min/max on BOTH — see [[sources.ZOrderLayout]]). */
+    def zOrderedTo(path: String, xCol: String, yCol: String,
+        bits: Int = 20, numFiles: Int = 200): Unit =
+      sources.ZOrderLayout.writeZOrdered(df, path, xCol, yCol, bits, numFiles)
+
+    /** Plan-shape facts for CI gates ([[plans.PlanAudit]]). */
+    def planAudit: plans.PlanAudit.Audit = plans.PlanAudit.audit(df)
   }
 }

@@ -356,4 +356,18 @@ class ApiAndIOSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS default.graft_mt_orphan")
     }
   }
+
+  test("api pipeline verbs: splitByHash, nearDupPairs, planAudit delegate correctly") {
+    import spark.implicits._
+    import graft.api._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "something else entirely here")).toDF("doc_id", "text")
+    val split = docs.splitByHash("doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.columns.contains("split") && split.count() == 3)
+    val pairs = docs.nearDupPairs("text", "doc_id")
+    assert(pairs.select("id_a", "id_b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(docs.planAudit.scaleSafe())
+  }
 }
