@@ -2239,7 +2239,25 @@ object SparkEntry {
           round(col("n_cross").cast("double") /
             col("n_pairs").cast("double"), 6).as("frac_cross"))
       audit("cl").unionAll(audit("doc"))
-    })
+    }),
+
+    // CUSUM drift alarms on hourly per-type rates: slack 10% of the mean,
+    // alarm at 5x mean (scaled integers end to end — the bounded
+    // sequential fold family). Complements q171's memoryless z-scores
+    // with accumulated-drift detection.
+    "q173_cusum" -> ((sp, dir) =>
+      graft.functions.EventOps.cusumAlarms(
+        table(sp, dir, "events").select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("hr")),
+        Seq("event_type"), "hr", pctSlack = 10, pctThreshold = 300)),
+
+    // 2-D Pareto frontier of parts (min price, max size) via the
+    // bucket-offset skyline — the classic global-sort formulation never
+    // touches a one-task window.
+    "q174_skyline" -> ((sp, dir) =>
+      graft.functions.Stats.paretoFrontier2d(
+        table(sp, dir, "part"), "p_partkey", "p_retailprice", "p_size"))
   )
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -5341,6 +5359,49 @@ object SparkEntry {
          |       round(CAST(sum(CASE WHEN adoc <> bdoc THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6)
          |FROM j""".stripMargin
-    }
+    },
+
+    // Same scaled-integer fold via list_reduce (init prepended; ragged
+    // BIGINT[] keeps acc and element the same list type).
+    "q173_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS t
+        |           FROM events),
+        |c AS (SELECT event_type, t, CAST(count(*) AS BIGINT) AS x
+        |      FROM e GROUP BY 1, 2),
+        |k AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             list([t, x] ORDER BY t) AS xs
+        |      FROM c GROUP BY 1),
+        |f AS (SELECT event_type, n, s,
+        |             list_reduce(list_prepend([0, 0, 0, -1], xs),
+        |               (a, e) -> [
+        |                 greatest(0, a[1] + (100*(e[2]*n - s) - 10*s)),
+        |                 a[2] + CASE WHEN greatest(0, a[1] + (100*(e[2]*n - s) - 10*s)) > 300*s
+        |                             THEN 1 ELSE 0 END,
+        |                 greatest(a[3], greatest(0, a[1] + (100*(e[2]*n - s) - 10*s))),
+        |                 CASE WHEN a[4] = -1 AND greatest(0, a[1] + (100*(e[2]*n - s) - 10*s)) > 300*s
+        |                      THEN e[1] ELSE a[4] END
+        |               ]) AS acc
+        |      FROM k)
+        |SELECT event_type, n AS n_ticks, acc[2] AS n_alarms,
+        |       acc[3] AS max_cusum, nullif(acc[4], -1) AS first_alarm_tick
+        |FROM f""".stripMargin,
+
+    // Dominance replay: strict skyline, exact duplicates keep min id.
+    "q174_skyline" ->
+      """WITH p AS (SELECT p_partkey AS id, p_retailprice AS pr,
+        |                  CAST(p_size AS BIGINT) AS sz
+        |           FROM part
+        |           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+        |SELECT id AS p_partkey, pr AS p_retailprice,
+        |       CAST(sz AS INTEGER) AS p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |        SELECT 1 FROM p b
+        |        WHERE b.pr <= a.pr AND b.sz >= a.sz
+        |          AND (b.pr < a.pr OR b.sz > a.sz))
+        |  AND NOT EXISTS (
+        |        SELECT 1 FROM p c
+        |        WHERE c.pr = a.pr AND c.sz = a.sz AND c.id < a.id)""".stripMargin
   )
 }

@@ -354,4 +354,45 @@ object EventOps {
     counts.select(keys.map(col) :+ col("tick") :+ col("x") :+
       n.as("n_trail") :+ z.as("z"): _*)
   }
+
+  /** Integer-exact CUSUM drift alarms per key (Page 1954): over the
+    * tick-ordered counts x_t,  C_t = max(0, C_{t-1} + (x_t − μ) − K)
+    * with slack K and alarm threshold H given as PERCENT OF THE MEAN —
+    * everything scaled by 100·n so the fold is pure long arithmetic
+    * (C_scaled = 100·n·C): d_t = 100(x_t·n − Σ) − pctSlack·Σ, alarm when
+    * C > pctThreshold·Σ. The per-key tick series is value-domain bounded
+    * (ticks are bucketed time), so the sorted fold is the library's
+    * bounded-sequential pattern (q59/EWMA/survival) — state never leaves
+    * the executor, and the fold is exact under any partitioning. Output:
+    * one row per key (keys..., n_ticks, n_alarms, max_cusum,
+    * first_alarm_tick NULL when no alarm). `max_cusum` stays in the
+    * 100·n·count scale (divide by 100·n for count units). Counts must
+    * keep 100·x·n within long range — coarsen ticks for extreme keys. */
+  def cusumAlarms(df: DataFrame, keys: Seq[String], tickCol: String,
+      pctSlack: Int, pctThreshold: Int): DataFrame = {
+    require(pctSlack >= 0, s"pctSlack must be >= 0: $pctSlack")
+    require(pctThreshold > 0, s"pctThreshold must be > 0: $pctThreshold")
+    val counts = df.groupBy(keys.map(col) :+ col(tickCol).cast("long").as("t"): _*)
+      .agg(count(lit(1)).as("x"))
+    val perKey = counts.groupBy(keys.map(col): _*)
+      .agg(sum("x").as("__sum"), count(lit(1)).as("__n"),
+        sort_array(collect_list(struct(col("t"), col("x")))).as("__xs"))
+    val cus = s"greatest(0L, element_at(a, 1) + " +
+      s"(100L * (element_at(e, 2) * __n - __sum) - ${pctSlack}L * __sum))"
+    val alarm = s"$cus > ${pctThreshold}L * __sum"
+    val fold = s"""aggregate(
+      transform(__xs, p -> array(p.t, p.x)),
+      array(0L, 0L, 0L, -1L),
+      (a, e) -> array(
+        $cus,
+        element_at(a, 2) + IF($alarm, 1L, 0L),
+        greatest(element_at(a, 3), $cus),
+        IF(element_at(a, 4) = -1L AND $alarm, element_at(e, 1),
+           element_at(a, 4))))"""
+    perKey.withColumn("__acc", expr(fold))
+      .select(keys.map(col) :+ size(col("__xs")).cast("long").as("n_ticks") :+
+        expr("element_at(__acc, 2)").as("n_alarms") :+
+        expr("element_at(__acc, 3)").as("max_cusum") :+
+        expr("nullif(element_at(__acc, 4), -1L)").as("first_alarm_tick"): _*)
+  }
 }

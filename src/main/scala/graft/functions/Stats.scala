@@ -528,4 +528,37 @@ object Stats {
       when(dxx > 0.0 && dyy > 0.0 && col("__n") >= 2,
         round(num / sqrt(dxx * dyy), 6)).as("corr"))
   }
+
+  /** 2-D Pareto frontier (skyline): the rows not dominated by any other —
+    * minimize `minCol`, maximize `maxCol`; exact duplicates collapse to
+    * the smallest id. Classic formulation is a running max over ONE
+    * global sort — a one-task killer — so this runs the bucket-offset
+    * pattern ([[Profiling.ksTest]]'s): per-bucket (⌊minCol⌋) maxima take
+    * the one-task scan on the TINY bucket frame, the data only ever sees
+    * a bucket-PARTITIONED window, and a row survives iff its `maxCol`
+    * strictly exceeds every strictly-preceding row's (prior buckets via
+    * the broadcast offset, same bucket via the partitioned running max).
+    * Output: the frontier rows (idCol, minCol, maxCol). */
+  def paretoFrontier2d(df: DataFrame, idCol: String, minCol: String,
+      maxCol: String): DataFrame = {
+    val v = df.where(col(minCol).isNotNull && col(maxCol).isNotNull)
+      .select(col(idCol), col(minCol), col(maxCol),
+        col(minCol).cast("double").as("__p"),
+        col(maxCol).cast("long").as("__s"))
+      .withColumn("__bk", floor(col("__p")).cast("long"))
+    val bucketMax = v.groupBy("__bk").agg(max("__s").as("__m"))
+    val wOff = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketMax.select(col("__bk"),
+      max("__m").over(wOff).as("__off"))
+    val wIn = Window.partitionBy("__bk")
+      .orderBy(col("__p"), col("__s").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevIn = max("__s").over(wIn)
+    val best = greatest(coalesce(col("__off"), lit(Long.MinValue)),
+      coalesce(prevIn, lit(Long.MinValue)))
+    v.join(broadcast(offs), Seq("__bk"))
+      .withColumn("__best", best)
+      .where(col("__s") > col("__best"))
+      .select(col(idCol), col(minCol), col(maxCol))
+  }
 }

@@ -181,4 +181,37 @@ class EventOpsSpec extends SparkSuite {
       graft.functions.EventOps.rateAnomaly(const.toDF("et", "hr"),
         Seq("et"), "hr", 24, 25) }
   }
+
+  // ---------------------------------------------------------- cusumAlarms
+
+  test("cusumAlarms: driver replica on a drifting series; stable series never alarms; guards") {
+    import spark.implicits._
+    // 20 stable ticks of 10, then 10 drifted ticks of 30
+    val series = (0 until 20).map(t => (t.toLong, 10)) ++
+      (20 until 30).map(t => (t.toLong, 30))
+    val rows = series.flatMap { case (t, c) => Seq.fill(c)(("k", t)) }
+    val got = graft.functions.EventOps.cusumAlarms(
+        rows.toDF("et", "hr"), Seq("et"), "hr", pctSlack = 10,
+        pctThreshold = 300).collect()(0)
+    // driver replica of the scaled integer fold
+    val s = series.map(_._2.toLong).sum; val n = series.size.toLong
+    var cus = 0L; var nal = 0L; var mx = 0L; var first = -1L
+    series.foreach { case (t, x) =>
+      cus = math.max(0L, cus + (100L * (x * n - s) - 10L * s))
+      if (cus > 300L * s) { nal += 1; if (first == -1L) first = t }
+      mx = math.max(mx, cus)
+    }
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((n, nal, mx)))
+    assert(got.getLong(4) == first && nal > 0)
+    val stable = (0 until 30).flatMap(t => Seq.fill(10)(("k", t.toLong)))
+    val g2 = graft.functions.EventOps.cusumAlarms(
+      stable.toDF("et", "hr"), Seq("et"), "hr", 10, 300).collect()(0)
+    assert(g2.getLong(2) == 0L && g2.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.cusumAlarms(stable.toDF("et", "hr"),
+        Seq("et"), "hr", -1, 300) }
+    intercept[IllegalArgumentException] {
+      graft.functions.EventOps.cusumAlarms(stable.toDF("et", "hr"),
+        Seq("et"), "hr", 10, 0) }
+  }
 }

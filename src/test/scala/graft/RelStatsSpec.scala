@@ -529,4 +529,31 @@ class RelStatsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       graft.functions.Profiling.kAnonymity(rows.toDF("qa", "qb"), Seq("qa"), 1L) }
   }
+
+  // ------------------------------------------------------ paretoFrontier2d
+
+  test("paretoFrontier2d: equals the brute dominance filter; duplicates keep min id; no global window") {
+    val rng = new scala.util.Random(23L)
+    val rows = (1L to 300L).map(id =>
+      (id, (rng.nextInt(1000) / 10.0), rng.nextInt(50).toLong)) ++
+      Seq((900L, 5.5, 40L), (901L, 5.5, 40L)) // exact duplicate pair
+    val df = rows.toDF("id", "price", "size")
+    val got = Stats.paretoFrontier2d(df, "id", "price", "size")
+      .collect().map(_.getLong(0)).toSet
+    val brute = rows.filter { case (id, p, s) =>
+      !rows.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) } &&
+      !rows.exists { case (id2, p2, s2) => p2 == p && s2 == s && id2 < id }
+    }.map(_._1).toSet
+    assert(got == brute, s"got $got expected $brute")
+    val plan = Stats.paretoFrontier2d(df, "id", "price", "size")
+      .queryExecution.executedPlan.toString
+    // the data-sized frame only sees the bucket-PARTITIONED window; the
+    // one-task scan runs on the bucket-totals frame alone
+    assert(graft.plans.PlanAudit.audit(
+      Stats.paretoFrontier2d(df, "id", "price", "size")).scaleSafe(
+        allowNestedLoop = true))
+    assert(plan.contains("windowspecdefinition(__bk"),
+      s"expected bucket-partitioned window:\n$plan")
+  }
 }
