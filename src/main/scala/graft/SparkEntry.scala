@@ -4975,12 +4975,12 @@ object SparkEntry {
         |       WHERE c.event_type = 'purchase'
         |         AND t.event_type IN ('click', 'view')
         |         AND t.t >= c.t - 604800000000 AND t.t < c.t),
-        |p AS (SELECT channel, cid,
+        |p AS (SELECT channel, user_id, cid,
         |             row_number() OVER (PARTITION BY user_id, cid
         |                                ORDER BY tt, tie) AS pos,
         |             count(*) OVER (PARTITION BY user_id, cid) AS n
         |      FROM tc),
-        |cr AS (SELECT channel, cid,
+        |cr AS (SELECT channel, user_id, cid,
         |              CAST(round(CASE
         |                WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
         |                WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
@@ -4989,7 +4989,7 @@ object SparkEntry {
         |              END, 6) AS DECIMAL(18,6)) AS credit
         |       FROM p)
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
-        |       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+        |       CAST(count(DISTINCT (user_id, cid)) AS BIGINT) AS n_conversions,
         |       CAST(sum(credit) AS DOUBLE) AS credit
         |FROM cr GROUP BY 1""".stripMargin,
 
@@ -5073,7 +5073,7 @@ object SparkEntry {
          |                 ELSE 0.0 END)))), 6) AS score
          |  FROM s),
          |b AS (
-         |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |  SELECT greatest(least(CAST(floor(score * 10) AS BIGINT), 9), 0) AS bin,
          |         CAST(round(score * 1e6, 0) AS DECIMAL(38,0)) AS fx,
          |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
          |  FROM sc)

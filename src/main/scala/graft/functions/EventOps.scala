@@ -288,11 +288,14 @@ object EventOps {
           .otherwise(lit(0.2) / (nD - 2.0)), 6)
     }
     positioned
-      .select(col("__channel"), col("__cid"),
-        credit.cast(DecimalType(18, 6)).as("__credit"))
+      .select(keys.map(col) :+ col("__channel") :+ col("__cid") :+
+        credit.cast(DecimalType(18, 6)).as("__credit"): _*)
       .groupBy("__channel")
       .agg(count(lit(1)).as("n_touches"),
-        countDistinct(col("__cid")).as("n_conversions"),
+        // conversions are identified by (keys, tie) — tieCol need only be
+        // unique per key, not corpus-wide
+        countDistinct(struct((keys :+ "__cid").map(col): _*))
+          .as("n_conversions"),
         sum("__credit").cast("double").as("credit"))
       .withColumnRenamed("__channel", "channel")
   }
@@ -335,6 +338,8 @@ object EventOps {
     require(window >= 2, s"rateAnomaly requires window >= 2, got $window")
     require(minPoints >= 2 && minPoints <= window,
       s"minPoints must be in [2, window]: $minPoints")
+    Seq("tick", "x", "n_trail", "z").foreach(c => require(!keys.contains(c),
+      s"rateAnomaly reserves output column `$c`"))
     val counts = df.groupBy(keys.map(col) :+ col(tickCol).as("tick"): _*)
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("tick"))

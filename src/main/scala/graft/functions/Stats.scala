@@ -238,6 +238,7 @@ object Stats {
     * row (n, n_a, n_b, dof, chi2, cramers_v); `cramers_v` is NULL when
     * either margin is a single category (dof = 0). */
   def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    require(aCol != bCol, "chiSquareIndependence needs two distinct columns")
     val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
@@ -275,6 +276,7 @@ object Stats {
     * Output: one row (n, mi, h_a, h_b, nmi) with
     * `nmi = mi/sqrt(h_a·h_b)` (NULL when either entropy is zero). */
   def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    require(aCol != bCol, "mutualInformation needs two distinct columns")
     val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
@@ -318,7 +320,8 @@ object Stats {
       nBins: Int): DataFrame = {
     require(nBins >= 2, s"calibrationCurve requires nBins >= 2, got $nBins")
     val s = col(scoreCol).cast("double")
-    val bin = least(floor(s * nBins).cast("long"), lit(nBins - 1L))
+    val bin = greatest(lit(0L),
+      least(floor(s * nBins).cast("long"), lit(nBins - 1L)))
     val fixed = round(s * 1e6, 0).cast(DecimalType(38, 0))
     df.where(col(scoreCol).isNotNull)
       .select(bin.as("bin"), fixed.as("__fx"),
@@ -395,9 +398,13 @@ object Stats {
       .select(col("__t"), col("__e.arm").as("__arm"), col("__e.p").as("__p"))
     val o = coalesce(col("__o"), lit(0L)).cast("double")
     val e = col("__t").cast("double") * col("__p")
+    // the division stays inside a when-guard: on an EMPTY input the design
+    // frame still materializes (k rows, total 0) and ANSI mode would raise
+    // on the eager 0/0
     val terms = design.join(cnts, Seq("__arm"), "left")
       .select(col("__t"),
-        round((o - e) * (o - e) / e, 6).cast(DecimalType(18, 6)).as("__x"))
+        when(col("__t") > 0, round((o - e) * (o - e) / e, 6))
+          .cast(DecimalType(18, 6)).as("__x"))
     terms.groupBy("__t").agg(sum("__x").as("__chi2"))
       .select(col("__t").as("n"), lit(expected.size.toLong).as("k"),
         lit(expected.size.toLong - 1L).as("dof"),
@@ -541,6 +548,9 @@ object Stats {
     * Output: the frontier rows (idCol, minCol, maxCol). */
   def paretoFrontier2d(df: DataFrame, idCol: String, minCol: String,
       maxCol: String): DataFrame = {
+    Seq("__p", "__s", "__bk", "__best").foreach(c =>
+      require(!Seq(idCol, minCol, maxCol).contains(c),
+        s"paretoFrontier2d reserves `$c`"))
     val v = df.where(col(minCol).isNotNull && col(maxCol).isNotNull)
       .select(col(idCol), col(minCol), col(maxCol),
         col(minCol).cast("double").as("__p"),
