@@ -42,14 +42,22 @@ object SparkEntry {
 
   /** Collision-free per-dataset suffix for session-cached index names: the
     * FULL sanitized dir path (a 32-bit `String.hashCode` can collide two
-    * data dirs onto one cached index) plus the `documents` parquet's latest
-    * mtime, so data regenerated mid-session can never be served a stale
-    * index. */
-  private def datasetStamp(dir: String): String = {
+    * data dirs onto one cached index) plus a content fingerprint of the
+    * `documents` parquet — a 64-bit fold over every part file's (name,
+    * length, mtime), sorted by name. Max-mtime alone has millisecond
+    * granularity: a dataset overwritten in place fast enough (or with
+    * mtimes preserved) could serve a stale index; the size+name fold
+    * changes whenever the snapshot's bytes change. */
+  private[graft] def datasetStamp(dir: String): String = {
     val src = new java.io.File(dir, "documents.parquet")
-    val stamp = Option(src.listFiles).filter(_.nonEmpty)
-      .map(_.map(_.lastModified).max).getOrElse(src.lastModified)
-    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") + "_" + stamp
+    val files = Option(src.listFiles).filter(_.nonEmpty)
+      .getOrElse(Array(src)).sortBy(_.getName)
+    val fp = files.foldLeft(1469598103934665603L) { (h, f) =>
+      val s = s"${f.getName}:${f.length}:${f.lastModified}"
+      s.foldLeft(h)((a, c) => (a ^ c) * 1099511628211L)
+    }
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") + "_" +
+      java.lang.Long.toUnsignedString(fp, 16)
   }
 
   /** Interval fixture: per user, consecutive event timestamps become
@@ -1225,10 +1233,18 @@ object SparkEntry {
     // anchors: cosine-argmax assignment (zero-shuffle codegen'd fold) +
     // fixed-point centroid means (order-exact long sums). Chained, this is
     // the IVF coarse-quantizer trainer.
+    // The centroid array serializes to comma-joined 6-dp fixed-point longs
+    // (round(x*1e6) is exact on 6-dp-rounded doubles; BIGINT renders
+    // identically in both engines, unlike double->string) — driver pandas
+    // sort cannot canonicalize array columns (q51 rule).
     "q100_kmeans_step" -> ((sp, dir) => {
       val e = table(sp, dir, "embeddings")
       val anchors = graft.functions.Similarity.hashAnchors(e, 6, salt = "q100")
       graft.functions.Similarity.kmeansStep(e, anchors)
+        .select(col("cell"), col("n"),
+          array_join(transform(col("centroid"),
+            x => round(x * 1e6, 0).cast("long").cast("string")), ",")
+            .as("centroid"))
     }),
 
     // I1 specialization: WITHIN-DISTANCE ("near") interval join — event
@@ -1505,10 +1521,16 @@ object SparkEntry {
 
     // SQ8 scalar quantization of the embedding corpus: per-dim global
     // [min,max] -> int codes in [0,255] + squared reconstruction error.
-    // Stats pass ships dim rows; the corpus itself never shuffles.
+    // Stats pass ships dim rows; the corpus itself never shuffles. The
+    // code array serializes to a comma-joined string for the gate (the
+    // driver's pandas sort cannot canonicalize array columns — q51 rule).
     "q95_sq8" -> ((sp, dir) =>
       Similarity.scalarQuantize(table(sp, dir, "embeddings"),
-        "vec_id", "embedding")),
+        "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes"),
+          col("err"))),
 
     // Data-quality expectation suite: five row rules + one uniqueness rule
     // over documents, ONE aggregate over ONE scan. Two rules are planted to
@@ -1668,10 +1690,15 @@ object SparkEntry {
     // Product quantization: 4 subspaces x 8 hash-selected codebook
     // entries — codes + summed sub-distance error, one codegen'd
     // projection (zero shuffle; anchors are driver-side literals).
+    // Codes serialize comma-joined (driver pandas-sort rule, see q95).
     "q128_pq" -> ((sp, dir) => {
       val emb = table(sp, dir, "embeddings")
       val anchors = Similarity.hashAnchors(emb, 8, "pq")
       Similarity.productQuantize(emb, anchors, 4)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes"),
+          col("err"))
     }),
 
     // Corpus composition by source: doc/token totals, fixed-point mean
@@ -1783,12 +1810,17 @@ object SparkEntry {
     }),
 
     // kNN label-agreement audit (mislabeled-sample detector): fraction of
-    // each vector's 5 nearest cosine neighbors sharing its label. The
-    // neighbor pass here is the exact brute baseline (q30's declared
-    // role); ivfTopK is the scale path for the same downstream rollup.
+    // each vector's 5 nearest cosine neighbors sharing its label, computed
+    // over a 10% HASH-SAMPLE of query vectors — the 100 TB shape (audits
+    // run on a query sample; the corpus is the neighbor pool, never the
+    // query side). Neighbors come from ivfTopK at FULL probe, which equals
+    // the exact brute ranking (q27's trick) so the DuckDB oracle replays
+    // it as brute over the sampled queries. At scale: nProbe < nLists.
     "q137_label_agreement" -> ((sp, dir) => {
       val e = table(sp, dir, "embeddings")
-      val nn = Similarity.bruteForceTopK(e, e, 5)
+      val qs = graft.functions.Sampling.sampleByHash(e, "vec_id", 0.1, "q137")
+      val nn = Similarity.ivfTopK(e, qs, 5,
+          Similarity.ivfTrain(e, nLists = 16), nProbe = 16)
         .select(col("q_id"), col("vec_id").as("n_id"))
       val lab = table(sp, dir, "embeddings").select(col("vec_id"), col("label"))
       nn.join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
@@ -2048,11 +2080,20 @@ object SparkEntry {
     // bounded by order width (q145's idiom).
     "q159_label_prop" -> ((sp, dir) => {
       val li = table(sp, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+        .distinct()
+      // co-purchase edges via q145's IN-ARRAY pair idiom: per-order sorted
+      // item list -> pairs exploded inside the array — ONE basket-keyed
+      // shuffle instead of a per-order self-join shipping the incidence
+      // frame twice (src < dst falls out of the strict sort order)
+      val edges = li.groupBy("__bk")
+        .agg(sort_array(collect_list(col("__it"))).as("__is"))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(__is)), " +
+            "i -> transform(slice(__is, i + 1, size(__is) - i), " +
+            "y -> struct(element_at(__is, i) AS src, y AS dst))))"))
+          .as("__p"))
+        .groupBy(col("__p.src").as("src"), col("__p.dst").as("dst"))
         .agg(count(lit(1)).as("w"))
       graft.functions.GraphOps.labelPropagationStep(edges,
         table(sp, dir, "part").select(col("p_partkey"), col("p_brand")),
@@ -2242,7 +2283,7 @@ object SparkEntry {
     }),
 
     // CUSUM drift alarms on hourly per-type rates: slack 10% of the mean,
-    // alarm at 5x mean (scaled integers end to end — the bounded
+    // alarm at 3x mean (scaled integers end to end — the bounded
     // sequential fold family). Complements q171's memoryless z-scores
     // with accumulated-drift detection.
     "q173_cusum" -> ((sp, dir) =>
@@ -3744,7 +3785,7 @@ object SparkEntry {
         |                   END) AS dx
         |      FROM c)
         |SELECT vec_id,
-        |       list(CAST(code AS INTEGER) ORDER BY i) AS codes,
+        |       string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes,
         |       round(list_reduce(list_prepend(0.0, list(dx * dx ORDER BY i)),
         |                         (a, b) -> a + b), 6) AS err
         |FROM r GROUP BY vec_id""".stripMargin,
@@ -3844,8 +3885,9 @@ object SparkEntry {
         |             count(*) AS n
         |      FROM el GROUP BY cell, i)
         |SELECT cell, CAST(min(n) AS BIGINT) AS n,
-        |       list(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6) ORDER BY i)
-        |         AS centroid
+        |       string_agg(CAST(CAST(round(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6)
+        |                                  * 1000000.0) AS BIGINT) AS VARCHAR),
+        |                  ',' ORDER BY i) AS centroid
         |FROM s GROUP BY cell""".stripMargin,
 
     // The expanded-window overlap predicate IS the within-distance
@@ -4336,7 +4378,7 @@ object SparkEntry {
         |                                ORDER BY dist, j) AS rn
         |      FROM p)
         |SELECT vec_id,
-        |       list(CAST(j AS INTEGER) ORDER BY s) AS codes,
+        |       string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes,
         |       round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
         |                         (x, y) -> x + y), 6) AS err
         |FROM b WHERE rn = 1 GROUP BY vec_id""".stripMargin,
@@ -4536,16 +4578,19 @@ object SparkEntry {
          |FROM f JOIN ex USING (event_type)""".stripMargin
     },
 
-    // q15's brute cosine replay, k=5, rolled to per-vector agreement.
+    // Brute cosine replay over the 10% hash-sampled query side (full-probe
+    // IVF == brute, q27's equivalence), k=5, rolled to per-query agreement.
     "q137_label_agreement" ->
-      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
+        |qs AS (SELECT * FROM c
+        |       WHERE ${hSql("'q137:' || CAST(vec_id AS VARCHAR)")} % 1000 < 100),
         |s AS (SELECT a.vec_id AS q_id, a.label AS q_label,
         |             b.vec_id, b.label AS n_label,
         |             round(list_dot_product(a.v, b.v)
         |                   / (sqrt(list_dot_product(a.v, a.v))
         |                      * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
-        |      FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+        |      FROM qs a JOIN c b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |                                   ORDER BY sim DESC, vec_id) AS rank
         |      FROM s)

@@ -314,7 +314,11 @@ object EventOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     val leads = (1 until n).map(i => lead(col(typeCol), i).over(w))
-    val full = when(leads.map(_.isNotNull).reduce(_ && _),
+    // the head type needs the same null guard as the leads: concat_ws
+    // SKIPS nulls, so an unguarded NULL head would emit a malformed
+    // (n-1)-element sequence ("b>c") instead of dropping the window —
+    // SQL's || propagates the NULL and drops it
+    val full = when((col(typeCol) +: leads).map(_.isNotNull).reduce(_ && _),
       concat_ws(">", col(typeCol) +: leads: _*))
     val counts = df.select(full.as("seq")).where(col("seq").isNotNull)
       .groupBy("seq").agg(count(lit(1)).as("cnt"))

@@ -425,7 +425,11 @@ object Stats {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0, 1]: $qs")
     require(qs.distinct == qs, s"duplicate quantiles: $qs")
-    val reserved = Seq("__v", "__c", "__cum", "__lo", "__n", "q")
+    // every internal working name AND both output names — a key named
+    // "val" or "__frac" would otherwise surface as a duplicate/ambiguous
+    // column instead of a clear error
+    val reserved = Seq("__v", "__c", "__cum", "__lo", "__n", "__frac",
+      "__w", "__i", "__t", "__v0", "__v1", "q", "val")
     require(!keys.exists(reserved.contains),
       s"keys clash with reserved names $reserved")
     val vals = df.select(keys.map(col) :+ col(valCol).cast("double").as("__v"): _*)
@@ -548,13 +552,19 @@ object Stats {
     * Output: the frontier rows (idCol, minCol, maxCol). */
   def paretoFrontier2d(df: DataFrame, idCol: String, minCol: String,
       maxCol: String): DataFrame = {
-    Seq("__p", "__s", "__bk", "__best").foreach(c =>
+    Seq("__p", "__s", "__bk", "__best", "__off", "__m").foreach(c =>
       require(!Seq(idCol, minCol, maxCol).contains(c),
         s"paretoFrontier2d reserves `$c`"))
+    // `__s` keeps maxCol's NATIVE numeric type end-to-end (bucket maxima,
+    // running max, dominance compare) — a long cast here would truncate
+    // fractional maxima before the comparison and wrongly eliminate
+    // non-dominated rows (e.g. max 1.2 vs 1.9 both truncating to 1).
+    // "No prior row" is therefore a NULL running max (greatest() skips
+    // nulls), not a Long.MinValue sentinel.
     val v = df.where(col(minCol).isNotNull && col(maxCol).isNotNull)
       .select(col(idCol), col(minCol), col(maxCol),
         col(minCol).cast("double").as("__p"),
-        col(maxCol).cast("long").as("__s"))
+        col(maxCol).as("__s"))
       .withColumn("__bk", floor(col("__p")).cast("long"))
     val bucketMax = v.groupBy("__bk").agg(max("__s").as("__m"))
     val wOff = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
@@ -564,11 +574,9 @@ object Stats {
       .orderBy(col("__p"), col("__s").desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevIn = max("__s").over(wIn)
-    val best = greatest(coalesce(col("__off"), lit(Long.MinValue)),
-      coalesce(prevIn, lit(Long.MinValue)))
     v.join(broadcast(offs), Seq("__bk"))
-      .withColumn("__best", best)
-      .where(col("__s") > col("__best"))
+      .withColumn("__best", greatest(col("__off"), prevIn))
+      .where(col("__best").isNull || col("__s") > col("__best"))
       .select(col(idCol), col(minCol), col(maxCol))
   }
 }

@@ -39,16 +39,43 @@ object PlanAudit {
       nestedLoopJoins = count("BroadcastNestedLoopJoin"),
       exchanges = count("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition"),
       broadcastExchanges = count("BroadcastExchange"),
-      // a spec with no PARTITION BY renders its ORDER BY expression first:
-      // `windowspecdefinition(x#1L ASC NULLS FIRST, ...` — a partitioned
-      // spec leads with bare partition attributes (no sort direction)
-      unpartitionedWindows = count("windowspecdefinition\\([^,()]* (ASC|DESC)"),
+      unpartitionedWindows = countUnpartitionedWindows(plan),
       parquetScans = count("Scan parquet|FileScan parquet"),
       // the tree renderer prints a codegen'd operator as `*(<stageId>)`
       // (explain("formatted") would say WholeStageCodegen) — distinct
       // stage ids = codegen spans
       wholeStageCodegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size)
+  }
+
+  /** A spec with no PARTITION BY renders its ORDER BY expression FIRST:
+    * `windowspecdefinition(x#1L ASC NULLS FIRST, ...)` — a partitioned spec
+    * leads with bare partition expressions (no sort direction). The first
+    * TOP-LEVEL argument is isolated by balanced-paren scanning (a bare
+    * `[^,()]*` regex misses order keys that render with parens or commas —
+    * arithmetic, CASE, function calls) and classified by its SortOrder
+    * suffix, which Spark always renders as `<dir> NULLS <ordering>`. */
+  private[plans] def countUnpartitionedWindows(plan: String): Int = {
+    val marker = "windowspecdefinition("
+    val sortSuffixes = Seq("ASC NULLS FIRST", "ASC NULLS LAST",
+      "DESC NULLS FIRST", "DESC NULLS LAST")
+    var idx = plan.indexOf(marker)
+    var cnt = 0
+    while (idx >= 0) {
+      val start = idx + marker.length
+      var depth = 0
+      var i = start
+      while (i < plan.length &&
+        !(depth == 0 && (plan.charAt(i) == ',' || plan.charAt(i) == ')'))) {
+        val c = plan.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      val firstArg = plan.substring(start, i).trim
+      if (sortSuffixes.exists(firstArg.endsWith)) cnt += 1
+      idx = plan.indexOf(marker, start)
+    }
+    cnt
   }
 
   /** Throw (with the offending plan attached) if the plan contains a

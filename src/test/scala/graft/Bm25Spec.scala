@@ -173,4 +173,35 @@ class Bm25Spec extends SparkSuite {
       .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
     assert(t == Set((20L, 1L), (21L, 2L))) // 99 cut by k=2
   }
+
+  test("datasetStamp fingerprints content: in-place overwrite with preserved mtime changes the stamp") {
+    // the q64/q78 session caches key on this stamp; max-mtime alone would
+    // serve a stale index when a dataset is overwritten in place with the
+    // same timestamps — the (name, length, mtime) fold must still change
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp").toFile
+    try {
+      val pq = new java.io.File(dir, "documents.parquet")
+      assert(pq.mkdirs())
+      val part = new java.io.File(pq, "part-00000.parquet")
+      java.nio.file.Files.write(part.toPath, "aaaa".getBytes)
+      part.setLastModified(1700000000000L)
+      val s1 = SparkEntry.datasetStamp(dir.getPath)
+      assert(s1 == SparkEntry.datasetStamp(dir.getPath)) // deterministic
+      // same mtime, different length -> different stamp
+      java.nio.file.Files.write(part.toPath, "aaaaaa".getBytes)
+      part.setLastModified(1700000000000L)
+      val s2 = SparkEntry.datasetStamp(dir.getPath)
+      assert(s1 != s2, "content change with preserved mtime must change the stamp")
+      // extra part file (same total layout otherwise) -> different stamp
+      val part2 = new java.io.File(pq, "part-00001.parquet")
+      java.nio.file.Files.write(part2.toPath, "bb".getBytes)
+      part2.setLastModified(1700000000000L)
+      assert(SparkEntry.datasetStamp(dir.getPath) != s2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

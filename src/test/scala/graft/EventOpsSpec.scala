@@ -146,6 +146,20 @@ class EventOpsSpec extends SparkSuite {
       graft.functions.EventOps.topSequences(rows, Seq("u"), "et", "t", "id", 3, 0) }
   }
 
+  test("topSequences: NULL event type drops every window containing it (head included)") {
+    import spark.implicits._
+    // null at the HEAD of a window: concat_ws would silently skip it and
+    // emit a malformed 2-element "trigram" without the head guard
+    val rows = Seq((1L, Option.empty[String], 1L, 1L),
+      (1L, Some("b"), 2L, 2L), (1L, Some("c"), 3L, 3L),
+      (1L, Some("d"), 4L, 4L))
+      .toDF("u", "et", "t", "id")
+    val got = graft.functions.EventOps.topSequences(rows, Seq("u"), "et",
+        "t", "id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("b>c>d", 1L)), got.mkString(","))
+  }
+
   // ---------------------------------------------------------- rateAnomaly
 
   test("rateAnomaly: trailing-frame z, min-points and zero-variance guards") {

@@ -32,6 +32,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(PlanAudit.audit(part).exchanges >= 1)
   }
 
+  test("window audit handles order keys that render with parens/commas") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, "a"), (2L, "b")).toDF("v", "g")
+    // arithmetic order key renders as `(v#1L + 1) ASC NULLS FIRST` — the
+    // old [^,()]* regex missed it
+    val unpArith = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v") + 1)))
+    assert(PlanAudit.audit(unpArith).unpartitionedWindows >= 1)
+    val unpCase = df.withColumn("r", row_number().over(
+      Window.orderBy(when(col("g") === "a", col("v")).otherwise(-col("v")))))
+    assert(PlanAudit.audit(unpCase).unpartitionedWindows >= 1)
+    // partitioned by an expression, ordered by an expression: still 0
+    val partArith = df.withColumn("r", row_number().over(
+      Window.partitionBy(concat(col("g"), lit("_"))).orderBy(col("v") + 1)))
+    assert(PlanAudit.audit(partArith).unpartitionedWindows == 0)
+  }
+
   test("shipped plans audit clean: q08 is scale-safe; codegen spans visible on a final plan") {
     val df = SparkEntry.queries("q08_interval_join_binned")(spark,
       "/root/testdata/sf0.001")

@@ -52,9 +52,8 @@ class PlanShapeSpec extends SparkSuite {
     // the 2|qs|-row rank-probe frame broadcast range-joined into the
     // running-count frame — bounded by the quantile list, never data-sized
     "q147_exact_quantiles",
-    // inherits q15's declared brute-force kNN baseline (ivfTopK is the
-    // scale path for the same rollup)
-    "q137_label_agreement",
+    // (q137_label_agreement left this list in round 8: its neighbor pass is
+    // now ivfTopK over a hash-sampled query side — list-id equi-join, no NLJ)
     // range-only generalized joins against tiny window frames (nation/region
     // broadcast; bounded/float intervals have no tick space to bin)
     "q52_interval_join_bounded", "q53_interval_join_float",
@@ -175,6 +174,26 @@ class PlanShapeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p82.contains("NestedLoop") && !p82.contains("CartesianProduct"),
       s"semanticDedup pair scan degenerated:\n$p82")
+  }
+
+  test("no query returns a top-level array/map/struct column") {
+    // The driver's oracle gate canonicalizes result rows with pandas
+    // sort_values over ALL columns; an array<...>/map/struct output column
+    // raises "unhashable type: numpy.ndarray" there before any comparison
+    // runs (r07: q95/q100/q128). Serialize non-scalar outputs to canonical
+    // strings (sort_array + array_join, or fixed-point joins) per the
+    // q51/q95 rule before they leave SparkEntry.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}:${f.dataType.simpleString}"
+      }
+      assert(bad.isEmpty,
+        s"$name returns non-atomic top-level column(s) ${bad.mkString(", ")} — " +
+          "the driver's pandas sort cannot canonicalize these; serialize them")
+    }
   }
 
   test("predicate pushdown reaches the parquet scan") {

@@ -556,4 +556,15 @@ class RelStatsSpec extends SparkSuite {
     assert(plan.contains("windowspecdefinition(__bk"),
       s"expected bucket-partitioned window:\n$plan")
   }
+
+  test("paretoFrontier2d: fractional maxCol compares exactly (no long truncation)") {
+    // (min=1, max=1.2) and (min=2, max=1.9): neither dominates the other —
+    // a long cast would truncate both maxima to 1 and wrongly drop id 2
+    val df = Seq((1L, 1.0, 1.2), (2L, 2.0, 1.9), (3L, 3.0, 1.9),
+      (4L, 0.5, 0.7)).toDF("id", "price", "size")
+    val got = Stats.paretoFrontier2d(df, "id", "price", "size")
+      .collect().map(_.getLong(0)).toSet
+    // id 3 is dominated by id 2 (higher min, equal max); id 4 non-dominated
+    assert(got == Set(1L, 2L, 4L), got.toString)
+  }
 }

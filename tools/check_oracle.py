@@ -53,6 +53,16 @@ for name, sql in sorted(oracle.items()):
         got = pd.read_parquet(f"{out}/{name}")
     except Exception as e:
         print(f"{name}: SPARK RESULT MISSING: {e}"); fails += 1; continue
+    # The driver canonicalizes with pandas sort_values over ALL columns;
+    # array-typed output columns raise "unhashable type: numpy.ndarray"
+    # there even though the tuple-sort below handles them fine. Replicate
+    # that sort so the failure class is caught locally (r07: q95/q100/q128).
+    try:
+        got.sort_values(by=list(got.columns))
+        exp.sort_values(by=list(exp.columns))
+    except Exception as e:
+        print(f"{name}: DRIVER-SORT HAZARD (pandas sort_values): {e}")
+        fails += 1; continue
     if sorted(exp.columns) != sorted(got.columns):
         print(f"{name}: COLUMN MISMATCH spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
         fails += 1; continue
