@@ -11,11 +11,18 @@ import org.apache.spark.sql.functions._
   * dedup/near-dup queries degenerate into quadratic pair blowups that
   * measure the fixture, not the operator:
   *
-  *  - documents: doc_id offset per copy; every whitespace token in copies
-  *    1-3 gains a copy suffix, so shingles/terms NEVER collide across
-  *    copies (cross-copy Jaccard/containment = 0, vocabulary ×4, per-doc
-  *    length +tokens·3 chars) while each copy keeps the original intra-
-  *    corpus duplicate structure. n_chars recomputed for consistency.
+  *  - documents: doc_id offset per copy; copies 1-3 pass through a
+  *    per-copy SUBSTITUTION CIPHER (`translate` over a rotated lowercase
+  *    alphabet). A character bijection preserves EVERY structural
+  *    property bit-for-bit — text length, token boundaries, per-doc
+  *    distinct char-gram and term counts, frequency profiles, quality
+  *    scores — while making content disjoint across copies (terms and
+  *    char-5-grams land in rotated alphabets). The first attempt salted
+  *    a suffix onto every token instead, and the suite's MinHash queries
+  *    blew up 147×: `Dedup.shingles` are CHARACTER 5-grams, and a
+  *    constant "~c1 " bridge at every word junction collapsed gram
+  *    diversity so thousands of docs collided into single LSH buckets —
+  *    the fixture, not the operator, had gone quadratic.
   *  - lineitem/orders: order keys offset per copy, part keys SHARED —
   *    4× baskets over the same catalog (edge sets unchanged, weights ×4;
   *    the basket-keyed shuffles see 4× rows).
@@ -50,15 +57,17 @@ object ScaleUpBench {
     val write = (df: DataFrame, t: String) =>
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
+    // rotation 7c mod 26: 7 is coprime with 26, so every copy < 26 gets a
+    // DISTINCT nonzero rotation (a plain c*7 would empty the `to` string
+    // past c=3 and translate would start DELETING characters)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     write(copies(read("documents"), factor) { (d, c) =>
+      val r = (c * 7) % 26
       if (c == 0) d
-      else {
-        val salted = array_join(
-          transform(split(col("text"), "\\s+"), t => concat(t, lit(s"~c$c"))),
-          " ")
-        d.select((col("doc_id") + c * Off).as("doc_id"), salted.as("text"),
-          col("lang"), col("source"), length(salted).as("n_chars"))
-      }
+      else d.select((col("doc_id") + c * Off).as("doc_id"),
+        translate(col("text"), alpha, alpha.drop(r) + alpha.take(r))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
     write(copies(read("embeddings"), factor) { (d, c) =>
@@ -81,10 +90,13 @@ object ScaleUpBench {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale4")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "4").toInt
+    require(factor >= 2 && factor <= 25, s"factor must be in [2, 25]: $factor")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale$factor")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = Bench.buildSession()
-    buildScaled(spark, srcDir, outDir)
+    buildScaled(spark, srcDir, outDir, factor)
 
     def measure(dir: String): Map[String, Double] = {
       targets.foreach { n => // warm pass (codegen, readers, index builds)
@@ -103,10 +115,10 @@ object ScaleUpBench {
     }
 
     val t1 = measure(srcDir)
-    val t4 = measure(outDir)
+    val tN = measure(outDir)
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     targets.foreach { n =>
-      println(s"""{"query":"$n","t1x_sec":${f(t1(n))},"t4x_sec":${f(t4(n))},"ratio":${f(t4(n) / t1(n))}}""")
+      println(s"""{"query":"$n","factor":$factor,"t1x_sec":${f(t1(n))},"tNx_sec":${f(tN(n))},"ratio":${f(tN(n) / t1(n))}}""")
     }
     spark.stop()
   }

@@ -1528,8 +1528,7 @@ object SparkEntry {
       Similarity.scalarQuantize(table(sp, dir, "embeddings"),
         "vec_id", "embedding")
         .select(col("vec_id"),
-          array_join(transform(col("codes"), c => c.cast("string")), ",")
-            .as("codes"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
           col("err"))),
 
     // Data-quality expectation suite: five row rules + one uniqueness rule
@@ -1695,9 +1694,11 @@ object SparkEntry {
       val emb = table(sp, dir, "embeddings")
       val anchors = Similarity.hashAnchors(emb, 8, "pq")
       Similarity.productQuantize(emb, anchors, 4)
+        // concat_ws over a plain array cast, NOT transform(...): a lambda
+        // blocks codegen CSE, so the collapsed projection recomputed every
+        // per-subspace argmin tree inside it (measured +82% on this query)
         .select(col("vec_id"),
-          array_join(transform(col("codes"), c => c.cast("string")), ",")
-            .as("codes"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
           col("err"))
     }),
 

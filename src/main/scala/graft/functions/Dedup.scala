@@ -335,10 +335,23 @@ object Dedup {
     * Scale design: the only shuffle is the (band, bandHash) equi-join; a
     * pair sharing several bands is kept exactly once — in the FIRST band
     * whose hashes agree (a residual predicate over the carried band-hash
-    * arrays) — so no `distinct` shuffle and each pair is verified once. */
+    * arrays) — so no `distinct` shuffle and each pair is verified once.
+    *
+    * `maxBucket` (opt-in): a bucket of m signatures generates m·(m-1)/2
+    * verification pairs, so one mega-bucket (boilerplate pages, tiny
+    * shared vocabularies — a 2,600-doc bucket means 3.4 M Jaccard
+    * verifications in ONE task) dominates the whole job. Buckets larger
+    * than the cap are SKIPPED — the standard web-scale LSH recall trade.
+    * A pair inside a skipped bucket is still found via any OTHER band
+    * whose bucket survived: the capped path replaces the
+    * first-agreeing-band residual (which would silently drop a pair whose
+    * FIRST agreeing band was the skipped one) with a pair-level
+    * dropDuplicates — one extra shuffle on the output-bound pair set.
+    * Default None preserves exact LSH semantics and the shuffle-free
+    * dedup; the oracle-checked entries run uncapped. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // Bucket-grouped pair generation instead of a self-join: the signature
@@ -350,6 +363,7 @@ object Dedup {
     // anything is 0 (or NaN vs another empty) — never >= a positive
     // threshold, same visible output as the join formulation.
     require(threshold > 0.0, "nearDupPairs requires a positive threshold")
+    require(maxBucket.forall(_ >= 2), s"maxBucket must be >= 2: $maxBucket")
     val sigs = signatures(df, textCol, idCol, k, bands, shingleN)
       .where(size(col("hs")) > 0)
     val buckets = sigs
@@ -357,22 +371,29 @@ object Dedup {
         posexplode(col("bhs")).as(Seq("band", "bh")))
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("id"), col("hs"), col("bhs"))).as("g"))
-      .where(size(col("g")) >= 2)
+      .where(size(col("g")) >= 2 &&
+        maxBucket.map(m => size(col("g")) <= m).getOrElse(lit(true)))
       .select(col("band"), col("g"))
     val outSchema = StructType(Seq(
       StructField("id_a", LongType, nullable = false),
       StructField("id_b", LongType, nullable = false),
       StructField("jaccard", DoubleType, nullable = false)))
-    buckets.flatMap { row =>
+    val capped = maxBucket.isDefined
+    val raw = buckets.flatMap { row =>
       val band = row.getInt(0)
       val g = row.getSeq[Row](1).sortBy(_.getLong(0))
       for {
         i <- g.indices.iterator
         j <- (i + 1 until g.length).iterator
         a = g(i); b = g(j)
-        // keep the pair only in its FIRST agreeing band (no distinct)
+        // uncapped: keep the pair only in its FIRST agreeing band (no
+        // distinct shuffle). Capped: emit from EVERY surviving band (the
+        // first agreeing band may be a skipped mega-bucket) and dedup
+        // below — jaccard is a pure function of the pair, so duplicates
+        // are value-identical.
         bhsA = a.getSeq[Long](2); bhsB = b.getSeq[Long](2)
-        if bhsA.zip(bhsB).indexWhere { case (x, y) => x == y } == band
+        if capped ||
+          bhsA.zip(bhsB).indexWhere { case (x, y) => x == y } == band
         jac = {
           val sa = a.getSeq[Long](1).toSet
           val sb = b.getSeq[Long](1).toSet
@@ -382,6 +403,7 @@ object Dedup {
         if jac >= threshold
       } yield Row(a.getLong(0), b.getLong(0), jac)
     }(Encoders.row(outSchema)).toDF()
+    if (capped) raw.dropDuplicates("id_a", "id_b") else raw
   }
 
   /** EXACT Hamming-distance near-dup pairs over SimHash fingerprints
@@ -645,11 +667,14 @@ object Dedup {
     * trade the sweep join makes for its partition bounds. Driver-heap
     * contract: edges collect as primitive (Long, Long) tuples at ~32 B
     * per edge, so the default 1 M cap costs ~32 MB of driver heap; raise it
-    * only with the driver sized to match. Above the limit it falls back to
-    * distributed min-label propagation with pointer jumping
-    * (`rep := rep(rep)` halves label paths, so O(log n) rounds even on a
-    * chain), each round a pair of small joins with lineage cut by an eager
-    * localCheckpoint.
+    * only with the driver sized to match. Above the limit, FILTERING
+    * CONTRACTION passes (per-partition spanning forests — see
+    * [[componentsDistributed]]) shrink the edge set until it fits the cap,
+    * then the driver union-find finishes; only a graph whose global
+    * spanning forest alone exceeds the cap falls back to distributed
+    * min-label propagation with pointer jumping (`rep := rep(rep)` halves
+    * label paths, so O(log n) rounds even on a chain), each round a pair
+    * of small joins with lineage cut by an eager localCheckpoint.
     *
     * `pairs` needs `a`/`b` long columns (one row per undirected edge);
     * `nodes` one `id` long column. Output: (id, rep). */
@@ -674,7 +699,7 @@ object Dedup {
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).collect()
       return componentsViaUnionFind(edges, nodes)
     }
-    componentsDistributed(edgesDf, nodes, maxIter)
+    componentsDistributed(edgesDf, nodes, maxIter, localEdgeLimit)
   }
 
   /** Near-dup cluster canonicalization — the dedup POLICY step: given the
@@ -734,7 +759,75 @@ object Dedup {
       .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
   }
 
+  /** FILTERING CONTRACTION (the MSF-sparsification idea behind Borůvka-
+    * style MapReduce CC): a per-partition union-find keeps only the edges
+    * that merge two locally-unconnected sets — a spanning forest of each
+    * partition's subgraph. A dropped edge is globally redundant: its
+    * endpoints stay connected through kept forest edges, so the union's
+    * component structure is INVARIANT under the filter (for any
+    * partitioning — the kept edge set varies, the components never do).
+    * Each pass bounds a partition's surviving edges by its distinct local
+    * node count, so dense dedup graphs collapse by their density factor
+    * per pass; coalescing to 4× fewer partitions between passes keeps
+    * merging forests until the remainder fits `localEdgeLimit`, where the
+    * driver union-find finishes in milliseconds. Measured at the 16×
+    * scale-up corpus (80 k nodes, 1.1 M edges): 2 contraction passes +
+    * driver finish ≈ 3 s, vs 219 s for 22 rounds of min-label
+    * pointer-jumping on the same graph — label propagation pays ~5 jobs
+    * per round and its late rounds degenerate on the giant component.
+    * Only a graph whose global spanning forest STILL exceeds the cap
+    * (>localEdgeLimit nodes in nontrivial components — already minimal,
+    * nothing to contract) falls through to the pointer-jumping loop.
+    * Per-task memory: the union-find maps a partition's distinct local
+    * nodes (~48 B/node); size partitions so a partition's node set fits
+    * an executor core's heap share. */
   private def componentsDistributed(pairs: DataFrame, nodes: DataFrame,
+      maxIter: Int, localEdgeLimit: Long): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def forest(e: org.apache.spark.sql.Dataset[(Long, Long)]) =
+      e.mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.filter { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra == rb) false
+          else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
+        }
+      }(tup)
+    var e = pairs.select(col("a"), col("b")).as(tup)
+    var cnt = Long.MaxValue // caller established only cnt > localEdgeLimit
+    var parts = e.rdd.getNumPartitions
+    var stalled = false
+    var pass = 0
+    while (cnt > localEdgeLimit && !stalled && pass < maxIter) {
+      val contracted = forest(e).localCheckpoint(true)
+      val c2 = contracted.count()
+      stalled = c2 == cnt && parts <= 1
+      e = contracted
+      if (c2 > localEdgeLimit && parts > 1) {
+        parts = math.max(1, parts / 4)
+        // narrow coalesce over the checkpointed blocks — merged partitions
+        // let the next pass union forests without a shuffle
+        e = e.coalesce(parts)
+      }
+      cnt = c2
+      pass += 1
+    }
+    if (cnt <= localEdgeLimit) componentsViaUnionFind(e.collect(), nodes)
+    else componentsPointerJump(e.toDF("a", "b"), nodes, maxIter)
+  }
+
+  /** Min-label propagation with pointer jumping — the fallback for graphs
+    * whose spanning forest alone exceeds the driver cap. O(log n) rounds,
+    * ~5 jobs per round. */
+  private def componentsPointerJump(pairs: DataFrame, nodes: DataFrame,
       maxIter: Int): DataFrame = {
     val sym = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))

@@ -196,6 +196,33 @@ class TextDedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("nearDupPairs maxBucket: generous cap == exact; tight cap stays a value-correct subset") {
+    // the 60-doc corpus below has genuine near-dup clusters (7 shared
+    // bases), so band buckets of several docs exist
+    val corpus = (0L until 60L).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog number ${i % 7} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail$i extra words ${i * 31}")
+    }.toDF("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.4))
+    // a cap no bucket exceeds must reproduce the exact pair set + values
+    val generous = toMap(Dedup.nearDupPairs(corpus, "text", "doc_id",
+      threshold = 0.4, maxBucket = Some(1000)))
+    assert(generous == exact)
+    // a tight cap may drop pairs (recall trade) but never invents or
+    // re-values one, and emits each surviving pair exactly once
+    val tightDf = Dedup.nearDupPairs(corpus, "text", "doc_id",
+      threshold = 0.4, maxBucket = Some(3))
+    val tightRows = tightDf.collect()
+    assert(tightRows.length == tightRows.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+    val tight = tightRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(tight.keySet.subsetOf(exact.keySet))
+    tight.foreach { case (k, v) => assert(exact(k) == v) }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupPairs(corpus, "text", "doc_id", maxBucket = Some(1)) }
+  }
+
   test("band index probe == cross-split restriction of the batch pipeline, jaccard included") {
     // larger deterministic fixture: a shared base with id-dependent edits
     // so both cross- and same-split near-dups exist
@@ -341,8 +368,10 @@ class TextDedupSpec extends SparkSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = ids.map(i => i -> find(i.toInt).toLong).toMap
-      // union-find fast path (default) AND the distributed pointer-jumping
-      // loop (forced with localEdgeLimit = 0) must both match
+      // union-find fast path (default) AND the distributed path (forced
+      // with localEdgeLimit = 0: contraction can never fit a zero cap, so
+      // it stalls at the global forest and the pointer-jumping fallback
+      // runs) must both match
       val gotLocal = graft.functions.Dedup.connectedComponents(
         edges.toDF("a", "b"), ids.toDF("id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -352,6 +381,31 @@ class TextDedupSpec extends SparkSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gotDist == expected, s"dist seed=$seed n=$n edges=${edges.size}")
     }
+  }
+
+  test("connectedComponents contraction path: dense graph over the cap contracts to the driver finish") {
+    // clique 0..19 (190 edges) + chain 20..29 + isolated 30..34: 199 edges
+    // exceed cap 40, but any spanning forest (<= 29 edges) fits — the
+    // filtering-contraction passes must shrink to the driver union-find
+    // and reproduce the exact min-id components
+    val clique = for { a <- 0L until 20L; b <- (a + 1) until 20L } yield (a, b)
+    val chain = (20L until 29L).map(i => (i, i + 1))
+    val edges = (clique ++ chain).toDF("a", "b").repartition(8)
+    val nodes = (0L until 35L).toDF("id")
+    val expected = (0L until 35L).map {
+      case i if i < 20L => i -> 0L
+      case i if i < 30L => i -> 20L
+      case i => i -> i
+    }.toMap
+    val got = graft.functions.Dedup.connectedComponents(edges, nodes,
+        localEdgeLimit = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // same graph through the stalled-forest fallback (cap 0) for parity
+    val gotPj = graft.functions.Dedup.connectedComponents(edges, nodes,
+        localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPj == expected)
   }
 
   test("tokenNgrams: sliding word windows, deduped, empty under n") {
