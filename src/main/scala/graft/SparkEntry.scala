@@ -1748,9 +1748,12 @@ object SparkEntry {
       // (sorted set ⇒ a < b falls out). Both n_a and the pair counts
       // derive from that grouped frame — the corpus is never scanned or
       // joined twice (was: two tokenize passes + a gram self-join, 4.8 s
-      // at sf0.1; now ~1 pass).
-      val bySrc = table(sp, dir, "documents")
-        .select(col("source"), explode(TF.tokenNgrams(col("text"), 5)).as("g"))
+      // at sf0.1; now ~1 pass). Tokenize rides the imperative
+      // tokenNgramsByKey fast path (parity-pinned): the Column HOF twin
+      // alone cost 2.8 s of this query's former 4.3 s.
+      val bySrc = TF.tokenNgramsByKey(table(sp, dir, "documents"),
+          col("source"), col("text"), 5)
+        .toDF("source", "g")
         .groupBy("g").agg(sort_array(collect_set(col("source"))).as("__ss"))
       val perSrc = bySrc.select(explode(col("__ss")).as("source_a"))
         .groupBy("source_a").agg(count(lit(1)).as("n_a"))

@@ -439,6 +439,26 @@ class TextDedupSpec extends SparkSuite {
     }
   }
 
+  test("tokenNgramsByKey: bit-identical to the Column path keyed explode") {
+    import graft.functions.{TextFunctions => TF}
+    val fixture = Seq(
+      ("web", "a b c d a b c"), ("web", "  x   y\tz  "), ("books", "solo"),
+      ("books", ""), ("code", null.asInstanceOf[String]),
+      ("code", "the quick brown fox the quick brown fox"))
+      .toDF("source", "text")
+    for (n <- Seq(1, 2, 3)) {
+      // toSeq not toSet: per-row dedup must also agree on MULTIPLICITY
+      // across rows sharing a key (two "web" docs with a common n-gram
+      // emit it twice on both paths)
+      val fast = TF.tokenNgramsByKey(fixture, col("source"), col("text"), n)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val columnPath = fixture
+        .select(col("source"), explode(TF.tokenNgrams(col("text"), n)).as("ng"))
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(fast == columnPath, s"n=$n")
+    }
+  }
+
   test("redactPii replaces emails and phone-like runs, leaves prose alone") {
     import graft.functions.{TextFunctions => TF}
     val out = Seq("mail me at jo.doe+x@sub.example.org or call +1 (555) 010-7788 now")
