@@ -39,11 +39,17 @@ import org.apache.spark.sql.functions._
 object ScaleUpBench {
   private val Off = 100000000L // key offset per copy; >> any sf0.1 key
 
-  val targets: Seq[String] = Seq(
+  val defaultTargets: Seq[String] = Seq(
     "q137_label_agreement", "q133_overlap_matrix", "q74_bm25",
     "q159_label_prop", "q75_cluster_canonical", "q172_leakage_audit",
     "q145_copurchase", "q139_jaccard_join", "q78_bm25_index",
     "q84_hybrid_rrf")
+
+  /** Override via SPARK_GRAFT_SCALE_TARGETS (comma-separated query names)
+    * to curve a different slice of the suite without an edit-compile loop. */
+  def targets: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_TARGETS")
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(defaultTargets)
 
   private def copies(df: DataFrame, n: Int)(remap: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(c => remap(df, c)).reduce(_ unionAll _)
@@ -83,7 +89,20 @@ object ScaleUpBench {
       d.withColumn("o_orderkey", col("o_orderkey") + c * Off)
     }, "orders")
 
-    write(read("part"), "part")
+    // events: user and event keys offset per copy — 4× structurally
+    // disjoint user populations over the SAME time range (4× event
+    // density; session/funnel/interval shapes per user unchanged). The
+    // per-user event streams the windowed operators key on never mix
+    // across copies.
+    write(copies(read("events"), factor) { (d, c) =>
+      d.withColumn("event_id", col("event_id") + c * Off)
+        .withColumn("user_id", col("user_id") + c * Off)
+    }, "events")
+
+    // dimension tables pass through unscaled (shared catalog semantics),
+    // so any suite query can run against the scaled dir
+    Seq("part", "region", "nation", "customer", "supplier")
+      .foreach(t => write(read(t), t))
     java.nio.file.Files.writeString(done.toPath, "ok\n")
     ()
   }

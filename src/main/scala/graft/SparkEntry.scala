@@ -904,7 +904,10 @@ object SparkEntry {
     // est >= true always, overestimates mark bucket collisions. The
     // sketch shuffle is at most depth*width cells per map partition.
     "q71_cms_counts" -> ((sp, dir) => {
-      val toks = table(sp, dir, "documents")
+      // parallelized: the 4 md5 cell hashes per token are the map-side
+      // cost, and a single-row-group file hands them to ONE task
+      val toks = graft.sources.Scans.parallelized(
+          table(sp, dir, "documents").select(col("text")))
         .select(explode(TF.tokens(col("text"))).as("tok"))
       val sketch = graft.functions.Sketches.cmsSketch(toks, "tok", 4, 64, "q71")
       val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
@@ -917,7 +920,8 @@ object SparkEntry {
     // count — registers are a max aggregate (sketch-sized shuffle), the
     // estimator folds registers in order (bit-exact, oracle-replayable).
     "q72_hll_distinct" -> ((sp, dir) => {
-      val toks = table(sp, dir, "documents")
+      val toks = graft.sources.Scans.parallelized(
+          table(sp, dir, "documents").select(col("text")))
         .select(explode(TF.tokens(col("text"))).as("tok"))
       val est = graft.functions.Sketches.hllEstimate(
         graft.functions.Sketches.hllSketch(toks, "tok", 8, "q72"), 8)
@@ -976,7 +980,8 @@ object SparkEntry {
     // candidate rows and re-applies the threshold. Oracle is the plain
     // exact HAVING — the sketch shapes the plan, never the answer.
     "q77_heavy_hitters" -> ((sp, dir) => {
-      val toks = table(sp, dir, "documents")
+      val toks = graft.sources.Scans.parallelized(
+          table(sp, dir, "documents").select(col("text")))
         .select(explode(TF.tokens(col("text"))).as("tok"))
       graft.functions.Sketches.heavyHittersByShare(toks, "tok", 30L, 4, 64, "q77")
     }),
@@ -1896,10 +1901,12 @@ object SparkEntry {
     // evaluation metric for the model-based quality filter.
     "q142_roc_auc" -> ((sp, dir) =>
       graft.functions.Stats.rocAuc(
-        table(sp, dir, "documents").select(
-          TF.hashedLinearScore(col("text"), dim = 64, salt = "q80")
-            .as("qscore"),
-          col("lang")),
+        graft.sources.Scans.parallelized(
+          table(sp, dir, "documents").select(col("text"), col("lang")))
+          .select(
+            TF.hashedLinearScore(col("text"), dim = 64, salt = "q80")
+              .as("qscore"),
+            col("lang")),
         "qscore", col("lang") === "en")),
 
     // Join-key skew pre-flight on events.user_id — the sizing input for
@@ -2085,13 +2092,15 @@ object SparkEntry {
     "q159_label_prop" -> ((sp, dir) => {
       val li = table(sp, dir, "lineitem")
         .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
-        .distinct()
       // co-purchase edges via q145's IN-ARRAY pair idiom: per-order sorted
       // item list -> pairs exploded inside the array — ONE basket-keyed
       // shuffle instead of a per-order self-join shipping the incidence
-      // frame twice (src < dst falls out of the strict sort order)
+      // frame twice (src < dst falls out of the strict sort order).
+      // Within-basket dedup happens IN the array (was a standalone
+      // .distinct() — a second full shuffle buying nothing: (order, part)
+      // is already near-unique, so its partial agg deduped ~0 rows).
       val edges = li.groupBy("__bk")
-        .agg(sort_array(collect_list(col("__it"))).as("__is"))
+        .agg(sort_array(array_distinct(collect_list(col("__it")))).as("__is"))
         .select(explode(expr(
           "flatten(transform(sequence(1, size(__is)), " +
             "i -> transform(slice(__is, i + 1, size(__is) - i), " +
@@ -2109,9 +2118,11 @@ object SparkEntry {
     // integer counts, fixed-point mean score. The reliability diagram
     // next to q142's AUC.
     "q160_calibration" -> ((sp, dir) => {
-      val scored = table(sp, dir, "documents").select(
-        TF.hashedLinearScore(col("text"), dim = 64, salt = "q80").as("score"),
-        col("lang"))
+      val scored = graft.sources.Scans.parallelized(
+          table(sp, dir, "documents").select(col("text"), col("lang")))
+        .select(
+          TF.hashedLinearScore(col("text"), dim = 64, salt = "q80").as("score"),
+          col("lang"))
       graft.functions.Stats.calibrationCurve(scored, "score",
         col("lang") === "en", 10)
     }),

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational graph analytics: PageRank power iteration and triangle
@@ -93,14 +92,16 @@ object GraphOps {
     * WEIGHTED undirected edge list: each node's next label is the
     * weight-majority label among its neighbors, ties to the SMALLEST
     * label, isolated nodes keep their own. Exact integer weight sums;
-    * the argmax is a row_number over (weight desc, label asc) — a total
-    * order, so the step is deterministic and engine-replayable.
+    * the argmax is `min(struct(-weight, label))` — lexicographic struct
+    * order gives (weight desc, label asc), a total order, so the step is
+    * deterministic and engine-replayable.
     *
     * Shape at scale: edges explode once into both directions (2|E| rows),
     * ONE equi-join tags each neighbor with its current label, one
     * map-side-combining aggregate per (node, label), and the per-node
-    * argmax window is PARTITIONED by node. Loop the step for the usual
-    * LPA fixpoint/community sweep. Output: (node, label, prev_label). */
+    * argmax is a second map-side-combining HASH aggregate — no rank-1
+    * window, so nothing sorts. Loop the step for the usual LPA
+    * fixpoint/community sweep. Output: (node, label, prev_label). */
   def labelPropagationStep(edges: DataFrame, labels: DataFrame,
       srcCol: String, dstCol: String, wCol: String,
       nodeCol: String, labelCol: String): DataFrame = {
@@ -111,10 +112,10 @@ object GraphOps {
     val lab = labels.select(col(nodeCol).as("__v"), col(labelCol).as("__nl"))
     val tallies = dird.join(lab, Seq("__v"))
       .groupBy(col("__u"), col("__nl")).agg(sum("__w").as("__t"))
-    val w = Window.partitionBy("__u")
-      .orderBy(col("__t").desc, col("__nl"))
-    val winners = tallies.withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1).select(col("__u"), col("__nl").as("__win"))
+    val winners = tallies
+      .groupBy(col("__u"))
+      .agg(min(struct((-col("__t")).as("__negw"), col("__nl").as("__l"))).as("__m"))
+      .select(col("__u"), col("__m.__l").as("__win"))
     labels.select(col(nodeCol).as("node"), col(labelCol).as("prev_label"))
       .join(winners.withColumnRenamed("__u", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("__win"), col("prev_label")).as("label"),

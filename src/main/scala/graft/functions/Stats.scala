@@ -74,7 +74,10 @@ object Stats {
       .select((col("__cp").cast(dec) *
         ((col("__oq") + coalesce(sum(col("__cq")).over(wIn), lit(0L))) * 2L +
           col("__cq")).cast(dec)).as("__c"))
-    val n = pts.agg(sum("__p").as("n_pos"), sum("__q").as("n_neg"))
+    // totals from the per-score frame, NOT pts: a global agg over pts has
+    // a different exchange shape than byS's, so Catalyst can't reuse it
+    // and the (possibly expensive) score column would evaluate twice
+    val n = byS.agg(sum("__cp").as("n_pos"), sum("__cq").as("n_neg"))
     contrib.agg(sum("__c").as("__a2")).crossJoin(broadcast(n))
       .select(col("n_pos"), col("n_neg"),
         round(col("__a2").cast("double") /
