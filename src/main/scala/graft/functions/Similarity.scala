@@ -435,8 +435,23 @@ object Similarity {
     val dim = anchors.head._2.length
     require(anchors.forall(_._2.length == dim), "ragged anchor vectors")
     val cells = assignToAnchors(df, anchors, idCol, vecCol)
-    val dropped = cells.as("x").join(cells.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+    // The within-cell pair join's parallelism is bounded by the number of
+    // CELLS — with few anchors every core but |cells| idles while the
+    // candidate dots grind (measured 8 anchors / 32 cores: ≤8 tasks own
+    // 128 M dot evaluations). Salt it: x keeps one deterministic salt
+    // (id mod S), y replicates to all S salts, so each (x<y) pair still
+    // meets exactly once but the key space is cells×S. S sizes itself
+    // from cells-vs-cores and is 1 — no replication, plan unchanged —
+    // once anchors ≥ 2×cores, the production IVF regime.
+    val S = math.max(1L, math.ceil(
+      2.0 * df.sparkSession.sparkContext.defaultParallelism
+        / anchors.length).toLong)
+    val x = cells.withColumn("__s", pmod(col("id"), lit(S)))
+    val y = if (S == 1L) cells.withColumn("__s", lit(0L))
+      else cells.withColumn("__s", explode(sequence(lit(0L), lit(S - 1L))))
+    val dropped = x.as("x").join(y.as("y"),
+        col("x.cell") === col("y.cell") && col("x.__s") === col("y.__s") &&
+          col("x.id") < col("y.id") &&
           pairSim(col("x.__vd"), col("x.__n"), col("y.__vd"), col("y.__n"))
             >= threshold)
       .select(col("y.id").as("id")).distinct()
