@@ -467,6 +467,10 @@ object Dedup {
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))
+      // spread the index over (band, bh): a few-partition source (one
+      // row group, one gzip file) would otherwise funnel the signature
+      // build AND every later probe scan through a single file/task
+      .repartition(col("band"), col("bh"))
       .write.mode("overwrite").parquet(path)
     // data-then-sidecar: the fresh sidecar must describe the fresh data (an
     // interrupted overwrite is corrupt parquet with or without a sidecar)

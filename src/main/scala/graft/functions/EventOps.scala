@@ -197,8 +197,12 @@ object EventOps {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    // the distinct (basket, item) incidence feeds THREE consumers (basket
+    // count, item counts, pair explode) — materialize it once; exchange
+    // reuse does not bridge their differently-keyed downstream aggregates
+    // (q139's finding, same shape)
     val bi = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val nBaskets = bi.agg(countDistinct(col("__bk")).as("__nb"))
     val itemCounts = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
     // pairs explode IN-ARRAY from the per-basket sorted item list (strictly

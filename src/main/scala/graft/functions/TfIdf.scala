@@ -94,8 +94,8 @@ object TfIdf {
     val postings = tf.join(dl, "id").join(dfr, "term")
       .crossJoin(broadcast(stats))
       .select(col("term"), col("id"),
-        round(bm25Contrib(col("__n"), col("__avgdl"), k1, b), 6)
-          .cast(DecimalType(18, 6)).as("c"))
+        (round(bm25Contrib(col("__n"), col("__avgdl"), k1, b), 6)
+          .cast(DecimalType(18, 6)) * 1000000).cast("long").as("c"))
     val matched = broadcast(bm25QueryTerms(queries, qidCol, qtextCol))
       .join(postings, "term")
       .select(col("qid"), col("id"), col("c"))
@@ -152,8 +152,8 @@ object TfIdf {
     val avgdl = m.getLong("graft.sumdl").toDouble / n
     // same posting-side contribution as bm25TopK (query-independent)
     val postings = idx.select(col("term"), col("id"),
-      round(bm25Contrib(lit(n), lit(avgdl), k1, b), 6)
-        .cast(DecimalType(18, 6)).as("c"))
+      (round(bm25Contrib(lit(n), lit(avgdl), k1, b), 6)
+        .cast(DecimalType(18, 6)) * 1000000).cast("long").as("c"))
     val matched = broadcast(bm25QueryTerms(queries, qidCol, qtextCol))
       .join(postings, "term")
       .select(col("qid"), col("id"), col("c"))
@@ -175,17 +175,21 @@ object TfIdf {
       * (col("tf") * lit(k1 + 1.0))
       / (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdlCol)))
 
-  /** Sum the posting-side 6 dp DECIMAL(18,6) contributions — order-exact
-    * under any partitioning (the q132 discipline), which keeps the
-    * aggregate map-side combining where a sorted-list fold would ship
-    * every matched posting through the shuffle — then rank per query
-    * (ties by doc id) and keep the top k. */
+  /** Sum the posting-side contributions — carried as LONG MICRO-UNITS
+    * (the 6 dp rounding scaled exactly through DECIMAL, so the hot
+    * (qid, doc) aggregate is a primitive long sum instead of decimal
+    * machinery; a 44 M-match probe at 16× sf0.1 spends its time right
+    * here). Order-exact under any partitioning like the decimal it
+    * replaces (the q132 discipline), map-side combining, and the final
+    * `micros.toDouble / 1e6` is the correctly-rounded K/1e6 — the same
+    * double the decimal cast produced, so oracles are unchanged. Then
+    * rank per query (ties by doc id) and keep the top k. */
   private def bm25SumAndRank(matched: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     matched.groupBy("qid", "id")
       .agg(sum(col("c")).as("__s"))
       .select(col("qid"), col("id").as("doc_id"),
-        col("__s").cast("double").as("score"))
+        (col("__s").cast("double") / lit(1e6)).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
