@@ -357,6 +357,24 @@ class ApiAndIOSpec extends SparkSuite {
     }
   }
 
+  test("Scans.withMinParallelism: no-op at/above the floor, repartitions below, rows unchanged") {
+    import spark.implicits._
+    import graft.sources.Scans
+    val df = (1 to 100).toDF("x").repartition(8)
+    // at/above the floor: the SAME DataFrame comes back — no exchange added
+    assert(Scans.withMinParallelism(df, 8) eq df)
+    assert(Scans.withMinParallelism(df, 2) eq df)
+    // below: partition count rises to the floor, row multiset unchanged
+    val narrow = df.coalesce(1)
+    val widened = Scans.withMinParallelism(narrow, 6)
+    assert(widened.rdd.getNumPartitions == 6)
+    assert(widened.collect().map(_.getInt(0)).sorted.toSeq == (1 to 100))
+    // parallelized targets the session default parallelism
+    val p = Scans.parallelized(narrow)
+    assert(p.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    intercept[IllegalArgumentException] { Scans.withMinParallelism(df, 0) }
+  }
+
   test("api pipeline verbs: splitByHash, nearDupPairs, planAudit delegate correctly") {
     import spark.implicits._
     import graft.api._
