@@ -51,28 +51,41 @@ object ScaleUpBench {
     .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     .getOrElse(defaultTargets)
 
+  // by-name union: remaps that select/rename must align by NAME, not
+  // position — a generator column-order change would otherwise silently
+  // swap same-typed columns (lang/source are both strings)
   private def copies(df: DataFrame, n: Int)(remap: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until n).map(c => remap(df, c)).reduce(_ unionAll _)
+    (0 until n).map(c => remap(df, c)).reduce(_ unionByName _)
 
-  /** Build the 4× dir if absent. Idempotent via a DONE marker written last. */
+  /** Build the `factor`× dir if absent. Idempotent via a DONE marker
+    * written last; the marker records (srcDir, factor), so overriding
+    * SPARK_GRAFT_SCALE_DIR while changing the source dir or factor
+    * rebuilds instead of reusing stale scaled data. */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int = 4): Unit = {
     val done = new java.io.File(outDir, "_DONE")
-    if (done.exists()) return
+    val stamp = s"$srcDir|$factor\n"
+    if (done.exists() &&
+        java.nio.file.Files.readString(done.toPath) == stamp) return
     val read = (t: String) => spark.read.parquet(s"$srcDir/$t.parquet")
     val write = (df: DataFrame, t: String) =>
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
-    // rotation 7c mod 26: 7 is coprime with 26, so every copy < 26 gets a
-    // DISTINCT nonzero rotation (a plain c*7 would empty the `to` string
-    // past c=3 and translate would start DELETING characters)
+    // affine cipher x -> (a*x + b) mod 26 (a coprime to 26): a bijection on
+    // the lowercase alphabet, so every structural property is preserved
+    // bit-for-bit while content stays disjoint across copies. 12 units × 26
+    // shifts = 312 distinct ciphers — a plain rotation repeats every 26
+    // copies, and copies c and c+26 would be EXACT duplicates, turning the
+    // dedup queries quadratic at 64×. Copy 0 maps to (a=1, b=0): identity.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     write(copies(read("documents"), factor) { (d, c) =>
-      val r = (c * 7) % 26
+      val a = units((c / 26) % units.length)
+      val b = c % 26
+      val to = alpha.indices.map(x => alpha((a * x + b) % 26)).mkString
       if (c == 0) d
       else d.select((col("doc_id") + c * Off).as("doc_id"),
-        translate(col("text"), alpha, alpha.drop(r) + alpha.take(r))
-          .as("text"),
+        translate(col("text"), alpha, to).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
@@ -103,41 +116,66 @@ object ScaleUpBench {
     // so any suite query can run against the scaled dir
     Seq("part", "region", "nation", "customer", "supplier")
       .foreach(t => write(read(t), t))
-    java.nio.file.Files.writeString(done.toPath, "ok\n")
+    java.nio.file.Files.writeString(done.toPath, stamp)
     ()
   }
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "4").toInt
-    require(factor >= 2 && factor <= 25, s"factor must be in [2, 25]: $factor")
+    require(factor >= 2 && factor <= 64, s"factor must be in [2, 64]: $factor")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       s"/tmp/graft_scale$factor")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = Bench.buildSession()
     buildScaled(spark, srcDir, outDir, factor)
 
-    def measure(dir: String): Map[String, Double] = {
+    // a query that fails in ANY measured rep must not emit a normal-looking
+    // (usually flattering) timing: per-(query, dir) failures are tracked and
+    // surface as an "error" field in the JSON line instead of a ratio
+    def measure(dir: String): Map[String, Either[String, Double]] = {
       targets.foreach { n => // warm pass (codegen, readers, index builds)
         try SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[scaleup] warm $n @ $dir failed: ${e.getMessage}") }
       }
-      (1 to reps).map { _ =>
+      (1 to reps).map { rep =>
         targets.map { n =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
-          catch { case _: Throwable => () }
-          n -> (System.nanoTime() - t0) / 1e9
+          val r: Either[String, Double] =
+            try {
+              SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+              Right((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[scaleup] rep $rep $n @ $dir failed: ${e.getMessage}")
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.next().take(120))
+            }
+          n -> r
         }.toMap
-      }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      }.reduce { (a, b) =>
+        a.map { case (k, v) => k -> ((v, b(k)) match {
+          case (Right(x), Right(y)) => Right(math.min(x, y))
+          case (Left(e), _)         => Left(e)
+          case (_, Left(e))         => Left(e)
+        })}
+      }
     }
 
     val t1 = measure(srcDir)
     val tN = measure(outDir)
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     targets.foreach { n =>
-      println(s"""{"query":"$n","factor":$factor,"t1x_sec":${f(t1(n))},"tNx_sec":${f(tN(n))},"ratio":${f(tN(n) / t1(n))}}""")
+      (t1(n), tN(n)) match {
+        case (Right(a), Right(b)) =>
+          println(s"""{"query":"$n","factor":$factor,"t1x_sec":${f(a)},"tNx_sec":${f(b)},"ratio":${f(b / a)}}""")
+        case (ea, eb) =>
+          val msg = Seq(ea.left.toOption.map("1x: " + _),
+            eb.left.toOption.map(s"${factor}x: " + _)).flatten.mkString("; ")
+          println(s"""{"query":"$n","factor":$factor,"error":"${esc(msg)}"}""")
+      }
     }
     spark.stop()
   }

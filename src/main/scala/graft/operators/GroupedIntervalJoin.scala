@@ -43,10 +43,24 @@ object GroupedIntervalJoin {
       * iteration order of the per-group view below. One driver-side collect
       * bounded by the group COUNT (not the data size), the same trade the
       * reference's `iterate` makes when it materializes per-group frames
-      * (`src/DataFrameIntervals.jl:293-310`). */
-    def keys: Array[org.apache.spark.sql.Row] =
-      joined.select(groupColumns.map(col): _*).distinct()
-        .orderBy(groupColumns.map(col): _*).collect()
+      * (`src/DataFrameIntervals.jl:293-310`). Guarded by `maxGroups`
+      * (default [[Grouped.DefaultMaxGroups]]): a high-cardinality `groups`
+      * misuse fails with a clear error instead of a driver OOM — raise the
+      * bound explicitly if you really mean to iterate that many groups, or
+      * use [[agg]], the fused distributed path. */
+    def keys: Array[org.apache.spark.sql.Row] = boundedKeys(Grouped.DefaultMaxGroups)
+
+    def boundedKeys(maxGroups: Int): Array[org.apache.spark.sql.Row] = {
+      require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")
+      val res = joined.select(groupColumns.map(col): _*).distinct()
+        .orderBy(groupColumns.map(col): _*).limit(maxGroups + 1).collect()
+      require(res.length <= maxGroups,
+        s"groupbyIntervalJoin.keys/iterator collects the distinct group keys " +
+          s"to the driver and this join has more than $maxGroups of them; " +
+          s"use .agg(...) (the fused distributed path) or pass a larger " +
+          s"maxGroups explicitly")
+      res
+    }
 
     /** The joined rows of one group, as a lazy view (no extra job until the
       * caller acts on it): a broadcast semi-join against the one-row key
@@ -68,7 +82,18 @@ object GroupedIntervalJoin {
       * aggregate — Catalyst fuses that into one distributed pass, while
       * iteration runs one filtered job per group. */
     def iterator: Iterator[(org.apache.spark.sql.Row, DataFrame)] =
-      keys.iterator.map(k => k -> groupFor(k))
+      boundedIterator(Grouped.DefaultMaxGroups)
+
+    def boundedIterator(maxGroups: Int): Iterator[(org.apache.spark.sql.Row, DataFrame)] =
+      boundedKeys(maxGroups).iterator.map(k => k -> groupFor(k))
+  }
+
+  object Grouped {
+    /** Driver-side key-collect bound for [[Grouped.keys]]/[[Grouped.iterator]]:
+      * 100k small Rows is comfortably driver-sized; anything beyond it is
+      * almost certainly an accidental high-cardinality iteration that the
+      * fused [[Grouped.agg]] path should run instead. */
+    val DefaultMaxGroups: Int = 100000
   }
 
   def groupbyIntervalJoin(

@@ -373,6 +373,17 @@ class ApiAndIOSpec extends SparkSuite {
     val p = Scans.parallelized(narrow)
     assert(p.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
     intercept[IllegalArgumentException] { Scans.withMinParallelism(df, 0) }
+
+    // a small single-file parquet scan (with filter/projection on top)
+    // under-partitions -> the repair fires; the estimate reads the LOGICAL
+    // plan only, so no physical plan exists before the caller runs it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scans").toString
+    (1 to 1000).toDF("x").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val scan = spark.read.parquet(tmp).where(col("x") > 10).select("x")
+    assert(Scans.estimatedMapParallelism(scan) < 32)
+    val fixed = Scans.withMinParallelism(scan, 32)
+    assert(fixed.rdd.getNumPartitions == 32)
+    assert(fixed.count() == 990)
   }
 
   test("api pipeline verbs: splitByHash, nearDupPairs, planAudit delegate correctly") {

@@ -126,6 +126,21 @@ class GroupedIntervalJoinSpec extends SparkSuite {
     assert(perGroup.map(_._3).sum == g.joined.count())
   }
 
+  test("keys/iterator maxGroups guard: clear error above the bound, fine at it") {
+    val g = GroupedIntervalJoin.groupbyIntervalJoin(df, quarters,
+      Seq(Selector.Name("quarter")), "span" -> "span")
+    val nGroups = g.keys.length // 4 quarters
+    // at the bound: succeeds
+    assert(g.boundedKeys(nGroups).length == nGroups)
+    assert(g.boundedIterator(nGroups).size == nGroups)
+    // below the bound: a clear require error, NOT a driver OOM
+    val e = intercept[IllegalArgumentException] { g.boundedKeys(nGroups - 1) }
+    assert(e.getMessage.contains("more than"))
+    assert(e.getMessage.contains("agg"))
+    intercept[IllegalArgumentException] { g.boundedIterator(nGroups - 1).toSeq }
+    intercept[IllegalArgumentException] { g.boundedKeys(0) }
+  }
+
   test("unknown columns error lists them Julia-style") {
     val e = intercept[IllegalArgumentException] {
       GroupedIntervalJoin.groupbyIntervalJoin(df, quarters,

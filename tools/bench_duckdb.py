@@ -40,6 +40,9 @@ for n in names:
     except Exception as e:
         print(f"WARM-ERR {n}: {str(e).splitlines()[0][:120]}", flush=True)
 
+# NaN never wins a `<` comparison, so updating best with a failed rep's NaN
+# would be order-dependent (a first-pass failure pins NaN even if later
+# passes succeed): skip the update entirely on exception and report it.
 best = {}
 for p in range(reps):
     for n in names:
@@ -47,9 +50,12 @@ for p in range(reps):
         try:
             con.execute(oracle[n]).fetchall()
             dt = time.perf_counter() - t0
-        except Exception:
-            dt = float("nan")
-        if n not in best or dt < best[n]:
+        except Exception as e:
+            print(f"REP-ERR pass {p + 1} {n}: {str(e).splitlines()[0][:120]}",
+                  flush=True)
+            best.setdefault(n, float("nan"))
+            continue
+        if n not in best or not (dt >= best[n]):  # handles prior NaN too
             best[n] = dt
     print(f"pass {p + 1}/{reps} done", flush=True)
 
