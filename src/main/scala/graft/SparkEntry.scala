@@ -801,13 +801,16 @@ object SparkEntry {
     // Similarity: IVF at its real approximate operating point (nProbe 4 of
     // 16 lists — the regime a user would run; q27 is the same machinery at
     // full probe, where the oracle can require equality with brute force).
-    // Results depend on k-means centroid detail, so there is no exact SQL
-    // replay: the driver records the rows-only check and SimilaritySpec
-    // pins recall vs brute force at this exact operating point.
+    // The coarse quantizer here is the DETERMINISTIC hashAnchors one (the
+    // q82 oracle idiom), so assignment + probe-list restriction + rerank
+    // all replay exactly in SQL — q61 gets the full three-gate oracle.
+    // The k-means (ivfTrain) quantizer at the same operating point stays
+    // pinned by SimilaritySpec's recall test.
     "q61_ann_ivf_probe" -> ((sp, dir) => {
       val e = table(sp, dir, "embeddings")
       val q = e.where(pmod(col("vec_id"), lit(100L)) === 0L)
-      Similarity.ivfTopK(e, q, 10, Similarity.ivfTrain(e, nLists = 16), nProbe = 4)
+      Similarity.ivfTopKAnchored(e, q, 10,
+        Similarity.hashAnchors(e, 16, salt = "q61"), nProbe = 4)
     }),
 
     // Multimodal: binary payloads -> partition-parallel decode with REAL
@@ -3185,10 +3188,56 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 6 = 0 THEN 2 ELSE -1 END AS INTEGER) AS n_tracks
         |FROM documents""".stripMargin,
 
-    // q61_ann_ivf_probe intentionally absent: nProbe < nLists results
-    // depend on the trained centroids, which have no exact SQL replay
-    // (float k-means sums are order-sensitive). Rows-only check + the
-    // SimilaritySpec recall pin at the same operating point.
+    // hashAnchors selection replayed (q82's idiom), corpus cell assignment
+    // = argmax rounded cosine (row_number replay of the fold's rule),
+    // query probe lists = top-4 anchors by cosine DISTANCE 1.0 - round(s,4)
+    // (the -0.0-free form the Spark side sorts by), candidate equi-join on
+    // the cell, exact rerank. nProbe=4 of 16 — the true approximate
+    // regime, now with a full three-gate oracle.
+    "q61_ann_ivf_probe" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, v FROM (
+        |    SELECT vec_id, v,
+        |           ${hSql("'q61:' || CAST(vec_id AS VARCHAR)")} AS hk
+        |    FROM c) ORDER BY hk, vec_id LIMIT 16),
+        |csims AS (
+        |  SELECT c.vec_id AS id, a.aid,
+        |         round(list_dot_product(c.v, a.v)
+        |               / (sqrt(list_dot_product(c.v, c.v))
+        |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS s
+        |  FROM c CROSS JOIN anch a),
+        |cellq AS (
+        |  SELECT id, aid AS cell FROM (
+        |    SELECT id, aid,
+        |           row_number() OVER (PARTITION BY id ORDER BY s DESC, aid) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id % 100 = 0),
+        |qsims AS (
+        |  SELECT q.q_id, a.aid,
+        |         1.0 - round(list_dot_product(q.qv, a.v)
+        |               / (sqrt(list_dot_product(q.qv, q.qv))
+        |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS d
+        |  FROM qs q CROSS JOIN anch a),
+        |probe AS (
+        |  SELECT q_id, aid AS cell FROM (
+        |    SELECT q_id, aid,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY d, aid) AS rn
+        |    FROM qsims) WHERE rn <= 4),
+        |s AS (
+        |  SELECT p.q_id, cq.id AS vec_id,
+        |         round(list_dot_product(cv.v, qv2.v)
+        |               / (sqrt(list_dot_product(cv.v, cv.v))
+        |                  * sqrt(list_dot_product(qv2.v, qv2.v))), 4) AS sim
+        |  FROM probe p JOIN cellq cq ON cq.cell = p.cell
+        |  JOIN c cv ON cv.vec_id = cq.id
+        |  JOIN c qv2 ON qv2.vec_id = p.q_id
+        |  WHERE cq.id <> p.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
     "q60_stab_join" ->
       s"""WITH $esSql, ${winSql(1000, "min(s)", "max(e)", "es")},
          |pts AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events)

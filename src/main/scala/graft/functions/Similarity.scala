@@ -167,6 +167,51 @@ object Similarity {
     sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF top-k with a DETERMINISTIC anchor quantizer: corpus cells and
+    * query probe lists both come from the [[assignToAnchors]] rule —
+    * highest ROUNDED (4 dp) cosine wins, ties to the smallest anchor id —
+    * so the whole pipeline (anchor selection via [[hashAnchors]],
+    * assignment, probe-list restriction, exact rerank) replays exactly in
+    * SQL, unlike the k-means [[ivfTrain]] quantizer whose float centroid
+    * sums are order-sensitive. Same spherical-assignment metric as
+    * [[kmeansStep]]; at `nProbe == anchors.length` the candidate set is
+    * the full corpus and the result EQUALS [[bruteForceTopK]].
+    *
+    * Scale shape is [[ivfTopK]]'s: anchors are driver-side literals (the
+    * per-row assignment is one codegen'd fold, zero shuffle), the
+    * candidate join is a broadcast equi-join on the cell id, and each
+    * query scans only its `nProbe / anchors.length` corpus fraction. */
+  def ivfTopKAnchored(corpus: DataFrame, queries: DataFrame, k: Int,
+      anchors: Seq[(Long, Array[Double])], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(anchors.nonEmpty, "ivfTopKAnchored requires at least one anchor")
+    require(nProbe >= 1 && nProbe <= anchors.length,
+      s"nProbe must be in [1, ${anchors.length}], got $nProbe")
+    val cells = assignToAnchors(corpus, anchors, idCol, vecCol)
+    val q0 = withNorm(
+      queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")),
+      "q_vec", "__qvd", "__qn")
+    // probe list: the nProbe anchors with the smallest cosine DISTANCE
+    // 1.0 - round(cos, 4), ties to the smallest anchor id. The distance
+    // form keeps the sort key nonnegative (round can yield -0.0, whose
+    // ordering differs across engines; 1 - s never does) and is strictly
+    // decreasing in s at 4 dp granularity, so it is the same (s desc, aid)
+    // order the cell rule uses — probe list head == assigned cell.
+    val scored = array(anchors.map { case (aid, av) =>
+      struct((lit(1.0) - round(dot(col("__qvd"), lit(av)) /
+          (col("__qn") * sqrt(dot(lit(av), lit(av)))), 4)).as("d"),
+        lit(aid).as("aid"))
+    }: _*)
+    val q = q0.withColumn("cell",
+      explode(slice(transform(array_sort(scored), _.getField("aid")), 1, nProbe)))
+    val sim = cells.join(broadcast(q), Seq("cell"))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as(idCol),
+        pairSim(col("__vd"), col("__n"), col("__qvd"), col("__qn")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
+    sim.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** The query side's nProbe nearest list ids, as an array column. */
   def ivfProbeLists(vec: Column, index: IvfIndex, nProbe: Int): Column = {
     val vd = vec.cast("array<double>")

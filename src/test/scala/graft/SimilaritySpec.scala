@@ -154,6 +154,35 @@ class SimilaritySpec extends SparkSuite {
     assert(perQ.forall(_.getLong(1) <= 10))
   }
 
+  test("anchored IVF: full probe == brute force; q61 operating point recall holds") {
+    // q61's quantizer: deterministic hashAnchors (SQL-replayable). At
+    // nProbe == anchors.length every cell is probed, so the result must
+    // EQUAL brute force bit for bit; at the approximate operating point
+    // (nProbe 4 of 16) recall over the true top-10 must stay useful.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 100 === 0)
+    val anchors = Similarity.hashAnchors(e, 16, salt = "q61")
+    assertSameRows(
+      Similarity.ivfTopKAnchored(e, q, 10, anchors, nProbe = 16),
+      Similarity.bruteForceTopK(e, q, 10)
+        .select(col("q_id").cast("long").as("q_id"), col("vec_id"),
+          col("sim"), col("rank")))
+    val got = Similarity.ivfTopKAnchored(e, q, 10, anchors, nProbe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall=$recall")
+    // probe head == assigned cell: nProbe=1 self-query always finds the
+    // query's own cell-mates (the two rules share one ordering)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAnchored(e, q, 10, anchors, nProbe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAnchored(e, q, 10, anchors, nProbe = 17)
+    }
+  }
+
   test("persisted IVF index probe == direct ivfTopK bit for bit; layout is bucketed") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") % 100 === 0)
