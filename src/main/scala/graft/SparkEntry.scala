@@ -2328,8 +2328,119 @@ object SparkEntry {
     // touches a one-task window.
     "q174_skyline" -> ((sp, dir) =>
       graft.functions.Stats.paretoFrontier2d(
-        table(sp, dir, "part"), "p_partkey", "p_retailprice", "p_size"))
+        table(sp, dir, "part"), "p_partkey", "p_retailprice", "p_size")),
+
+    // Streaming interval merge UNDER THE DRIVER GATE: the q28 order spans
+    // replayed through mergeIntervalsStream in three time-ordered
+    // micro-batches (split at fixed date literals) plus a degenerate
+    // far-future flush row that closes every open run. Batches partition
+    // event time, so nothing is ever late and the streamed output equals
+    // the batch merge EXACTLY — the oracle is q28's SQL verbatim. The
+    // StreamingSpec equivalence proofs become a green CORRECTNESS row.
+    "q175_stream_merge" -> ((sp, dir) => {
+      import sp.implicits._
+      val (batches, _) = orderSpanBatches(sp, dir)
+      replayStream(sp, batches) { df =>
+        graft.streaming.StreamingIntervalOps.mergeIntervalsStream(
+          streamSpans(df), Seq("k"), "span", "ts", "1 second")
+      }.select(col("k").as("o_custkey"), col("span.start").as("mstart"),
+        col("span.stop").as("mstop"), col("n_merged"))
+    }),
+
+    // Streaming gaps under the driver gate: same replay, the complement
+    // operator — uncovered regions strictly between closed runs. Equals
+    // batch gaps (q36's oracle SQL verbatim) by the same no-late-data
+    // argument; the trailing open-ended region never emits in either.
+    "q176_stream_gaps" -> ((sp, dir) => {
+      import sp.implicits._
+      val (batches, _) = orderSpanBatches(sp, dir)
+      replayStream(sp, batches) { df =>
+        graft.streaming.StreamingIntervalOps.gapsStream(
+          streamSpans(df), Seq("k"), "span", "ts", "1 second")
+      }.select(col("k").as("o_custkey"), col("span.start").as("gstart"),
+        col("span.stop").as("gstop"))
+    }),
+
+    // Streaming online packing under the driver gate: the q56 corpus
+    // arrives in three id-ordered micro-batches; the per-bucket cursor
+    // carries across batches, and id-ordered arrival makes the layout
+    // equal the batch packStream bit for bit (q56's oracle SQL verbatim).
+    "q177_stream_packing" -> ((sp, dir) => {
+      import sp.implicits._
+      val docs = table(sp, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val n = docs.length
+      val batches = Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3),
+        docs.slice(2 * n / 3, n))
+      replayStream(sp, batches) { df =>
+        graft.streaming.StreamingPacking.packStreamOnline(
+          df.select(col("_1").as("doc_id"), col("_2").as("n_tok")),
+          "doc_id", col("n_tok"), capacity = 256, nBuckets = 8)
+      }.select(col("id").as("doc_id"), col("bucket"), col("n_tok"),
+        col("pack_first"), col("pack_offset"), col("pack_last"),
+        col("n_packs"))
+    })
   )
+
+  /** The q28 order-span fixture as driver-side micro-batches for the
+    * streaming replay entries: three batches split at fixed date literals
+    * (1994-01-01, 1996-01-01) so event time never runs backwards across
+    * batches, plus a final degenerate flush row (start == stop, far
+    * future) that advances the watermark past every stop — open runs all
+    * close, so the streamed output is COMPLETE and equals the batch
+    * operator's. Returns (batches, farFutureNs). */
+  private def orderSpanBatches(sp: SparkSession,
+      dir: String): (Seq[Seq[(Long, Long, Long)]], Long) = {
+    val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+    val rows = table(sp, dir, "orders").select(
+        col("o_custkey").cast("long").as("k"), startNs.as("s"),
+        (startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L)
+          * lit(86400000000000L)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cut1 = 757382400L * 1000000000L // 1994-01-01 UTC, ns
+    val cut2 = 820454400L * 1000000000L // 1996-01-01 UTC, ns
+    val far = rows.map(_._3).max + 86400000000000L
+    val batches = Seq(
+      rows.filter(_._2 < cut1),
+      rows.filter(r => r._2 >= cut1 && r._2 < cut2),
+      rows.filter(_._2 >= cut2),
+      Seq((-1L, far, far))) // degenerate: drops, but drives the watermark
+    (batches, far)
+  }
+
+  /** MemoryStream tuple batches -> the streaming interval ops' input
+    * shape: key, span struct (long ns), TimestampType event time = the
+    * interval start (integer µs division — a double division would lose
+    * sub-ms precision at epoch-ns magnitudes). */
+  private def streamSpans(df: DataFrame): DataFrame =
+    df.select(col("_1").as("k"),
+      struct(col("_2").as("start"), col("_3").as("stop")).as("span"),
+      timestamp_micros(expr("_2 div 1000")).as("ts"))
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Replays `batches` through a MemoryStream one micro-batch at a time
+    * (processAllAvailable between adds, so the watermark advances once per
+    * batch and Spark's no-data batch fires event-time timeouts), collects
+    * the append-mode output in a memory sink and returns it as a batch
+    * frame. This is how the streaming operators' batch-equivalence — until
+    * now only spec-pinned — surfaces as ordinary oracle-checked rows in
+    * the driver's correctness gate. */
+  private def replayStream[T <: Product](sp: SparkSession,
+      batches: Seq[Seq[T]])(build: DataFrame => DataFrame)(
+      implicit ev: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val name = s"graft_stream_replay_${streamSeq.incrementAndGet()}"
+    val q = build(in.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    sp.table(name)
+  }
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
     * r+g+b sums to 651 over the six pixels (the q62 oracle constant).
@@ -5523,6 +5634,73 @@ object SparkEntry {
         |          AND (b.pr < a.pr OR b.sz > a.sz))
         |  AND NOT EXISTS (
         |        SELECT 1 FROM p c
-        |        WHERE c.pr = a.pr AND c.sz = a.sz AND c.id < a.id)""".stripMargin
+        |        WHERE c.pr = a.pr AND c.sz = a.sz AND c.id < a.id)""".stripMargin,
+
+    // The streamed merge equals the batch merge exactly (time-ordered
+    // batches + flush row close everything), so the oracle is q28's
+    // running-max merge replay verbatim.
+    "q175_stream_merge" ->
+      """WITH os AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate)*1000 AS s,
+        |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |      FROM os),
+        |g AS (SELECT o_custkey, s, e,
+        |             sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                     ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m)
+        |SELECT o_custkey, min(s) AS mstart, max(e) AS mstop,
+        |       count(*) AS n_merged
+        |FROM g GROUP BY o_custkey, grp""".stripMargin,
+
+    // Streamed gaps equal batch gaps: q36's replay verbatim.
+    "q176_stream_gaps" ->
+      """WITH os AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate)*1000 AS s,
+        |         epoch_us(o_orderdate)*1000 + ((o_orderkey % 30)+1)*86400000000000 AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |      FROM os),
+        |g AS (SELECT o_custkey, s, e,
+        |             sum(CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                     ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m),
+        |mg AS (SELECT o_custkey, min(s) AS ms, max(e) AS me
+        |       FROM g GROUP BY o_custkey, grp),
+        |lg AS (SELECT o_custkey, ms, me,
+        |              lag(me) OVER (PARTITION BY o_custkey ORDER BY ms) AS pe
+        |       FROM mg)
+        |SELECT o_custkey, pe AS gstart, ms AS gstop
+        |FROM lg WHERE pe IS NOT NULL AND pe < ms""".stripMargin,
+
+    // Id-ordered arrival makes the online packer equal the batch layout
+    // bit for bit: q56's cumulative-cursor replay verbatim.
+    "q177_stream_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |           % ${TF.HashMod}) % 1000) % 8 AS bucket,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tok,
+         |       cum // 256 AS pack_first,
+         |       cum % 256 AS pack_offset,
+         |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256
+         |            ELSE cum // 256 END AS pack_last,
+         |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256 - cum // 256 + 1
+         |            ELSE 0 END AS n_packs
+         |FROM c""".stripMargin
   )
 }
