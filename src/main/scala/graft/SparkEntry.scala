@@ -1632,21 +1632,9 @@ object SparkEntry {
     // One PageRank power-iteration step over the q113 event-type
     // transition graph (row-normalized Markov weights): fixed-point
     // in-edge sums, dst-keyed aggregate, sinks via left join.
-    "q124_pagerank_step" -> ((sp, dir) => {
-      val e = table(sp, dir, "events").select(col("user_id"),
-        expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
-        col("event_id"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-      val pairs = e.select(col("event_type").as("to_type"),
-          lag(col("event_type"), 1).over(w).as("from_type"))
-        .where(col("from_type").isNotNull)
-        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-      val tot = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
-      val edges = pairs.join(tot, "from_type")
-        .select(col("from_type"), col("to_type"),
-          round(col("n") / col("__tot"), 6).as("p"))
-      graft.functions.GraphOps.pagerankStep(edges, "from_type", "to_type", "p")
-    }),
+    "q124_pagerank_step" -> ((sp, dir) =>
+      graft.functions.GraphOps.pagerankStep(
+        transitionEdges(sp, dir), "from_type", "to_type", "p")),
 
     // Tokenizer fertility per language: BPE-ish subword tokens per
     // whitespace word, exact integer totals + one rounded division.
@@ -2103,26 +2091,13 @@ object SparkEntry {
     // brand), isolated parts keep their own. Edges = basket pair explode
     // bounded by order width (q145's idiom).
     "q159_label_prop" -> ((sp, dir) => {
-      val li = table(sp, dir, "lineitem")
-        .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
       // co-purchase edges via q145's IN-ARRAY pair idiom: per-order sorted
       // item list -> pairs exploded inside the array — ONE basket-keyed
       // shuffle instead of a per-order self-join shipping the incidence
-      // frame twice (src < dst falls out of the strict sort order).
-      // Within-basket dedup happens IN the array (was a standalone
-      // .distinct() — a second full shuffle buying nothing: (order, part)
-      // is already near-unique, so its partial agg deduped ~0 rows).
-      val edges = li.groupBy("__bk")
-        .agg(sort_array(array_distinct(collect_list(col("__it")))).as("__is"))
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(__is)), " +
-            "i -> transform(slice(__is, i + 1, size(__is) - i), " +
-            "y -> struct(element_at(__is, i) AS src, y AS dst))))"))
-          .as("__p"))
-        .groupBy(col("__p.src").as("src"), col("__p.dst").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      graft.functions.GraphOps.labelPropagationStep(edges,
-        table(sp, dir, "part").select(col("p_partkey"), col("p_brand")),
+      // frame twice (src < dst falls out of the strict sort order); see
+      // copurchaseGraph.
+      val (edges, parts) = copurchaseGraph(sp, dir)
+      graft.functions.GraphOps.labelPropagationStep(edges, parts,
         "src", "dst", "w", "p_partkey", "p_brand")
     }),
 
@@ -2382,8 +2357,83 @@ object SparkEntry {
       }.select(col("id").as("doc_id"), col("bucket"), col("n_tok"),
         col("pack_first"), col("pack_offset"), col("pack_last"),
         col("n_packs"))
+    }),
+
+    // ITERATIVE PageRank (3 rounds, tol=0) over the q124 event-type
+    // transition graph — the convergence-loop operator, not just the
+    // kernel step. Ranks are 6 dp fixed points after every round, so the
+    // oracle replays the loop as three SQL layers; lineage is truncated
+    // with localCheckpoint inside the loop (the CC pattern).
+    "q178_pagerank" -> ((sp, dir) => {
+      graft.functions.GraphOps.pagerank(
+        transitionEdges(sp, dir), "from_type", "to_type", "p",
+        iterations = 3, tol = 0.0)
+    }),
+
+    // Iterative label propagation (3 synchronous rounds, early-stop on
+    // fixpoint) over the q159 co-purchase graph. Integer weight tallies
+    // and the (weight desc, label asc) argmax make every round exact, so
+    // the oracle replays the full 3-layer depth — at a fixpoint extra
+    // layers are the identity, so early stopping cannot diverge from it.
+    "q179_label_prop_converged" -> ((sp, dir) => {
+      val (edges, parts) = copurchaseGraph(sp, dir)
+      graft.functions.GraphOps.labelPropagate(edges, parts,
+        "src", "dst", "w", "p_partkey", "p_brand", maxIter = 3)
+        .select(col("node"), col("label"))
+    }),
+
+    // DOULION approximate triangles on the q126 band graph at p=1/4: the
+    // deterministic md5 edge coin keeps ~1/4 of the edges, the exact
+    // degree-ordered count runs on the sample, and the estimate scales by
+    // 1/p³. The coin is engine-replayable, so unlike most sampling-based
+    // estimators this one is fully oracle-checked; q126 stays as the
+    // exact-count row.
+    "q180_triangles_approx" -> ((sp, dir) => {
+      def totals(idc: String, vc: String) = table(sp, dir, "events")
+        .groupBy(col("user_id").as(idc))
+        .agg(sum(floor(col("value") * 1000).cast("long")).cast("double").as(vc))
+      val edges = graft.operators.BandJoin.bandJoin(
+          totals("ua", "va"), totals("ub", "vb"), "va", 20000.0,
+          Nil, Some("vb"))
+        .where(col("ua") < col("ub"))
+      graft.functions.GraphOps.triangleCountApprox(edges, "ua", "ub",
+        p = 0.25, salt = "q180")
     })
   )
+
+  /** The q124 fixture: event-type transition graph with row-normalized
+    * Markov weights (6 dp). */
+  private def transitionEdges(sp: SparkSession, dir: String): DataFrame = {
+    val e = table(sp, dir, "events").select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp)) * 1000").as("t"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val pairs = e.select(col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        round(col("n") / col("__tot"), 6).as("p"))
+  }
+
+  /** The q159 fixture: co-purchase edges (in-array pair idiom, one
+    * basket-keyed shuffle) plus the part-brand label frame. */
+  private def copurchaseGraph(sp: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = table(sp, dir, "lineitem")
+      .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+    val edges = li.groupBy("__bk")
+      .agg(sort_array(array_distinct(collect_list(col("__it")))).as("__is"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(__is)), " +
+          "i -> transform(slice(__is, i + 1, size(__is) - i), " +
+          "y -> struct(element_at(__is, i) AS src, y AS dst))))"))
+        .as("__p"))
+      .groupBy(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    (edges, table(sp, dir, "part").select(col("p_partkey"), col("p_brand")))
+  }
 
   /** The q28 order-span fixture as driver-side micro-batches for the
     * streaming replay entries: three batches split at fixed date literals
@@ -5701,6 +5751,100 @@ object SparkEntry {
          |            ELSE cum // 256 END AS pack_last,
          |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256 - cum // 256 + 1
          |            ELSE 0 END AS n_packs
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // The q124 replay iterated three layers: each layer's rank is a 6 dp
+    // fixed point feeding the next layer's quantized contributions, so
+    // the loop replays exactly. r0 = 1/N unrounded (both sides).
+    "q178_pagerank" -> {
+      def layer(k: Int) =
+        s"""c$k AS (SELECT e.to_type AS node,
+           |            CAST(sum(CAST(floor(e.p * r.rank
+           |                 * 1000000000000.0) AS BIGINT)) AS BIGINT) AS cin
+           |     FROM edges e JOIN r${k - 1} r ON e.from_type = r.node
+           |     GROUP BY 1),
+           |r$k AS (SELECT nodes.node,
+           |            round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |                  + CAST(0.85 AS DOUBLE)
+           |                    * (CAST(coalesce(c$k.cin, 0) AS DOUBLE)
+           |                       / 1000000000000.0), 6) AS rank
+           |     FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node, nn)""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |l AS (SELECT event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY t, event_id) AS from_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM l
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |edges AS (SELECT c.from_type, c.to_type, round(c.n / t.tot, 6) AS p
+        |          FROM c JOIN t USING (from_type)),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |            SELECT from_type AS node FROM edges
+        |            UNION ALL SELECT to_type FROM edges)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+        |${layer(1)},
+        |${layer(2)},
+        |${layer(3)}
+        |SELECT node, rank FROM r3""".stripMargin
+    },
+
+    // Three layers of the q159 winner CTE; at a fixpoint further layers
+    // are the identity, so the operator's early stop cannot diverge.
+    "q179_label_prop_converged" -> {
+      def layer(k: Int) =
+        s"""t$k AS (SELECT d.u, lab.label AS nl, CAST(sum(d.w) AS BIGINT) AS tw
+           |      FROM d JOIN l${k - 1} lab ON d.v = lab.node GROUP BY 1, 2),
+           |w$k AS (SELECT u, nl FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY u
+           |                                      ORDER BY tw DESC, nl) AS r
+           |         FROM t$k) WHERE r = 1),
+           |l$k AS (SELECT l.node, COALESCE(w$k.nl, l.label) AS label
+           |      FROM l${k - 1} l LEFT JOIN w$k ON w$k.u = l.node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |             CAST(count(*) AS BIGINT) AS w
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |d AS (SELECT src AS u, dst AS v, w FROM e
+        |      UNION ALL SELECT dst, src, w FROM e),
+        |l0 AS (SELECT p_partkey AS node, p_brand AS label FROM part),
+        |${layer(1)},
+        |${layer(2)},
+        |${layer(3)}
+        |SELECT node, label FROM l3""".stripMargin
+    },
+
+    // q126's band graph, the deterministic md5 edge coin at p=1/4
+    // (threshold = floor(0.25 * HashMod), embedded as the same literal the
+    // Spark side computes), exact triangle join on the kept edges, and the
+    // 1/p^3 scale-up. 0.25^3 = 0.015625 exactly, so the division is the
+    // identical IEEE op on both sides.
+    "q180_triangles_approx" -> {
+      val thresh = (0.25 * TF.HashMod).toLong
+      s"""WITH u AS (SELECT user_id,
+        |                  CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+        |                       AS BIGINT) AS v
+        |           FROM events GROUP BY 1),
+        |e0 AS (SELECT a.user_id AS ua, b.user_id AS ub
+        |       FROM u a JOIN u b
+        |         ON abs(a.v - b.v) <= 20000 AND a.user_id < b.user_id),
+        |e AS (SELECT ua, ub FROM e0
+        |      WHERE ${hSql("'q180:' || CAST(ua AS VARCHAR) || ':' || CAST(ub AS VARCHAR)")}
+        |            < $thresh),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |            SELECT ua AS node FROM e UNION ALL SELECT ub FROM e)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+        |        JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       n_triangles,
+        |       round(CAST(n_triangles AS DOUBLE) / 0.015625, 6) AS est_triangles
+        |FROM tri""".stripMargin
+    }
   )
 }

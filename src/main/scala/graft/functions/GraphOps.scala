@@ -47,6 +47,101 @@ object GraphOps {
           6).as("rank"))
   }
 
+  /** One PageRank power-iteration step from an EXPLICIT rank vector —
+    * the loop kernel behind [[pagerank]] (where [[pagerankStep]] is the
+    * fixed from-uniform first step). `ranks` must hold the FULL node set
+    * as `(node, rank)`; contributions quantize to `floor(w·r·1e12)` longs
+    * (order-exact sums under any partitioning) and the output rank rounds
+    * to 6 dp, so a chain of steps is engine-replayable layer by layer. */
+  def pagerankIter(edges: DataFrame, ranks: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, damping: Double = 0.85): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val n = ranks.agg(count(lit(1)).as("__n"))
+    val contrib = edges
+      .join(ranks.select(col("node").as("__src"), col("rank").as("__r")),
+        col(srcCol) === col("__src"))
+      .withColumn("__fp", floor(col(wCol) * col("__r") * lit(1e12)).cast("long"))
+      .groupBy(col(dstCol).as("node"))
+      .agg(sum("__fp").as("__in"))
+    ranks.select(col("node")).join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("node"),
+        round(lit(1.0 - damping) / col("__n") +
+          lit(damping) * (coalesce(col("__in"), lit(0L)).cast("double") / 1e12),
+          6).as("rank"))
+  }
+
+  /** PageRank to (approximate) convergence: up to `iterations` rounds of
+    * [[pagerankIter]] from the uniform vector, stopping early when the
+    * max |Δrank| of a round is <= `tol` (checked only when `tol > 0`;
+    * `tol == 0` runs exactly `iterations` rounds, which keeps the result
+    * layer-replayable in SQL — ranks are 6 dp fixed points, so a converged
+    * chain is idempotent under extra layers and an oracle may replay the
+    * full depth). Lineage is truncated with an eager localCheckpoint every
+    * `checkpointEvery` rounds — the proven connected-components pattern;
+    * without it each round's plan nests every earlier round and iterative
+    * jobs die of planning/lineage overhead long before they die of data.
+    * Returns `(node, rank)`. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, damping: Double = 0.85, iterations: Int = 20,
+      tol: Double = 0.0, checkpointEvery: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
+    require(tol >= 0, s"tol must be >= 0: $tol")
+    // node frame computed once and pinned: every round rejoins against it
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    var iter = 0
+    var done = false
+    while (iter < iterations && !done) {
+      val stepped = pagerankIter(edges, ranks, srcCol, dstCol, wCol, damping)
+      val next =
+        if ((iter + 1) % checkpointEvery == 0 || tol > 0)
+          stepped.localCheckpoint(true) // eager: the tol check reuses it
+        else stepped
+      if (tol > 0) {
+        val delta = next.join(ranks.withColumnRenamed("rank", "__prev"), "node")
+          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .head().getDouble(0)
+        done = delta <= tol
+      }
+      ranks = next
+      iter += 1
+    }
+    ranks.localCheckpoint(true)
+  }
+
+  /** Label propagation to (approximate) convergence: up to `maxIter`
+    * rounds of [[labelPropagationStep]], stopping early once a round
+    * changes NO label (from there every further round is the identity, so
+    * an oracle may replay the full `maxIter` depth regardless of where
+    * the loop actually stopped). Same eager-localCheckpoint lineage
+    * truncation as [[pagerank]]; the per-round convergence count is an
+    * action, so rounds checkpoint eagerly and each is one bounded job.
+    * Returns `(node, label)` — integer/string labels are exact, making
+    * the whole loop engine-replayable. */
+  def labelPropagate(edges: DataFrame, labels: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, nodeCol: String, labelCol: String,
+      maxIter: Int = 10): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    var cur = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = labelPropagationStep(edges, cur, srcCol, dstCol, wCol,
+        "node", "label").localCheckpoint(true)
+      converged = next.where(col("label") =!= col("prev_label")).count() == 0L
+      cur = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    cur
+  }
+
   /** Exact triangle count of an undirected simple graph given as an edge
     * list (either direction, duplicates/self-loops tolerated — the edge
     * set canonicalizes to distinct `a < b` pairs first).
@@ -86,6 +181,38 @@ object GraphOps {
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nTri = closed.agg(count(lit(1)).as("n_triangles"))
     broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+  }
+
+  /** DOULION approximate triangle count (Tsourakakis, Kang, Miller &
+    * Faloutsos, KDD '09): sparsify the canonical edge set with a coin of
+    * bias `p`, count triangles EXACTLY on the sparsified graph (the
+    * degree-ordered [[triangleCount]]), scale the count by 1/p³ — an
+    * unbiased estimator whose work shrinks ~p² on the wedge join. The
+    * coin is a DETERMINISTIC salted hash of the canonical edge, so the
+    * estimate is reproducible run to run AND engine-replayable (the q180
+    * oracle replays the identical md5 coin); at `p == 1` the output
+    * equals [[triangleCount]] with `est_triangles == n_triangles`.
+    *
+    * This is the scale regime for graphs whose exact count densifies
+    * quadratically (the q126 band-graph watch item): estimator work
+    * tracks the SAMPLED edge count while the exact count's wedge join
+    * tracks the full one. Output one row:
+    * `(n_nodes, n_edges, n_triangles, est_triangles)` — nodes/edges/count
+    * of the SAMPLED graph, plus the scaled estimate (6 dp). */
+  def triangleCountApprox(edges: DataFrame, srcCol: String, dstCol: String,
+      p: Double, salt: String = "tri"): DataFrame = {
+    require(p > 0 && p <= 1, s"sampling probability p must be in (0, 1]: $p")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val thresh = (p * TextFunctions.HashMod).toLong
+    val kept = canon.where(TextFunctions.tokenHashMod(
+      concat(lit(s"$salt:"), col("a").cast("string"), lit(":"),
+        col("b").cast("string"))) < thresh)
+    triangleCount(kept, "a", "b")
+      .withColumn("est_triangles",
+        round(col("n_triangles").cast("double") / lit(p * p * p), 6))
   }
 
   /** One synchronous label-propagation step (Raghavan et al. 2007) over a

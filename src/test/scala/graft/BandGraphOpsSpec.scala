@@ -243,4 +243,109 @@ class BandGraphOpsSpec extends SparkSuite {
       .where(col("node") === 1L).collect()(0)
     assert(tie.getString(1) == "A")
   }
+
+  // ------------------------------------------- iterative convergence ops
+
+  private def ringEdges(n: Long) =
+    (1L to n).map(i => (i, if (i == n) 1L else i + 1, 1.0)).toDF("src", "dst", "w")
+
+  test("pagerank loop == manually chained pagerankIter steps; first step == pagerankStep") {
+    val edges = Seq((1L, 2L, 0.5), (1L, 3L, 0.5), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    // first step from uniform is exactly the from-uniform kernel
+    assertSameRows(
+      GraphOps.pagerank(edges, "src", "dst", "w", iterations = 1),
+      GraphOps.pagerankStep(edges, "src", "dst", "w"))
+    // the loop is step-for-step the manual chain (fixed-point determinism)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    var manual = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    (1 to 3).foreach { _ =>
+      manual = GraphOps.pagerankIter(edges, manual, "src", "dst", "w")
+    }
+    assertSameRows(
+      GraphOps.pagerank(edges, "src", "dst", "w", iterations = 3), manual)
+    // lineage truncation does not change values
+    assertSameRows(
+      GraphOps.pagerank(edges, "src", "dst", "w", iterations = 5, checkpointEvery = 1),
+      GraphOps.pagerank(edges, "src", "dst", "w", iterations = 5, checkpointEvery = 100))
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerank(edges, "src", "dst", "w", iterations = 0)
+    }
+  }
+
+  test("pagerank tol: early stop lands within tol of a further step; uniform ring is instant") {
+    // uniform ring: the uniform vector is the exact fixed point -> a
+    // tol-stopped run equals the max-iteration run exactly
+    val ring = ringEdges(6)
+    assertSameRows(
+      GraphOps.pagerank(ring, "src", "dst", "w", iterations = 50, tol = 1e-9),
+      GraphOps.pagerank(ring, "src", "dst", "w", iterations = 1))
+    // generic graph: after the tol-stop, ONE more step moves no rank by
+    // more than tol (the convergence contract)
+    val edges = Seq((1L, 2L, 0.7), (1L, 3L, 0.3), (2L, 3L, 1.0), (3L, 1L, 1.0),
+      (3L, 4L, 0.0), (4L, 1L, 1.0)).toDF("src", "dst", "w")
+    val tol = 1e-5
+    val stopped = GraphOps.pagerank(edges, "src", "dst", "w",
+      iterations = 200, tol = tol)
+    val oneMore = GraphOps.pagerankIter(edges, stopped, "src", "dst", "w")
+    val delta = oneMore.join(stopped.withColumnRenamed("rank", "prev"), "node")
+      .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
+    assert(delta <= tol, s"post-stop delta $delta > tol $tol")
+  }
+
+  test("labelPropagate: equals manual steps, early-stops at a fixpoint idempotently") {
+    // two cliques joined by one weak edge: LPA converges to per-clique
+    // labels in a couple of rounds
+    val edges = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .map { case (a, b) => (a, b, 5L) } :+ ((3L, 4L, 1L)))
+      .toDF("src", "dst", "w")
+    val labels = (1L to 6L).map(i => (i, i)).toDF("id", "lab")
+    def manual(k: Int) = {
+      var cur = labels.select(col("id").as("node"), col("lab").as("label"))
+      (1 to k).foreach { _ =>
+        cur = GraphOps.labelPropagationStep(edges, cur, "src", "dst", "w",
+          "node", "label").select(col("node"), col("label"))
+      }
+      cur
+    }
+    assertSameRows(
+      GraphOps.labelPropagate(edges, labels, "src", "dst", "w", "id", "lab",
+        maxIter = 3),
+      manual(3))
+    // converged: a larger maxIter returns the same frame (fixpoint
+    // idempotence — extra rounds are the identity)
+    assertSameRows(
+      GraphOps.labelPropagate(edges, labels, "src", "dst", "w", "id", "lab",
+        maxIter = 4),
+      GraphOps.labelPropagate(edges, labels, "src", "dst", "w", "id", "lab",
+        maxIter = 12))
+    intercept[IllegalArgumentException] {
+      GraphOps.labelPropagate(edges, labels, "src", "dst", "w", "id", "lab",
+        maxIter = 0)
+    }
+  }
+
+  test("triangleCountApprox: p=1 equals exact; concentration on a planted graph") {
+    // planted graph: K12 (220 triangles) + a 40-node sparse ring (0)
+    val k12 = for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b)
+    val ring = (100L to 139L).map(i => (i, if (i == 139L) 100L else i + 1))
+    val edges = (k12 ++ ring).toDF("a", "b")
+    val exact = GraphOps.triangleCount(edges, "a", "b").collect()(0).getLong(2)
+    assert(exact == 220L)
+    val full = GraphOps.triangleCountApprox(edges, "a", "b", p = 1.0).collect()(0)
+    assert(full.getLong(2) == exact && full.getDouble(3) == exact.toDouble)
+    // p = 0.7 on the dense kernel: the deterministic-coin estimate must
+    // land within the DOULION concentration band (generous 50% here —
+    // the estimator is unbiased, variance ~ T/p^3; the hash coin makes
+    // this a FIXED number, so the assertion is stable, not flaky)
+    val est = GraphOps.triangleCountApprox(edges, "a", "b", p = 0.7)
+      .collect()(0).getDouble(3)
+    assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
+    intercept[IllegalArgumentException] {
+      GraphOps.triangleCountApprox(edges, "a", "b", p = 0.0)
+    }
+  }
 }
