@@ -87,7 +87,19 @@ object IntervalJoin {
         * seconds. A genuinely small window frame (10^2-10^4 rows) against
         * an arbitrarily big side remains the broadcast shape: the big side
         * never shuffles, which is the correct 100 TB trade. */
-      maxRangeRows: Long = 10000L)
+      maxRangeRows: Long = 10000L,
+      /** Sweep fat-tail guard: intervals LONGER than this route to
+        * broadcast side-joins instead of replicating across every range
+        * partition they span (SweepJoin's long/short split). None = auto:
+        * long means "would replicate > sweepMaxReplication range
+        * partitions" (length > that many typical range widths); when no
+        * sampled row exceeds the bound — every short-span fixture — the
+        * split never engages and the plan is the pure sweep, unchanged. */
+      sweepLongThreshold: Option[Long] = None,
+      sweepMaxReplication: Int = 16,
+      /** If the long mass exceeds this row count, broadcasting it would be
+        * worse than replicating it — fall back to the unsplit sweep. */
+      sweepMaxBroadcastRows: Long = 2000000L)
 
   def intervalJoin(left: DataFrame, right: DataFrame, on: String): DataFrame =
     intervalJoin(left, right, on -> on, Options())
@@ -262,7 +274,7 @@ object IntervalJoin {
       case Strategy.Binned if joinType == "inner" =>
         binnedInner(l2, r2, lOnT, rOnT, opts)
       case Strategy.Sweep if joinType == "inner" =>
-        SweepJoin.sweepInner(l2, r2, lOnT, rOnT)
+        SweepJoin.sweepInner(l2, r2, lOnT, rOnT, opts)
       case Strategy.Binned | Strategy.Sweep =>
         binnedOuter(l2, r2, lOnT, rOnT, opts)
       case _ =>

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.{Arrays => JArrays, PriorityQueue}
 import scala.collection.mutable.ArrayBuffer
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,29 +28,48 @@ import org.apache.spark.sql.types._
   *     partition) — the cross-partition dedup is a single comparison, no
   *     distinct shuffle.
   *
+  * LONG/SHORT SPLIT (the fat-tail guard): an interval spanning k range
+  * partitions replicates k× — fine for short-span data (1-2×), but a
+  * fat-tailed length distribution (real biosignal/session spans — the
+  * reference's home domain) degrades toward all-partitions replication:
+  * at cluster range counts (512-4096) a few % of domain-length rows can
+  * inflate the shuffle by an order of magnitude. Intervals that would
+  * replicate more than `Options.sweepMaxReplication` range partitions
+  * (auto threshold = that many typical range widths; explicit override
+  * via `Options.sweepLongThreshold`) are routed to BROADCAST side-joins
+  * instead of the sweep: long-left × ALL right and short-left ×
+  * long-right, both plain overlap-predicate broadcast joins (the long
+  * mass is count-guarded small), while the sweep runs on the short mass
+  * only. Pairs partition exactly across the three branches — property
+  * tests pin split ≡ unsplit on random mixes including corpus-length
+  * spans. When no SAMPLED row exceeds the bound (every short-span
+  * fixture), the split never engages: zero extra jobs, plan unchanged.
+  * The split branch costs one narrow count pass + a second scan of each
+  * side, so it is a GUARD for the catastrophic regime, not a win on
+  * mildly-tailed data — the crossover is measured in BASELINE.md.
+  *
   * Degenerate intervals (start >= stop = empty set) are dropped on entry —
   * identical to the other strategies' semantics. Inner join only; outer
   * variants use the binned path.
   */
 object SweepJoin {
 
-  /** Approximate start-quantile bounds from a bounded reservoir sample
-    * (`k` values per input partition, one narrow pass, collect size =
-    * k × partitions regardless of data volume — unlike a fraction-based
-    * sample, this stays driver-safe at any scale). Per-partition reservoirs
-    * slightly bias toward small partitions; for PARTITION bounds a ~2x
-    * balance approximation is ample — residual imbalance only shifts work
-    * between ranges, never correctness. Measured ~4x cheaper than
-    * approxQuantile on the same input. */
-  private[operators] def partitionBounds(df: DataFrame, startCol: String,
-      nParts: Int, perPartition: Int = 64): Array[Long] = {
-    if (nParts <= 1) return Array.empty
-    val sampled = df.select(col(startCol))
-      .where(col(startCol).isNotNull) // NULLs possible with checkMissing=false
-      .as(Encoders.scalaLong)
+  /** Bounded reservoir of (start, stop) pairs: `k` rows per input
+    * partition, one narrow pass, collect size = k × partitions regardless
+    * of data volume — unlike a fraction-based sample, this stays
+    * driver-safe at any scale. Per-partition reservoirs slightly bias
+    * toward small partitions; for partition bounds and a length quantile a
+    * ~2x approximation is ample — residual imbalance only shifts work
+    * between ranges/branches, never correctness. Measured ~4x cheaper
+    * than approxQuantile on the same input. */
+  private[operators] def samplePairs(df: DataFrame, sCol: String, eCol: String,
+      perPartition: Int = 64): Array[(Long, Long)] = {
+    df.select(col(sCol), col(eCol))
+      .where(col(sCol).isNotNull && col(eCol).isNotNull) // checkMissing=false
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .mapPartitions { it =>
         val rng = new scala.util.Random(org.apache.spark.TaskContext.getPartitionId().toLong)
-        val buf = new Array[Long](perPartition)
+        val buf = new Array[(Long, Long)](perPartition)
         var n = 0
         it.foreach { x =>
           if (n < perPartition) buf(n) = x
@@ -58,12 +77,37 @@ object SweepJoin {
           n += 1
         }
         buf.take(math.min(n, perPartition)).iterator
-      }(Encoders.scalaLong)
-      .collect().sorted
-    if (sampled.isEmpty) Array.empty
-    else (1 until nParts)
-      .map(i => sampled((i.toLong * sampled.length / nParts).toInt))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect()
+  }
+
+  /** Balanced partition bounds = approximate quantiles of the sampled
+    * starts. */
+  private[operators] def partitionBounds(starts: Array[Long], nParts: Int): Array[Long] = {
+    if (nParts <= 1 || starts.isEmpty) return Array.empty
+    val sorted = starts.sorted
+    (1 until nParts)
+      .map(i => sorted((i.toLong * sorted.length / nParts).toInt))
       .distinct.sorted.toArray
+  }
+
+  /** Auto long-interval threshold: the REPLICATION bound. A row of length
+    * L replicates to ~L/avgRangeWidth partitions, so "long" means
+    * L > maxReplication × the typical range width — the semantic the
+    * split exists for (a quantile rule misfires when the tail is heavy:
+    * with 5% giants the p99 length lands INSIDE the giant mass and only
+    * clips its top). Long.MaxValue (= never long, pure sweep, zero extra
+    * jobs) when no SAMPLED row exceeds the bound — every short-span
+    * fixture takes that exit, plan unchanged. */
+  private[operators] def autoLongThreshold(sample: Array[(Long, Long)],
+      bounds: Array[Long], maxReplication: Int): Long = {
+    if (bounds.isEmpty || sample.isEmpty) return Long.MaxValue
+    val starts = sample.map(_._1)
+    val span = starts.max - starts.min
+    if (span <= 0) return Long.MaxValue
+    val avgWidth = math.max(1L, span / (bounds.length + 1))
+    val t = maxReplication.toLong * avgWidth
+    if (sample.exists { case (s, e) => e > s && e - s > t }) t else Long.MaxValue
   }
 
   /** pid of the range containing x: #bounds <= x. */
@@ -80,14 +124,60 @@ object SweepJoin {
 
   /** Inner overlap join of the temp-named projected frames (same contract
     * as the other strategies: output columns = l2.columns ++ r2.columns). */
-  def sweepInner(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String): DataFrame = {
+  def sweepInner(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String): DataFrame =
+    sweepInner(l2, r2, lOnT, rOnT, IntervalJoin.Options())
+
+  def sweepInner(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
+      opts: IntervalJoin.Options): DataFrame = {
     val spark = l2.sparkSession
     val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
 
-    val starts = l2.select(col(s"$lOnT.start").as("s"))
-      .unionAll(r2.select(col(s"$rOnT.start").as("s")))
-    val bounds = partitionBounds(starts, "s", nParts)
+    val pts = l2.select(col(s"$lOnT.start").as("s"), col(s"$lOnT.stop").as("e"))
+      .unionAll(r2.select(col(s"$rOnT.start").as("s"), col(s"$rOnT.stop").as("e")))
+    val sample = samplePairs(pts, "s", "e")
+    val bounds = partitionBounds(sample.map(_._1), nParts)
+    val threshold = opts.sweepLongThreshold
+      .getOrElse(autoLongThreshold(sample, bounds, opts.sweepMaxReplication))
 
+    def isLong(onT: String): Column = {
+      val st = col(s"$onT.start"); val sp = col(s"$onT.stop")
+      st.isNotNull && sp.isNotNull && st < sp && (sp - st) > threshold
+    }
+    def notLong(onT: String): Column = !coalesce(isLong(onT), lit(false))
+
+    val nLong =
+      if (threshold == Long.MaxValue) 0L
+      else l2.where(isLong(lOnT)).count() + r2.where(isLong(rOnT)).count()
+
+    if (nLong == 0L || nLong > opts.sweepMaxBroadcastRows) {
+      // pure sweep — every current short-span fixture lands here with the
+      // plan unchanged; the > cap case is the explicit fallback to bounded
+      // replication when the "long" mass is itself too big to broadcast
+      sweepCore(l2, r2, lOnT, rOnT, bounds)
+    } else {
+      val outCols = (l2.columns ++ r2.columns).map(col).toIndexedSeq
+      val overlap = col(s"$lOnT.start") < col(s"$rOnT.stop") &&
+        col(s"$rOnT.start") < col(s"$lOnT.stop") &&
+        col(s"$lOnT.start") < col(s"$lOnT.stop") &&
+        col(s"$rOnT.start") < col(s"$rOnT.stop")
+      // pair space partitions exactly: (short, short) sweeps; (long, ANY
+      // right) and (short left, long right) broadcast the bounded long mass
+      // against the streaming side — the stream never shuffles
+      val swept = sweepCore(l2.where(notLong(lOnT)), r2.where(notLong(rOnT)),
+        lOnT, rOnT, bounds)
+      val longLeft = r2.join(broadcast(l2.where(isLong(lOnT))), overlap)
+        .select(outCols: _*)
+      val longRight = l2.where(notLong(lOnT))
+        .join(broadcast(r2.where(isLong(rOnT))), overlap)
+        .select(outCols: _*)
+      swept.unionAll(longLeft).unionAll(longRight)
+    }
+  }
+
+  /** The range-partitioned per-partition merge sweep over (already
+    * split-filtered) sides, with the given partition bounds. */
+  private def sweepCore(l2: DataFrame, r2: DataFrame, lOnT: String, rOnT: String,
+      bounds: Array[Long]): DataFrame = {
     val lSchema = l2.schema
     val rSchema = r2.schema
     val outSchema = StructType(lSchema.fields ++ rSchema.fields)

@@ -104,6 +104,51 @@ class IntervalJoinPropertySpec extends SparkSuite {
     }
   }
 
+  /** fat tail: mostly short spans, a sub-1% sprinkle of corpus-length
+    * giants — the shape where unsplit sweep replication degrades toward
+    * all-partitions and the long/short split must route giants to the
+    * broadcast branches without changing a single pair */
+  private val genFatTail: Gen[List[(Long, Long)]] = for {
+    nShort <- Gen.chooseNum(40, 120)
+    short <- Gen.listOfN(nShort, for {
+      s <- Gen.chooseNum(0L, 100000L); len <- Gen.chooseNum(1L, 40L)
+    } yield (s, s + len))
+    nGiant <- Gen.chooseNum(0, 2)
+    giant <- Gen.listOfN(nGiant, for {
+      s <- Gen.chooseNum(0L, 1000L); len <- Gen.chooseNum(90000L, 120000L)
+    } yield (s, s + len))
+    nDeg <- Gen.chooseNum(0, 3)
+    deg <- Gen.listOfN(nDeg, Gen.chooseNum(0L, 100000L).map(s => (s, s)))
+  } yield short ++ giant ++ deg
+
+  test("sweep long/short split == unsplit on fat-tail mixes (forced, auto, and no-split thresholds)") {
+    (400 to 411).foreach { seed =>
+      val g = for { a <- genFatTail; b <- genFatTail } yield (a, b)
+      val (ls, rs) = g.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val expected = brute(ls, rs)
+        .filter { case (i, j) => ls(i)._1 < ls(i)._2 && rs(j)._1 < rs(j)._2 }
+      val lDF = toDF(ls, "l")
+      val rDF = toDF(rs, "r")
+      def pairs(opts: Options) =
+        IntervalJoin.intervalJoin(lDF, rDF, "span", opts)
+          .select("id_l", "id_r").collect()
+          .map(x => (x.getLong(0).toInt, x.getLong(1).toInt)).toSet
+      // forced low threshold: every giant (and some shorts) goes broadcast
+      assert(pairs(Options(strategy = Strategy.Sweep,
+        sweepLongThreshold = Some(50L))) == expected, s"forced split, seed=$seed")
+      // forced huge threshold: nothing splits — the unsplit baseline
+      assert(pairs(Options(strategy = Strategy.Sweep,
+        sweepLongThreshold = Some(Long.MaxValue))) == expected, s"no split, seed=$seed")
+      // auto threshold (p99 of the sampled lengths)
+      assert(pairs(Options(strategy = Strategy.Sweep)) == expected, s"auto, seed=$seed")
+      // degenerate fallback knob: cap 0 forces the unsplit path even when
+      // the threshold marks rows long
+      assert(pairs(Options(strategy = Strategy.Sweep,
+        sweepLongThreshold = Some(50L), sweepMaxBroadcastRows = 0L)) == expected,
+        s"cap fallback, seed=$seed")
+    }
+  }
+
   test("outer joins: both strategies match the brute-force oracle incl. degenerate intervals") {
     (200 to 212).foreach { seed =>
       val g = for {
