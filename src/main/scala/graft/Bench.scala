@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffles START wide and AQE coalesces them down to the advisory
+      // target: small inputs still end at a handful of partitions (no
+      // overhead), while a 64x input keeps enough width that hash
+      // aggregates stop spilling — the q78/q84 probe at 64x measured 9.4x
+      // growth for 4x data through a fixed 32-wide shuffle, 4.1x with
+      // this. The production posture: let AQE pick the width at runtime
+      // instead of pinning it to the core count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -2398,6 +2398,33 @@ object SparkEntry {
         .where(col("ua") < col("ub"))
       graft.functions.GraphOps.triangleCountApprox(edges, "ua", "ub",
         p = 0.25, salt = "q180")
+    }),
+
+    // Hybrid retrieval AT SCALE: q84's shape with the vector half swapped
+    // from the declared brute-force baseline to the IVF probe (anchored
+    // deterministic quantizer, nProbe 4/16 — the q61 idiom), fused by RRF
+    // against the persisted BM25 index. The 64x curve exposed q84's
+    // vector half as its quadratic-by-design floor; this is the
+    // production substitution, and unlike most ANN swaps it keeps the
+    // full three-gate oracle. (nLists is fixed at 16 here for the oracle;
+    // at 100 TB the quantizer is ivfTrain centroids scaled with the
+    // corpus, same plan shape.)
+    "q181_hybrid_rrf_ivf" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_idx_${datasetStamp(dir)}"
+      if (!sp.catalog.tableExists(tbl))
+        graft.functions.TfIdf.writeBm25Index(d, "doc_id", "text", tbl, nBuckets = 32)
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      val bm = graft.functions.TfIdf.bm25AgainstIndex(q, "qid", "qtext", tbl, 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val e = table(sp, dir, "embeddings")
+      val vq = e.where(pmod(col("vec_id"), lit(50L)) === 0L)
+      val vec = Similarity.ivfTopKAnchored(e, vq, 10,
+          Similarity.hashAnchors(e, 16, salt = "q181"), nProbe = 4)
+        .select(col("q_id").as("qid"), col("vec_id").as("doc_id"), col("rank"))
+      graft.functions.TfIdf.rrfFuse(bm, vec, "qid", "doc_id", "rank", 10)
     })
   )
 
@@ -5845,6 +5872,65 @@ object SparkEntry {
         |       n_triangles,
         |       round(CAST(n_triangles AS DOUBLE) / 0.015625, 6) AS est_triangles
         |FROM tri""".stripMargin
-    }
+    },
+
+    // q84's fusion replay with the vector half replaced by the q61
+    // anchored-IVF chain (salt q181, queries = vec_id % 50, nProbe 4/16).
+    "q181_hybrid_rrf_ivf" ->
+      s"""WITH bm AS ($bm25ReplaySql),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, v FROM (
+        |    SELECT vec_id, v,
+        |           ${hSql("'q181:' || CAST(vec_id AS VARCHAR)")} AS hk
+        |    FROM c) ORDER BY hk, vec_id LIMIT 16),
+        |csims AS (
+        |  SELECT c.vec_id AS id, a.aid,
+        |         round(list_dot_product(c.v, a.v)
+        |               / (sqrt(list_dot_product(c.v, c.v))
+        |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS s
+        |  FROM c CROSS JOIN anch a),
+        |cellq AS (
+        |  SELECT id, aid AS cell FROM (
+        |    SELECT id, aid,
+        |           row_number() OVER (PARTITION BY id ORDER BY s DESC, aid) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id % 50 = 0),
+        |qsims AS (
+        |  SELECT q.q_id, a.aid,
+        |         1.0 - round(list_dot_product(q.qv, a.v)
+        |               / (sqrt(list_dot_product(q.qv, q.qv))
+        |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS d
+        |  FROM qs q CROSS JOIN anch a),
+        |probe AS (
+        |  SELECT q_id, aid AS cell FROM (
+        |    SELECT q_id, aid,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY d, aid) AS rn
+        |    FROM qsims) WHERE rn <= 4),
+        |vs AS (
+        |  SELECT p.q_id, cq.id AS vec_id,
+        |         round(list_dot_product(cv.v, qv2.v)
+        |               / (sqrt(list_dot_product(cv.v, cv.v))
+        |                  * sqrt(list_dot_product(qv2.v, qv2.v))), 4) AS sim
+        |  FROM probe p JOIN cellq cq ON cq.cell = p.cell
+        |  JOIN c cv ON cv.vec_id = cq.id
+        |  JOIN c qv2 ON qv2.vec_id = p.q_id
+        |  WHERE cq.id <> p.q_id),
+        |vr AS (SELECT q_id, vec_id,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY sim DESC, vec_id) AS rank
+        |       FROM vs),
+        |vec AS (SELECT q_id, vec_id, rank FROM vr WHERE rank <= 10),
+        |f AS (SELECT coalesce(bm.qid, vec.q_id) AS qid,
+        |             coalesce(bm.doc_id, vec.vec_id) AS doc_id,
+        |             round(coalesce(1.0 / (60 + bm.rank), 0.0)
+        |                   + coalesce(1.0 / (60 + vec.rank), 0.0), 6) AS rrf
+        |      FROM bm FULL JOIN vec
+        |        ON bm.qid = vec.q_id AND bm.doc_id = vec.vec_id),
+        |rr AS (SELECT qid, doc_id, rrf,
+        |              CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |       FROM f)
+        |SELECT qid, doc_id, rrf, rank FROM rr WHERE rank <= 10""".stripMargin
   )
 }

@@ -46,6 +46,16 @@ class PlanShapeSpec extends SparkSuite {
     // fixed-point total broadcast is the q95 idiom; the wedge/closing joins
     // themselves are equi-joins
     "q126_triangles",
+    // DOULION sample over the same band graph: identical single-row
+    // (n_nodes, n_edges, n_triangles) broadcast crosses; the coin filter
+    // and the wedge/closing joins are equi-joins
+    "q180_triangles_approx",
+    // PageRank loop: per-iteration single-row N broadcast cross (the q124
+    // idiom, once per layer); contributions/sinks are equi-joins
+    "q178_pagerank",
+    // inherits q78's single-row (N, avgdl) broadcast cross; both ranker
+    // halves (index probe, IVF cell probe) are equi-joins
+    "q181_hybrid_rrf_ivf",
     // single-row (n_pos, n_neg) / basket-count broadcast crosses; the
     // data-sized sides are aggregates and equi-joins
     "q142_roc_auc", "q145_copurchase",
