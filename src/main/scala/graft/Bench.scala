@@ -13,13 +13,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // Shuffles START wide and AQE coalesces them down to the advisory
-      // target: small inputs still end at a handful of partitions (no
-      // overhead), while a 64x input keeps enough width that hash
-      // aggregates stop spilling — the q78/q84 probe at 64x measured 9.4x
-      // growth for 4x data through a fixed 32-wide shuffle, 4.1x with
-      // this. The production posture: let AQE pick the width at runtime
-      // instead of pinning it to the core count.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // target: small inputs still end at a handful of partitions, while
+      // a 64x input keeps enough width that hash aggregates stop
+      // spilling — the q78/q84 probe at 64x measured 9.4x growth for 4x
+      // data through a fixed 32-wide shuffle, ~4x with the wide start.
+      // 128 (not 512): the wide start is not free locally — each map
+      // task writes that many shuffle partitions, and at 512 the
+      // many-small-query suite paid ~13 s total (~0.1 s/query); 128
+      // keeps ~1.4 M rows/partition at the 64x probe (in-memory hash
+      // agg) at a quarter of that overhead. The production posture: let
+      // AQE pick the width at runtime instead of pinning it to cores.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

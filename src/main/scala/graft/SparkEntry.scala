@@ -2512,10 +2512,19 @@ object SparkEntry {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     val name = s"graft_stream_replay_${streamSeq.incrementAndGet()}"
-    val q = build(in.toDF()).writeStream.format("memory")
-      .queryName(name).outputMode("append").start()
-    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    // state-store partition count = shuffle partitions AT QUERY START, and
+    // every micro-batch schedules that many stateful tasks per stateful
+    // operator — at 32 it is pure per-batch overhead for these bounded
+    // replays. Pin 8 for the streaming query only (entries run
+    // sequentially in Verify/Bench; restored immediately after).
+    val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(in.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
     sp.table(name)
   }
 

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Node-count threshold under which the iterative loops ([[pagerank]],
+    * [[labelPropagate]]) broadcast the per-round small side (rank/label
+    * vector, winner frame) instead of shuffle-joining it against the edge
+    * frame. Checkpointed frames report no size statistics, so Catalyst
+    * would never pick the broadcast on its own; the loops count the node
+    * frame once (cheap after materialization) and choose explicitly.
+    * 1M nodes ≈ tens of MB serialized — comfortably under executor
+    * broadcast budgets; above it the loops pre-shuffle the edge frame on
+    * the join key once and let every round reuse that partitioning. */
+  val BroadcastNodesMax: Long = 1L << 20
+
   /** One PageRank power-iteration step from the uniform vector, over a
     * weighted edge list `(srcCol, dstCol, wCol)` (out-edge weights w ≥ 0,
     * typically row-normalized like a Markov transition matrix):
@@ -54,16 +65,33 @@ object GraphOps {
     * (order-exact sums under any partitioning) and the output rank rounds
     * to 6 dp, so a chain of steps is engine-replayable layer by layer. */
   def pagerankIter(edges: DataFrame, ranks: DataFrame, srcCol: String,
-      dstCol: String, wCol: String, damping: Double = 0.85): DataFrame = {
+      dstCol: String, wCol: String, damping: Double = 0.85): DataFrame =
+    pagerankIterImpl(edges, ranks, srcCol, dstCol, wCol, damping,
+      broadcastRanks = false)
+
+  /** [[pagerankIter]] with the loop's regime choice threaded through:
+    * `broadcastRanks` force-broadcasts the rank vector (identical result;
+    * the checkpointed vector has no stats, so Catalyst cannot make the
+    * call itself). */
+  private def pagerankIterImpl(edges: DataFrame, ranks: DataFrame,
+      srcCol: String, dstCol: String, wCol: String, damping: Double,
+      broadcastRanks: Boolean, knownN: Long = -1L): DataFrame = {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
-    val n = ranks.agg(count(lit(1)).as("__n"))
+    // the node count is loop-invariant — callers that know it skip a
+    // per-round aggregate + broadcast job
+    val n =
+      if (knownN >= 0) ranks.sparkSession.range(1).select(lit(knownN).as("__n"))
+      else ranks.agg(count(lit(1)).as("__n"))
+    val rvec = ranks.select(col("node").as("__src"), col("rank").as("__r"))
     val contrib = edges
-      .join(ranks.select(col("node").as("__src"), col("rank").as("__r")),
+      .join(if (broadcastRanks) broadcast(rvec) else rvec,
         col(srcCol) === col("__src"))
       .withColumn("__fp", floor(col(wCol) * col("__r") * lit(1e12)).cast("long"))
       .groupBy(col(dstCol).as("node"))
       .agg(sum("__fp").as("__in"))
-    ranks.select(col("node")).join(contrib, Seq("node"), "left")
+    ranks.select(col("node"))
+      .join(if (broadcastRanks) broadcast(contrib) else contrib,
+        Seq("node"), "left")
       .crossJoin(broadcast(n))
       .select(col("node"),
         round(lit(1.0 - damping) / col("__n") +
@@ -88,17 +116,36 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     require(tol >= 0, s"tol must be >= 0: $tol")
+    // The edge frame is re-scanned EVERY round; if it is itself the
+    // output of an expensive upstream query (a similarity graph, a
+    // co-purchase join), each round would recompute that query from
+    // scratch — materialize it once.
+    val eChk = if (iterations > 1) edges.localCheckpoint(true) else edges
     // node frame computed once and pinned: every round rejoins against it
-    val nodes = edges.select(col(srcCol).as("node"))
-      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+    val nodes = eChk.select(col(srcCol).as("node"))
+      .unionAll(eChk.select(col(dstCol).as("node"))).distinct()
       .localCheckpoint(true)
+    val nNodes = nodes.count()
+    // Checkpointed frames carry no size stats, so the per-round
+    // rank-vector join would default to a full shuffle of the edge side
+    // every round. Choose the regime once: small graphs broadcast the
+    // rank vector (edge frame never shuffles); huge graphs pre-shuffle
+    // the edge frame on the join key a single time and every round's
+    // sort-merge join reuses that partitioning (localCheckpoint
+    // preserves outputPartitioning).
+    val small = nNodes <= BroadcastNodesMax
+    val e =
+      if (iterations > 1 && !small)
+        eChk.repartition(col(srcCol)).localCheckpoint(true)
+      else eChk
     val n = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
     var iter = 0
     var done = false
     while (iter < iterations && !done) {
-      val stepped = pagerankIter(edges, ranks, srcCol, dstCol, wCol, damping)
+      val stepped = pagerankIterImpl(e, ranks, srcCol, dstCol, wCol,
+        damping, broadcastRanks = small, knownN = nNodes)
       val next =
         if ((iter + 1) % checkpointEvery == 0 || tol > 0)
           stepped.localCheckpoint(true) // eager: the tol check reuses it
@@ -128,14 +175,55 @@ object GraphOps {
       dstCol: String, wCol: String, nodeCol: String, labelCol: String,
       maxIter: Int = 10): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    if (maxIter == 1)
+      return labelPropagationStep(edges, labels, srcCol, dstCol, wCol,
+        nodeCol, labelCol).select(col("node"), col("label"))
+    // Loop-invariant heavy lifting happens ONCE: any expensive upstream
+    // edge query (a similarity graph, a co-purchase join) materializes a
+    // single time as the doubled edge frame, and the join regime is
+    // chosen once from the node count (checkpointed frames have no size
+    // stats, so Catalyst cannot): small graphs broadcast the label
+    // vector every round — the edge frame NEVER shuffles; huge graphs
+    // pre-shuffle the edge frame on the per-round join key (__v) —
+    // localCheckpoint preserves outputPartitioning, so every round's
+    // neighbor-label join reuses it and only the label frame moves.
     var cur = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
+      .localCheckpoint(true)
+    val small = cur.count() <= BroadcastNodesMax
+    // one scan of the (possibly expensive) edge frame: explode each edge
+    // into both directions in-row instead of a unionAll of two branches
+    val dirdBase = edges
+      .select(explode(array(
+        struct(col(srcCol).as("__u"), col(dstCol).as("__v"),
+          col(wCol).cast("long").as("__w")),
+        struct(col(dstCol).as("__u"), col(srcCol).as("__v"),
+          col(wCol).cast("long").as("__w")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
+        col("__e.__w").as("__w"))
+    val dird = (if (small) dirdBase else dirdBase.repartition(col("__v")))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = labelPropagationStep(edges, cur, srcCol, dstCol, wCol,
-        "node", "label").localCheckpoint(true)
-      converged = next.where(col("label") =!= col("prev_label")).count() == 0L
+      // identical semantics to [[labelPropagationStep]] (spec-pinned):
+      // weight-majority label, ties to smallest, isolated nodes keep own
+      val lab = cur.select(col("node").as("__v"), col("label").as("__nl"))
+      val tallies = dird.join(if (small) broadcast(lab) else lab, Seq("__v"))
+        .groupBy(col("__u"), col("__nl")).agg(sum("__w").as("__t"))
+      val winners = tallies
+        .groupBy(col("__u"))
+        .agg(min(struct((-col("__t")).as("__negw"), col("__nl").as("__l"))).as("__m"))
+        .select(col("__u").as("node"), col("__m.__l").as("__win"))
+      val next = cur.withColumnRenamed("label", "prev_label")
+        .join(if (small) broadcast(winners) else winners, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__win"), col("prev_label")).as("label"),
+          col("prev_label"))
+        .localCheckpoint(true)
+      // the last round's count only feeds an early stop that can no
+      // longer happen — skip the job
+      converged = iter < maxIter - 1 &&
+        next.where(col("label") =!= col("prev_label")).count() == 0L
       cur = next.select(col("node"), col("label"))
       iter += 1
     }
