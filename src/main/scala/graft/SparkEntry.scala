@@ -2425,6 +2425,26 @@ object SparkEntry {
           Similarity.hashAnchors(e, 16, salt = "q181"), nProbe = 4)
         .select(col("q_id").as("qid"), col("vec_id").as("doc_id"), col("rank"))
       graft.functions.TfIdf.rrfFuse(bm, vec, "qid", "doc_id", "rank", 10)
+    }),
+
+    // Full Lloyd LOOP over q100's single step: hash-seed 6 anchors, run
+    // kmeansFit for 2 rounds (fixed-point 6 dp centroids, empty cells
+    // carry the previous centroid), then one presentation step — in total
+    // exactly 3 chained kmeansStep rounds, which the oracle replays as 3
+    // SQL layers. Early convergence inside the fit cannot diverge from
+    // the fixed-depth replay: an unchanged round is a fixed point, so
+    // extra layers are the identity. Like q178/q179 this graduates the
+    // kernel step to the convergence operator users actually run; unlike
+    // them the loop state is k x dim driver-side literals, so lineage
+    // depth stays constant with no checkpoint.
+    "q182_kmeans_fit" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val (anch, _) = Similarity.kmeansFit(e, 6, maxIter = 2, salt = "q182")
+      Similarity.kmeansStep(e, anch)
+        .select(col("cell"), col("n"),
+          array_join(transform(col("centroid"),
+            x => round(x * 1e6, 0).cast("long").cast("string")), ",")
+            .as("centroid"))
     })
   )
 
@@ -5940,6 +5960,57 @@ object SparkEntry {
         |              CAST(row_number() OVER (PARTITION BY qid
         |                ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
         |       FROM f)
-        |SELECT qid, doc_id, rrf, rank FROM rr WHERE rank <= 10""".stripMargin
+        |SELECT qid, doc_id, rrf, rank FROM rr WHERE rank <= 10""".stripMargin,
+
+    // q100's one-step replay chained 3 deep (seed -> step -> carry ->
+    // step -> carry -> step); the carry LEFT JOIN keeps an anchor's
+    // previous centroid when its cell empties, exactly kmeansFit's rule.
+    "q182_kmeans_fit" -> {
+      def stepSql(aTbl: String, cTbl: String) =
+        s"""sims_$cTbl AS (
+           |  SELECT c.vec_id AS id, a.aid,
+           |         round(list_dot_product(c.v, a.v)
+           |               / (sqrt(list_dot_product(c.v, c.v))
+           |                  * sqrt(list_dot_product(a.v, a.v))), 4) AS s
+           |  FROM c CROSS JOIN $aTbl a),
+           |cell_$cTbl AS (
+           |  SELECT id, aid AS cell FROM (
+           |    SELECT id, aid,
+           |           row_number() OVER (PARTITION BY id ORDER BY s DESC, aid) AS rn
+           |    FROM sims_$cTbl) WHERE rn = 1),
+           |el_$cTbl AS (
+           |  SELECT q.cell, unnest(c.v) AS x, generate_subscripts(c.v, 1) AS i
+           |  FROM cell_$cTbl q JOIN c ON c.vec_id = q.id),
+           |$cTbl AS (
+           |  SELECT cell, i,
+           |         CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS fx,
+           |         count(*) AS n
+           |  FROM el_$cTbl GROUP BY cell, i)""".stripMargin
+      def carrySql(aPrev: String, cTbl: String, aNext: String) =
+        s"""cent_$cTbl AS (
+           |  SELECT cell AS aid,
+           |         list(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6)
+           |              ORDER BY i) AS v
+           |  FROM $cTbl GROUP BY cell),
+           |$aNext AS (
+           |  SELECT p.aid, coalesce(cn.v, p.v) AS v
+           |  FROM $aPrev p LEFT JOIN cent_$cTbl cn ON cn.aid = p.aid)""".stripMargin
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a0 AS (
+         |  SELECT vec_id AS aid, v FROM (
+         |    SELECT vec_id, v,
+         |           ${hSql("'q182:' || CAST(vec_id AS VARCHAR)")} AS hk
+         |    FROM c) ORDER BY hk, vec_id LIMIT 6),
+         |${stepSql("a0", "c1")},
+         |${carrySql("a0", "c1", "a1")},
+         |${stepSql("a1", "c2")},
+         |${carrySql("a1", "c2", "a2")},
+         |${stepSql("a2", "c3")}
+         |SELECT cell, CAST(min(n) AS BIGINT) AS n,
+         |       string_agg(CAST(CAST(round(round(CAST(fx AS DOUBLE) / 1000000.0 / n, 6)
+         |                                  * 1000000.0) AS BIGINT) AS VARCHAR),
+         |                  ',' ORDER BY i) AS centroid
+         |FROM c3 GROUP BY cell""".stripMargin
+    }
   )
 }

@@ -473,6 +473,55 @@ object Similarity {
           x => x.getField("__c")).as("centroid"))
   }
 
+  /** Full Lloyd loop of spherical k-means: [[hashAnchors]] seeds, then up
+    * to `maxIter` [[kmeansStep]] rounds, stopping early once the 6-dp
+    * centroids come back exactly unchanged (the step is fully
+    * deterministic, so "unchanged" is bit equality, not a tolerance — and
+    * an unchanged round is a FIXED POINT: chaining further rounds provably
+    * returns the same centroids, which is what lets a fixed-round SQL
+    * replay oracle-check an early-converging run). A cell that loses all
+    * members keeps its previous centroid (the standard Lloyd carry rule),
+    * so the anchor id set is stable across rounds. Returns the final
+    * anchors and the number of rounds run.
+    *
+    * Scale shape — the iterative-loop discipline of
+    * [[graft.functions.GraphOps.pagerank]], adapted to k-means'
+    * centroid dependence structure: per round the corpus NEVER shuffles
+    * rows (assignment is a zero-shuffle codegen'd fold over anchor
+    * literals; the recompute ships only cells × dim fixed-point partials
+    * through a map-side-combining aggregate), and the only driver traffic
+    * is k × dim rounded doubles re-embedded as next round's literals.
+    * Because each round's plan reads `df` directly through those
+    * literals, lineage depth stays CONSTANT across rounds — no
+    * checkpoint-every-k needed, unlike recurrences whose state is itself
+    * a DataFrame (PageRank's rank vector). `df` IS re-scanned once per
+    * round: cache/checkpoint an expensive upstream frame before calling.
+    * The literal-embed assignment is the k ≲ few-hundred regime (the
+    * codegen'd argmax grows with k); at IVF scale train on a hash sample
+    * ([[ivfTrain]]) and assign the full corpus once at the end. */
+  def kmeansFit(df: DataFrame, k: Int, maxIter: Int, salt: String = "kmeans",
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Seq[(Long, Array[Double])], Int) = {
+    require(k >= 1 && k <= 512,
+      s"kmeansFit's literal-embed assignment is the k <= 512 regime, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    var anchors = hashAnchors(df, k, salt, idCol, vecCol)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val cents = kmeansStep(df, anchors, idCol, vecCol)
+        .select(col("cell"), col("centroid")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val next = anchors.map { case (aid, av) => aid -> cents.getOrElse(aid, av) }
+      converged = next.iterator.zip(anchors.iterator).forall {
+        case ((_, a), (_, b)) => java.util.Arrays.equals(a, b)
+      }
+      anchors = next
+      iter += 1
+    }
+    (anchors, iter)
+  }
+
   def semanticDedup(df: DataFrame, anchors: Seq[(Long, Array[Double])],
       threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

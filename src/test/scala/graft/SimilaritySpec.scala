@@ -566,6 +566,53 @@ class SimilaritySpec extends SparkSuite {
     assert(c2(1L) == c1(1L).toSeq && c2(2L) == c1(2L).toSeq)
   }
 
+  test("kmeansFit: equals manually chained steps with carry; converges and early-stops on planted clusters") {
+    val rng = new scala.util.Random(5L)
+    val pts = (0L until 30L).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f) else Array(0f, 10f)
+      (i, base.map(v => v + rng.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    // replica: seed + manual step/carry chain, same depth
+    def chain(rounds: Int): Seq[(Long, Array[Double])] = {
+      var a = Similarity.hashAnchors(pts, 2, salt = "fitspec")
+      (1 to rounds).foreach { _ =>
+        val c = Similarity.kmeansStep(pts, a).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+        a = a.map { case (aid, av) => aid -> c.getOrElse(aid, av) }
+      }
+      a
+    }
+    val (got, iters) = Similarity.kmeansFit(pts, 2, maxIter = 5, salt = "fitspec")
+    // tight planted clusters: round 2 reproduces round 1's centroids, the
+    // fixed point is detected and the loop stops early
+    assert(iters < 5, s"expected early stop, ran $iters")
+    val manual = chain(iters)
+    assert(got.map(_._1) == manual.map(_._1))
+    got.zip(manual).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b)) }
+    // fixed point: one more step returns the same 6-dp centroids
+    val again = Similarity.kmeansStep(pts, got).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    got.foreach { case (aid, av) =>
+      assert(java.util.Arrays.equals(again(aid), av)) }
+  }
+
+  test("kmeansFit: an anchor whose cell empties keeps its previous centroid") {
+    // both points sit on the x axis: anchor 9 wins every assignment and
+    // anchor 11's cell is empty from round 1 — its seed vector must
+    // survive every round unchanged
+    val pts = Seq((9L, Array(1f, 0f)), (11L, Array(0.9f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val (anch, _) = Similarity.kmeansFit(pts, 2, maxIter = 3, salt = "carry")
+    val m = anch.toMap
+    val seeds = Similarity.hashAnchors(pts, 2, salt = "carry").toMap
+    val assigned = Similarity.kmeansStep(pts, seeds.toSeq).collect()
+      .map(_.getLong(0)).toSet
+    val empty = seeds.keySet -- assigned
+    assert(empty.nonEmpty) // the fixture plants at least one empty cell
+    empty.foreach(aid => assert(java.util.Arrays.equals(m(aid), seeds(aid))))
+  }
+
   test("scalarQuantize: reconstruction error shrinks vs a 2-bit quantizer (sanity of the scale)") {
     val rng = new scala.util.Random(11L)
     val d = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextFloat() * 10f)))
