@@ -18,7 +18,9 @@ object GraphOps {
     * frame once (cheap after materialization) and choose explicitly.
     * 1M nodes ≈ tens of MB serialized — comfortably under executor
     * broadcast budgets; above it the loops pre-shuffle the edge frame on
-    * the join key once and let every round reuse that partitioning. */
+    * the join key once and let every round reuse that partitioning.
+    * Overridable per call (`broadcastNodesMax`) — BandGraphOpsSpec forces
+    * each regime on the same graph and pins identical results. */
   val BroadcastNodesMax: Long = 1L << 20
 
   /** One PageRank power-iteration step from the uniform vector, over a
@@ -112,7 +114,8 @@ object GraphOps {
     * Returns `(node, rank)`. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, damping: Double = 0.85, iterations: Int = 20,
-      tol: Double = 0.0, checkpointEvery: Int = 2): DataFrame = {
+      tol: Double = 0.0, checkpointEvery: Int = 2,
+      broadcastNodesMax: Long = BroadcastNodesMax): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     require(tol >= 0, s"tol must be >= 0: $tol")
@@ -133,7 +136,7 @@ object GraphOps {
     // the edge frame on the join key a single time and every round's
     // sort-merge join reuses that partitioning (localCheckpoint
     // preserves outputPartitioning).
-    val small = nNodes <= BroadcastNodesMax
+    val small = nNodes <= broadcastNodesMax
     val e =
       if (iterations > 1 && !small)
         eChk.repartition(col(srcCol)).localCheckpoint(true)
@@ -173,7 +176,8 @@ object GraphOps {
     * the whole loop engine-replayable. */
   def labelPropagate(edges: DataFrame, labels: DataFrame, srcCol: String,
       dstCol: String, wCol: String, nodeCol: String, labelCol: String,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      broadcastNodesMax: Long = BroadcastNodesMax): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     if (maxIter == 1)
       return labelPropagationStep(edges, labels, srcCol, dstCol, wCol,
@@ -189,7 +193,7 @@ object GraphOps {
     // neighbor-label join reuses it and only the label frame moves.
     var cur = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
       .localCheckpoint(true)
-    val small = cur.count() <= BroadcastNodesMax
+    val small = cur.count() <= broadcastNodesMax
     // one scan of the (possibly expensive) edge frame: explode each edge
     // into both directions in-row instead of a unionAll of two branches
     val dirdBase = edges

@@ -328,6 +328,35 @@ class BandGraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("graph loops: forced huge-graph regime (pre-shuffled SMJ) equals the broadcast regime") {
+    // every fixture sits far under the 1M-node broadcast threshold, so
+    // without forcing, the !small branch would ship untested: run both
+    // regimes on a pseudo-random weighted graph and pin bit equality
+    val rng = new scala.util.Random(17L)
+    val raw = (1 to 300).map { _ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong, (rng.nextInt(5) + 1).toLong)
+    }.filter { case (a, b, _) => a != b }
+    val edges = raw.toDF("src", "dst", "w")
+    // pagerank needs row-normalized out-weights for a sensible chain, but
+    // regime equality only needs determinism — normalize anyway
+    val tot = edges.groupBy("src").agg(sum("w").as("__t"))
+    val norm = edges.join(tot, "src")
+      .select(col("src"), col("dst"),
+        round(col("w").cast("double") / col("__t"), 6).as("w"))
+      .localCheckpoint(true)
+    assertSameRows(
+      GraphOps.pagerank(norm, "src", "dst", "w", iterations = 3),
+      GraphOps.pagerank(norm, "src", "dst", "w", iterations = 3,
+        broadcastNodesMax = 0L))
+    val labels = raw.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(i => (i, i % 7)).toDF("id", "lab")
+    assertSameRows(
+      GraphOps.labelPropagate(edges, labels, "src", "dst", "w", "id", "lab",
+        maxIter = 3),
+      GraphOps.labelPropagate(edges, labels, "src", "dst", "w", "id", "lab",
+        maxIter = 3, broadcastNodesMax = 0L))
+  }
+
   test("triangleCountApprox: p=1 equals exact; concentration on a planted graph") {
     // planted graph: K12 (220 triangles) + a 40-node sparse ring (0)
     val k12 = for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b)
