@@ -2445,7 +2445,17 @@ object SparkEntry {
           array_join(transform(col("centroid"),
             x => round(x * 1e6, 0).cast("long").cast("string")), ",")
             .as("centroid"))
-    })
+    }),
+
+    // Exact-substring dedup, the REMOVAL pass over q81's marking
+    // (Lee et al., ACL '22): every token position covered by a duplicated
+    // 5-gram loses its token, survivors reassemble in order; both
+    // occurrences drop (the order-independent variant — keep-first needs
+    // a global doc order a distributed corpus doesn't have). Fully
+    // SQL-replayable: the duplicated-window set, position coverage, and
+    // the rebuilt string are all exact.
+    "q183_dedup_spans" -> ((sp, dir) =>
+      Dedup.removeDupSpans(table(sp, dir, "documents"), "doc_id", "text", 5))
   )
 
   /** The q124 fixture: event-type transition graph with row-normalized
@@ -6011,6 +6021,43 @@ object SparkEntry {
          |                                  * 1000000.0) AS BIGINT) AS VARCHAR),
          |                  ',' ORDER BY i) AS centroid
          |FROM c3 GROUP BY cell""".stripMargin
-    }
+    },
+
+    // q81's duplicated-window replay through `dw`, then position coverage
+    // directly (union of [p, p+5) windows == the merged-run coverage) and
+    // the kept-token reassembly in position order.
+    "q183_dedup_spans" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |wins0 AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, CAST(ntok AS INTEGER) - 4)) AS p
+        |  FROM sized WHERE ntok >= 5),
+        |wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |         array_to_string(toks[p : p + 4], ' ') AS gram
+        |  FROM wins0),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+        |dw AS (SELECT w.doc_id, w.p FROM wins w
+        |       WHERE w.gram IN (SELECT gram FROM dup)),
+        |covpos0 AS (SELECT doc_id, p, unnest(generate_series(0, 4)) AS o FROM dw),
+        |covpos AS (SELECT DISTINCT doc_id, p + o AS pos FROM covpos0),
+        |pos0 AS (SELECT doc_id, toks,
+        |                unnest(generate_series(1, CAST(ntok AS INTEGER))) AS pos
+        |         FROM sized WHERE ntok >= 1),
+        |kept AS (SELECT p0.doc_id, CAST(p0.pos AS BIGINT) AS pos,
+        |                p0.toks[CAST(p0.pos AS INTEGER)] AS tok
+        |         FROM pos0 p0 ANTI JOIN covpos c
+        |           ON c.doc_id = p0.doc_id AND c.pos = p0.pos),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.ntok,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin
   )
 }

@@ -196,6 +196,28 @@ object Dedup {
     require(n >= 1, s"dupSpanFraction requires n >= 1, got $n")
     require(!Seq("ntok", "covered", "dup_frac").contains(idCol),
       s"this operator writes `ntok`/`covered`/`dup_frac`; rename id column `$idCol`")
+    val (base, runs) = dupSpanRuns(df, idCol, textCol, n)
+    val cov = runs
+      .groupBy(col(idCol)).agg(sum(col("__e") - col("__s")).as("covered"))
+    base.select(col(idCol), col("__ntok").as("ntok"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("ntok"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(when(col("ntok") > 0,
+          coalesce(col("covered"), lit(0L)).cast("double") /
+            col("ntok").cast("double")).otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
+  /** The shared marking pass of exact-substring dedup: token windows
+    * explode off the scan, duplicated grams (count > 1 corpus-wide,
+    * cross-doc or within-doc) are found by ONE map-side-combining
+    * aggregate keyed by the gram string, occurrences semi-join back, and
+    * per-doc runs merge via the running-max interval trick partitioned by
+    * document. Returns (base = (idCol, __toks, __ntok),
+    * runs = (idCol, __grp, __s, __e) — merged covered [\_\_s, __e) token
+    * position spans, 1-based). */
+  private def dupSpanRuns(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__ntok", size(col("__toks")).cast("long"))
     val wins = base.where(col("__ntok") >= n)
@@ -213,17 +235,52 @@ object Dedup {
       .over(byDoc.rowsBetween(Long.MinValue, -1))
     val isNew = when(runMax.isNull || col("__p") > runMax, 1L).otherwise(0L)
     val grp = sum(isNew).over(byDoc.rowsBetween(Long.MinValue, 0))
-    val cov = dwins.withColumn("__grp", grp)
+    val runs = dwins.withColumn("__grp", grp)
       .groupBy(col(idCol), col("__grp"))
       .agg(min(col("__p")).as("__s"), (max(col("__p")) + n).as("__e"))
-      .groupBy(col(idCol)).agg(sum(col("__e") - col("__s")).as("covered"))
-    base.select(col(idCol), col("__ntok").as("ntok"))
-      .join(cov, Seq(idCol), "left")
-      .select(col(idCol), col("ntok"),
-        coalesce(col("covered"), lit(0L)).as("covered"),
-        round(when(col("ntok") > 0,
-          coalesce(col("covered"), lit(0L)).cast("double") /
-            col("ntok").cast("double")).otherwise(lit(0.0)), 6).as("dup_frac"))
+    (base, runs)
+  }
+
+  /** Exact-substring dedup, the REMOVAL pass (Lee et al., ACL '22): every
+    * token position covered by a duplicated length-`n` window (the
+    * [[dupSpanFraction]] marking — duplicated anywhere in the corpus,
+    * another document or a repeat within the same one) is dropped, and the
+    * surviving tokens reassemble in order. Both occurrences of a
+    * duplicated span are removed — the paper's conservative variant, which
+    * is order-independent and hence deterministic under any partitioning
+    * (keep-first-occurrence needs a global document order, which a
+    * distributed corpus doesn't have).
+    *
+    * Output: (idCol, ntok, n_kept, clean_text) — `clean_text` is the kept
+    * tokens joined by single spaces (whitespace-normalized, like
+    * [[dedupSegments]]' clean_text); docs shorter than `n` tokens pass
+    * through whole, fully-covered docs come back empty ("" with
+    * n_kept = 0), never dropped.
+    *
+    * Scale shape: on top of the marking pass's equi-joins/aggregates, the
+    * rebuild adds NO extra shuffle beyond one per-doc aggregate of merged
+    * run spans (bounded by ntok/n rows per doc): the kept-token filter is
+    * a codegen'd array HOF over (token, position) pairs against the
+    * doc's own run array — per-doc cost O(ntok × runs), never cross-doc. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"removeDupSpans requires n >= 1, got $n")
+    require(!Seq("ntok", "n_kept", "clean_text").contains(idCol),
+      s"this operator writes `ntok`/`n_kept`/`clean_text`; rename id column `$idCol`")
+    val (base, runs) = dupSpanRuns(df, idCol, textCol, n)
+    val cov = runs.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e")))).as("__cov"))
+    val withPos = transform(col("__toks"),
+      (t, i) => struct(t.as("t"), (i + 1).cast("long").as("p")))
+    val kept = when(col("__cov").isNull, withPos)
+      .otherwise(filter(withPos, x =>
+        !exists(col("__cov"), c =>
+          x.getField("p") >= c.getField("__s") &&
+            x.getField("p") < c.getField("__e"))))
+    base.join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("__ntok").as("ntok"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", transform(kept, _.getField("t"))).as("clean_text"))
   }
 
   /** EXACT edit-distance-≤1 pairs over a string column via the FastSS

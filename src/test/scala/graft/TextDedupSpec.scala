@@ -506,6 +506,38 @@ class TextDedupSpec extends SparkSuite {
     assert(rep == got)
   }
 
+  test("removeDupSpans: both occurrences dropped, merged within-doc runs, short/unique docs pass through") {
+    import spark.implicits._
+    // same fixture as the dupSpanFraction test: coverage is identical,
+    // and the rebuilt text keeps exactly the uncovered positions in order
+    val docs = Seq(
+      (1L, "q x y z r s"),   // covered [2,5) -> keep "q r s"
+      (2L, "x y z r2 s2"),   // covered [1,4) -> keep "r2 s2"
+      (3L, "a a a a a a"),   // fully covered -> ""
+      (4L, "u v w only here once"),
+      (5L, "xy")).toDF("id", "text")
+    val got = graft.functions.Dedup.removeDupSpans(docs, "id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((6L, 3L, "q r s")))
+    assert(got(2L) == ((5L, 2L, "r2 s2")))
+    assert(got(3L) == ((6L, 0L, "")))
+    assert(got(4L) == ((6L, 6L, "u v w only here once")))
+    assert(got(5L) == ((1L, 1L, "xy")))
+    // n_kept = ntok - covered, always (the two passes agree)
+    val frac = graft.functions.Dedup.dupSpanFraction(docs, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (ntok, nKept, _)) =>
+      assert(ntok - nKept == frac(id), s"doc $id") }
+    // invariant to physical partitioning
+    val rep = graft.functions.Dedup.removeDupSpans(docs.repartition(7), "id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rep == got)
+  }
+
   test("editDistance1Pairs: substitutions and insertions found, shared-key distance-2 pairs rejected") {
     import spark.implicits._
     val vocab = Seq("cat", "cst", "cats", "dog", "ab", "ba", "unrelated")
