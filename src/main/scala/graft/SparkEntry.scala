@@ -2455,7 +2455,40 @@ object SparkEntry {
     // SQL-replayable: the duplicated-window set, position coverage, and
     // the rebuilt string are all exact.
     "q183_dedup_spans" -> ((sp, dir) =>
-      Dedup.removeDupSpans(table(sp, dir, "documents"), "doc_id", "text", 5))
+      Dedup.removeDupSpans(table(sp, dir, "documents"), "doc_id", "text", 5)),
+
+    // Streaming sessionization under the driver gate (the last of
+    // VERDICT-r8's merge/gaps/sessionize/packing conversion list): a 10%
+    // user slice of events replays in three time-ordered micro-batches +
+    // a far-future flush that closes every session; Spark's native
+    // session_window state merges and emits on watermark pass. The oracle
+    // replays session_window's RIGHT-OPEN gap rule (t − prev >= gap
+    // splits) — the one documented divergence from batch q29, whose
+    // lag-based rule splits strictly greater.
+    "q184_stream_sessionize" -> ((sp, dir) => {
+      import sp.implicits._
+      val rows = table(sp, dir, "events")
+        .where(pmod(col("user_id"), lit(10L)) === 0L)
+        .select(col("user_id").cast("long"),
+          expr("unix_micros(cast(ts as timestamp))"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val ts = rows.map(_._2).sorted
+      val (c1, c2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+      val far = ts.last + 365L * 86400000000L
+      val batches = Seq(
+        rows.filter(_._2 < c1),
+        rows.filter(r => r._2 >= c1 && r._2 < c2),
+        rows.filter(_._2 >= c2),
+        Seq((-1L, far))) // flush: advances the watermark, never emits
+      replayStream(sp, batches) { df =>
+        graft.streaming.StreamingIntervalJoin.sessionize(
+          df.select(col("_1").as("k"), timestamp_micros(col("_2")).as("ts")),
+          Seq("k"), "ts", gap = "30 minutes", watermarkDelay = "1 second")
+      }.select(col("k").as("user_id"),
+        (expr("unix_micros(span.start)") * 1000L).as("sstart"),
+        (expr("unix_micros(span.stop)") * 1000L).as("sstop"),
+        col("n_events"))
+    })
   )
 
   /** The q124 fixture: event-type transition graph with row-normalized
@@ -6058,6 +6091,23 @@ object SparkEntry {
         |SELECT s.doc_id, s.ntok,
         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(k.clean_text, '') AS clean_text
-        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin
+        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin,
+
+    // q29's lag/prefix-sum sessionization on the 10% slice, with the
+    // split at t − prev >= gap (session_window's right-open rule).
+    "q184_stream_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t
+        |            FROM events WHERE user_id % 10 = 0),
+        |l AS (SELECT user_id, event_id, t,
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM ev),
+        |s AS (SELECT user_id, t,
+        |             sum(CASE WHEN prev IS NULL OR t - prev >= 1800000000000 THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM l)
+        |SELECT user_id, min(t) AS sstart, max(t) AS sstop,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session""".stripMargin
   )
 }
