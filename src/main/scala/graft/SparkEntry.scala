@@ -2488,6 +2488,16 @@ object SparkEntry {
         (expr("unix_micros(span.start)") * 1000L).as("sstart"),
         (expr("unix_micros(span.stop)") * 1000L).as("sstop"),
         col("n_events"))
+    }),
+
+    // CCNet-shaped LM quality filtering: a unigram LM trained on the
+    // English slice scores EVERY document (add-one smoothing, OOV terms
+    // hit the finite ln(N+V+1) ceiling). The production form of
+    // q59's self-scored surprisal — train on trusted text, score the
+    // crawl; `oov` rides along as the companion signal.
+    "q185_cross_surprisal" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      TF.crossSurprisal(d.where(col("lang") === "en"), d, "doc_id", "text")
     })
   )
 
@@ -6108,6 +6118,33 @@ object SparkEntry {
         |      FROM l)
         |SELECT user_id, min(t) AS sstart, max(t) AS sstop,
         |       count(*) AS n_events
-        |FROM s GROUP BY user_id, session""".stripMargin
+        |FROM s GROUP BY user_id, session""".stripMargin,
+
+    // q59's fold discipline with the reference/target split and add-one
+    // smoothing; per-term values round 6 dp before the sorted fold (the
+    // q94 sub-ulp ln guard).
+    "q185_cross_surprisal" ->
+      """WITH rt AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                      x -> x <> '')) AS term
+        |            FROM documents WHERE lang = 'en'),
+        |f AS (SELECT term, count(*) AS n FROM rt GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS DOUBLE) AS N,
+        |              CAST(count(*) AS DOUBLE) AS V FROM f),
+        |tt AS (SELECT doc_id,
+        |              unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS term
+        |       FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM tt GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |             CAST(sum(CASE WHEN f.n IS NULL THEN c ELSE 0 END) AS BIGINT) AS oov,
+        |             list(round(CAST(c AS DOUBLE) *
+        |                        ln(((SELECT N FROM st) + (SELECT V FROM st) + 1.0)
+        |                           / (CAST(coalesce(f.n, 0) AS DOUBLE) + 1.0)), 6)
+        |                  ORDER BY term) AS vs
+        |      FROM c LEFT JOIN f USING (term) GROUP BY 1)
+        |SELECT doc_id AS id, n_tok, oov,
+        |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok
+        |         AS surprisal
+        |FROM g""".stripMargin
   )
 }

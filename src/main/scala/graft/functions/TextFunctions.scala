@@ -342,6 +342,54 @@ object TextFunctions {
           lit(0.0), (acc, v) => acc + v) / col("n_tok")).as("surprisal"))
   }
 
+  /** Cross-corpus unigram surprisal — the CCNet-style quality filter in
+    * its actual production shape: a unigram LM trained on a REFERENCE
+    * corpus (trusted text) scores a TARGET corpus (the crawl). Per target
+    * doc, the mean over token occurrences of
+    * `ln((N + V + 1) / (n_t + 1))` — Laplace add-one with one extra vocab
+    * slot, so reference-unseen terms score the finite ceiling
+    * `ln(N + V + 1)` instead of ∞ (N = reference token total, V =
+    * reference vocab size, n_t = the term's reference count). Low = reads
+    * like the reference, high = off-distribution; `oov` (target
+    * occurrences of reference-unseen terms) rides along as the companion
+    * filter signal. [[unigramSurprisal]] is the self-scored special case
+    * (reference = target, no smoothing).
+    *
+    * Scale shape: reference documents never shuffle (term counts are one
+    * map-side-combining aggregate; the (N, V) totals aggregate the
+    * ALREADY-REDUCED frequency table); scoring is ONE term-keyed
+    * equi-join (AQE-splittable stopword skew) plus a single-row
+    * broadcast. Float determinism: per-term values round 6 dp BEFORE the
+    * sorted 0.0-seeded fold (the [[bigramSurprisal]] sub-ulp ln guard),
+    * so the mean is engine-bit-identical. Output: one row per target doc
+    * with >= 1 token: (id, n_tok, oov, surprisal). */
+  def crossSurprisal(reference: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val freq = reference
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val stats = freq.agg(sum("n").cast("double").as("__N"),
+      count(lit(1)).cast("double").as("__V"))
+    val perDoc = target
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("c"))
+    perDoc.join(freq, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy("id")
+      .agg(sum("c").as("n_tok"),
+        sum(when(col("n").isNull, col("c")).otherwise(0L)).as("oov"),
+        sort_array(collect_list(struct(col("term"),
+          round(col("c").cast("double") *
+            log((col("__N") + col("__V") + 1.0) /
+              (coalesce(col("n"), lit(0L)).cast("double") + 1.0)), 6)
+            .as("__v")))).as("__xs"))
+      .select(col("id"), col("n_tok"), col("oov"),
+        (aggregate(transform(col("__xs"), _.getField("__v")),
+          lit(0.0), (acc, v) => acc + v) / col("n_tok")).as("surprisal"))
+  }
+
   /** n-gram containment of `a` IN `b`: |shingles(a) ∩ shingles(b)| /
     * |shingles(a)| — the asymmetric near-dup measure (Broder's containment,
     * SEQUENCES '97) that Jaccard misses when one document embeds another

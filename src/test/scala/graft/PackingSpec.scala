@@ -124,6 +124,31 @@ class PackingSpec extends SparkSuite {
     assert(s(2L)._2 > s(1L)._2)
   }
 
+  test("crossSurprisal: add-one scoring against a reference LM, OOV ceiling, hand-computed bit equality") {
+    val ref = Seq((10L, "a a b")).toDF("id", "text")   // N=3, V=2
+    val tgt = Seq((1L, "a b"), (2L, "a z z")).toDF("id", "text")
+    val s = TF.crossSurprisal(ref, tgt, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // smoothed: P ~ (n_t + 1) / (N + V + 1) with N+V+1 = 6; a -> n=2,
+    // b -> n=1, z unseen -> n=0 (the ln(6) ceiling). per-term round 6 dp,
+    // then the sorted 0.0-seeded fold — BIT-equality pins determinism
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (0.0 + r6(1.0 * StrictMath.log(6.0 / 3.0)) +
+      r6(1.0 * StrictMath.log(6.0 / 2.0))) / 2.0
+    val d2 = (0.0 + r6(1.0 * StrictMath.log(6.0 / 3.0)) +
+      r6(2.0 * StrictMath.log(6.0 / 1.0))) / 3.0
+    assert(s(1L) == ((2L, 0L, d1)), s"got ${s(1L)} want $d1")
+    assert(s(2L) == ((3L, 2L, d2)), s"got ${s(2L)} want $d2")
+    // the off-distribution doc scores strictly higher
+    assert(s(2L)._3 > s(1L)._3)
+    // self-scoring a reference doc gives the lowest-possible profile for
+    // its terms; empty-token target docs emit no row
+    val empty = Seq((3L, "   ")).toDF("id", "text")
+    assert(TF.crossSurprisal(ref, empty, "id", "text").count() == 0L)
+  }
+
   test("bigramSurprisal: exact sorted-fold mean of -ln P(w2|w1); short docs dropped") {
     val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("id", "text")
     val s = TF.bigramSurprisal(corpus, "id", "text").collect()
