@@ -2498,7 +2498,20 @@ object SparkEntry {
     "q185_cross_surprisal" -> ((sp, dir) => {
       val d = table(sp, dir, "documents")
       TF.crossSurprisal(d.where(col("lang") === "en"), d, "doc_id", "text")
-    })
+    }),
+
+    // Whole-document packing (next-fit-decreasing per bucket) — the SFT
+    // layout where docs may NOT span pack boundaries, next to q56's
+    // concatenate-and-chop. The per-bucket fill recurrence has no closed
+    // window form, so this is a documented imperative pass; the oracle
+    // replays it as a recursive CTE walking each bucket's
+    // (n_tok desc, doc_id) rank order.
+    "q186_pack_whole" -> ((sp, dir) =>
+      graft.functions.Packing.packWhole(
+        table(sp, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TF.tokenCount(col("text")), capacity = 256, nBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("n_tok"), col("pack"),
+          col("pack_offset"), col("oversize")))
   )
 
   /** The q124 fixture: event-type transition graph with row-normalized
@@ -6145,6 +6158,39 @@ object SparkEntry {
         |SELECT doc_id AS id, n_tok, oov,
         |       list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_tok
         |         AS surprisal
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // q56's bucket replay, then the next-fit-decreasing fill recurrence
+    // walked per bucket by a recursive CTE over the (n_tok desc, doc_id)
+    // rank: close the open pack when the next doc would overflow 256.
+    "q186_pack_whole" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id,
+         |         ((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |           % ${TF.HashMod}) % 1000) % 8 AS bucket,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         row_number() OVER (PARTITION BY bucket
+         |                            ORDER BY n_tok DESC, doc_id) AS rk
+         |  FROM t),
+         |st AS (
+         |  SELECT doc_id, bucket, n_tok, rk,
+         |         CAST(0 AS BIGINT) AS pack, CAST(0 AS BIGINT) AS off,
+         |         n_tok AS fill
+         |  FROM d WHERE rk = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.bucket, d.n_tok, d.rk,
+         |         CASE WHEN st.fill + d.n_tok > 256 AND st.fill > 0
+         |              THEN st.pack + 1 ELSE st.pack END,
+         |         CASE WHEN st.fill + d.n_tok > 256 AND st.fill > 0
+         |              THEN CAST(0 AS BIGINT) ELSE st.fill END,
+         |         CASE WHEN st.fill + d.n_tok > 256 AND st.fill > 0
+         |              THEN d.n_tok ELSE st.fill + d.n_tok END
+         |  FROM st JOIN d ON d.bucket = st.bucket AND d.rk = st.rk + 1)
+         |SELECT doc_id, bucket, n_tok, pack, off AS pack_offset,
+         |       n_tok > 256 AS oversize
+         |FROM st""".stripMargin
   )
 }

@@ -83,6 +83,70 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Whole-document packing — next-fit-decreasing per bucket: the SFT /
+    * instruction-tuning layout where documents may NOT span pack
+    * boundaries (cf. [[packStream]]'s concatenate-and-chop, where they
+    * may). Docs route to deterministic salted hash buckets (the same
+    * sharding argument as packStream: bin packing is order-sequential, so
+    * buckets are the parallelism unit), and within a bucket fill in
+    * (n_tok DESC, id) order: close the open pack when the next doc would
+    * overflow `capacity`. Next-fit on the size-sorted stream keeps the
+    * layout deterministic and one-pass; a doc alone larger than
+    * `capacity` occupies its own pack, flagged `oversize` (split it with
+    * [[chunkByTokens]] upstream or drop it). Zero-token docs sort last
+    * and attach to whatever pack is open. Pack identity is the
+    * (bucket, pack) pair.
+    *
+    * Distributed shape: ONE shuffle — repartition by bucket + an
+    * in-partition sort — then a single sequential fill pass per bucket.
+    * The fill recurrence ("close when the next doc would overflow") has
+    * no closed window-function form (unlike packStream's running sum), so
+    * this is one of the documented imperative passes: state is three
+    * longs per OPEN bucket, the pass streams, and the spec pins it
+    * against a driver-side replica plus the recursive-SQL oracle replay
+    * (q186). Output: input id column, `bucket`, `n_tok`, `pack`,
+    * `pack_offset`, `oversize`. */
+  def packWhole(df: DataFrame, idCol: String, nTokens: Column,
+      capacity: Long, nBuckets: Int = 32,
+      salt: String = "pack"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val reserved = Seq("bucket", "n_tok", "pack", "pack_offset", "oversize")
+    val clash = df.columns.filter(c => reserved.contains(c) && c != idCol)
+    require(clash.isEmpty,
+      s"packWhole output columns would overwrite input columns: ${clash.mkString(", ")}")
+    val proj = df
+      .select(col(idCol),
+        (Sampling.hashBucket(col(idCol), salt) % nBuckets).as("bucket"),
+        greatest(nTokens.cast("long"), lit(0L)).as("n_tok"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tok").desc, col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      proj.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("pack",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pack_offset",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("oversize",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    proj.sparkSession.createDataFrame(
+      proj.rdd.mapPartitions { it =>
+        var cur = Long.MinValue
+        var p = 0L
+        var f = 0L
+        it.map { r =>
+          val b = r.getLong(1)
+          val n = r.getLong(2)
+          if (b != cur) { cur = b; p = 0L; f = 0L }
+          if (f + n > capacity && f > 0) { p += 1; f = 0L }
+          val off = f
+          f += n
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq(p, off, n > capacity))
+        }
+      }, outSchema)
+  }
+
   /** Sliding-window chunks: one output row per (doc, chunk). A doc with `n`
     * tokens yields `1 + ceil(max(n - w, 0) / s)` chunks starting at token
     * offsets `0, s, 2s, …`; the final chunk may be shorter than `w`. Docs

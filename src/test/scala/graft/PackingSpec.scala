@@ -110,6 +110,66 @@ class PackingSpec extends SparkSuite {
       "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12")))
   }
 
+  test("packWhole: next-fit-decreasing fill, oversize isolation, matches a driver replica, partitioning-invariant") {
+    // single bucket (nBuckets = 1) so the hand layout is checkable:
+    // sizes desc = 90, 80, 70, 40, 30, 0 with capacity 100 ->
+    // packs [90], [80], [70+30? no: NFD is NEXT-fit: 70 then 40 closes?]
+    // walk: 90 (p0 f90) | 80 overflows -> p1 f80 | 70 -> p2 f70 |
+    // 40 overflows (70+40>100) -> p3 f40 | 30 fits (p3 f70) |
+    // 0 fits (p3, off 70)
+    val docs = Seq(
+      (1L, 90L), (2L, 80L), (3L, 70L), (4L, 40L), (5L, 30L), (6L, 0L))
+      .toDF("id", "n")
+    val got = graft.functions.Packing.packWhole(docs, "id", col("n"),
+        capacity = 100L, nBuckets = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, false)))
+    assert(got(2L) == ((1L, 0L, false)))
+    assert(got(3L) == ((2L, 0L, false)))
+    assert(got(4L) == ((3L, 0L, false)))
+    assert(got(5L) == ((3L, 40L, false)))
+    assert(got(6L) == ((3L, 70L, false)))
+    // an oversize doc owns its pack and is flagged; the next doc closes it
+    val big = Seq((1L, 150L), (2L, 10L)).toDF("id", "n")
+    val g2 = graft.functions.Packing.packWhole(big, "id", col("n"),
+        capacity = 100L, nBuckets = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(g2(1L) == ((0L, 0L, true)))
+    assert(g2(2L) == ((1L, 0L, false)))
+    // multi-bucket run matches a driver-side replica of the same rule and
+    // is invariant to input partitioning; no pack exceeds capacity unless
+    // it holds a single oversize doc
+    val rng = new scala.util.Random(23L)
+    val many = (1L to 300L).map(i => (i, rng.nextInt(120).toLong))
+      .toDF("id", "n")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Packing.packWhole(df, "id", col("n"),
+          capacity = 100L, nBuckets = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+        .sortBy(_._1)
+    val a = run(many)
+    assert(a.sameElements(run(many.repartition(13))))
+    val replica = a.map(t => (t._1, t._2, t._3)).toSeq
+      .groupBy(_._2).toSeq.flatMap { case (b, rows) =>
+        var p = 0L; var f = 0L
+        rows.sortBy(t => (-t._3, t._1)).map { case (id, _, n) =>
+          if (f + n > 100L && f > 0) { p += 1; f = 0 }
+          val off = f; f += n
+          (id, b, n, p, off, n > 100L)
+        }
+      }.toSeq.sortBy(_._1)
+    assert(a.toSeq == replica)
+    val fills = a.groupBy(t => (t._2, t._4)).map { case (_, rows) =>
+      (rows.map(_._3).sum, rows.exists(_._6)) }
+    fills.foreach { case (tot, over) => assert(over || tot <= 100L) }
+  }
+
   test("unigramSurprisal: exact sorted-fold mean against hand-computed values") {
     val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
     val s = TF.unigramSurprisal(corpus, "id", "text").collect()
