@@ -2511,7 +2511,16 @@ object SparkEntry {
         table(sp, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", TF.tokenCount(col("text")), capacity = 256, nBuckets = 8)
         .select(col("doc_id"), col("bucket"), col("n_tok"), col("pack"),
-          col("pack_offset"), col("oversize")))
+          col("pack_offset"), col("oversize"))),
+
+    // BPE tokenizer TRAINING: five full merge rounds of the iterative
+    // loop whose round-0 count is q154 — vocab-frequency reduction once,
+    // then per-round pair count + top-1 + greedy-left corpus rewrite.
+    // The oracle replays all five rounds layer by layer, including the
+    // greedy-left fold (encoded-accumulator list_reduce), so the trained
+    // merge list is engine-exact.
+    "q187_bpe_train" -> ((sp, dir) =>
+      TF.bpeTrain(table(sp, dir, "documents"), "text", 5))
   )
 
   /** The q124 fixture: event-type transition graph with row-normalized
@@ -6191,6 +6200,57 @@ object SparkEntry {
          |  FROM st JOIN d ON d.bucket = st.bucket AND d.rk = st.rk + 1)
          |SELECT doc_id, bucket, n_tok, pack, off AS pack_offset,
          |       n_tok > 256 AS oversize
-         |FROM st""".stripMargin
+         |FROM st""".stripMargin,
+
+    // Five generated layers: pair count over the vocab, top-1 by
+    // (n desc, s1, s2), then the greedy-left rewrite as an
+    // encoded-accumulator list_reduce (out <chr(1)> pend) — the exact
+    // fold bpeTrain runs; "" is a safe none-marker (symbols are never
+    // empty).
+    "q187_bpe_train" -> {
+      def o(acc: String) = s"split_part($acc, chr(1), 1)"
+      def p(acc: String) = s"split_part($acc, chr(1), 2)"
+      def app(out: String, x: String) =
+        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
+      def layer(r: Int): String = {
+        val v = s"v${r - 1}"
+        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
+           |            WHERE len(str_split(s, ' ')) >= 2),
+           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
+           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
+           |               a[CAST(i + 1 AS INTEGER)] AS s2,
+           |               CAST(sum(f) AS BIGINT) AS n
+           |        FROM p${r}_1 GROUP BY 1, 2),
+           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+           |v${r}_0 AS (
+           |  SELECT v.f AS f,
+           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
+           |           (acc, x) -> CASE
+           |             WHEN ${p("acc")} = ''
+           |               THEN ${o("acc")} || chr(1) || x
+           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
+           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
+           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
+           |           END) AS r
+           |  FROM $v v CROSS JOIN m$r m),
+           |v$r AS (SELECT CASE WHEN ${p("r")} = '' THEN ${o("r")}
+           |               ELSE ${app(o("r"), p("r"))} END AS s, f
+           |        FROM v${r}_0)""".stripMargin
+      }
+      val rounds = 5
+      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |            FROM documents),
+         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+         |v0 AS (SELECT array_to_string(
+         |                 list_append(list_transform(range(1, len(w) + 1),
+         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                 ' ') AS s, f
+         |       FROM vw),
+         |${(1 to rounds).map(layer).mkString(",\n")}
+         |${(1 to rounds).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS round, s1 AS lhs, s2 AS rhs, " +
+               s"s1 || s2 AS merged, n AS cnt FROM m$r")
+             .mkString("\nUNION ALL\n")}""".stripMargin
+    }
   )
 }

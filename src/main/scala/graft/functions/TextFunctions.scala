@@ -720,4 +720,88 @@ object TextFunctions {
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** BPE tokenizer TRAINING — the full iterative merge loop whose round-0
+    * pair count is [[bpePairStats]] (Sennrich et al., ACL '16): each round
+    * finds the corpus-wide most frequent adjacent symbol pair (total-order
+    * ties: cnt desc, then the pair lexicographically) and rewrites every
+    * greedy-left occurrence corpus-wide; `nMerges` rounds produce the
+    * tokenizer's merge list. Words are the `[a-z0-9]+` runs of the
+    * lowercased text, symbols start as characters + the `</w>` end mark —
+    * the [[bpePairStats]] representation.
+    *
+    * Scale shape — the classic trick: the corpus reduces ONCE to the
+    * distinct-word frequency table (one map-side-combining aggregate), and
+    * every round runs on the VOCAB, never the corpus. Per round: a pair
+    * explode over vocab symbols, one map-side-combining count, a top-1
+    * TakeOrdered (no global sort), and a codegen'd `aggregate`-HOF fold
+    * rewriting the symbol strings with the chosen pair as a LITERAL — so,
+    * like [[graft.functions.Similarity.kmeansFit]], the loop state
+    * visible to Catalyst is constant-size and the (tiny) vocab frame
+    * localCheckpoints each round for constant lineage.
+    *
+    * Merge semantics is the reference greedy-left fold — `[a a a]` under
+    * (a, a) becomes `[aa, a]`, never `[a, aa]` — implemented as an
+    * (out, pend) accumulator fold; the SQL oracle replays the IDENTICAL
+    * fold via an encoded-accumulator `list_reduce`, so every round is
+    * engine-exact. Stops early if no adjacent pair remains. Output:
+    * (round, lhs, rhs, merged, cnt), round starting at 1. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, s"bpeTrain requires nMerges >= 1, got $nMerges")
+    val sp = df.sparkSession
+    var vocab = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .select(concat_ws(" ", expr(
+        "concat(transform(sequence(1, char_length(__w)), i -> substring(__w, i, 1)), array('</w>'))"))
+        .as("__s"), col("__f"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val top = vocab
+        .where(size(split(col("__s"), " ")) >= 2)
+        .select(col("__f"), explode(expr(
+          """transform(sequence(1, size(split(__s, ' ')) - 1),
+            |  i -> struct(element_at(split(__s, ' '), i) AS s1,
+            |              element_at(split(__s, ' '), i + 1) AS s2))"""
+            .stripMargin)).as("__p"))
+        .groupBy(col("__p.s1").as("s1"), col("__p.s2").as("s2"))
+        .agg(sum("__f").as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        round += 1
+        merges += ((round.toLong, a, b, a + b, n))
+        // greedy-left rewrite: (out, pend) fold; "" is a safe none-marker
+        // (symbols are never empty)
+        def app(out: Column, x: Column) =
+          when(out === "", x).otherwise(concat(out, lit(" "), x))
+        val folded = aggregate(
+          split(col("__s"), " "),
+          struct(lit("").as("o"), lit("").as("p")),
+          (acc, s) => {
+            val o = acc.getField("o")
+            val p = acc.getField("p")
+            when(p === "", struct(o.as("o"), s.as("p")))
+              .when(p === lit(a) && s === lit(b),
+                struct(app(o, lit(a + b)).as("o"), lit("").as("p")))
+              .otherwise(struct(app(o, p).as("o"), s.as("p")))
+          },
+          acc => when(acc.getField("p") === "", acc.getField("o"))
+            .otherwise(app(acc.getField("o"), acc.getField("p"))))
+        vocab = vocab.select(folded.as("__s"), col("__f"))
+          .localCheckpoint(true)
+      }
+    }
+    import sp.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
 }

@@ -184,6 +184,60 @@ class PackingSpec extends SparkSuite {
     assert(s(2L)._2 > s(1L)._2)
   }
 
+  test("bpeTrain: matches a driver-side reference for 6 rounds; greedy-left run handling; early stop") {
+    // pure-driver reference of the same algorithm (word-frequency table,
+    // (cnt desc, pair asc) argmax, greedy-left rewrite)
+    def reference(texts: Seq[String], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = texts
+        .flatMap("[a-z0-9]+".r.findAllIn(_).toSeq)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { pr =>
+            counts((pr(0), pr(1))) = counts.getOrElse((pr(0), pr(1)), 0L) + f }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          r += 1
+          out += ((r.toLong, a, b, a + b, n))
+          vocab = vocab.map { case (syms, f) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            buf.toVector -> f
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      out.toSeq
+    }
+    val texts = Seq("the cat sat on the mat", "the cats sat", "a mat on a cat",
+      "aaa aaab the the", "banana bandana")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TF.bpeTrain(df, "text", 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == reference(texts, 6), s"got $got\nwant ${reference(texts, 6)}")
+    // greedy-left on same-symbol runs: "aaa" under (a,a) -> [aa, a], so a
+    // second (a,a) round cannot re-merge the leftover with anything
+    val runs = Seq((1L, "aaaa aaaa aaa")).toDF("id", "text")
+    val g2 = TF.bpeTrain(runs, "text", 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(g2 == reference(Seq("aaaa aaaa aaa"), 2).map(t => (t._2, t._3)))
+    // early stop: single-char words exhaust after the </w> merges
+    val tiny = Seq((1L, "a b")).toDF("id", "text")
+    assert(TF.bpeTrain(tiny, "text", 10).count() <= 2L)
+  }
+
   test("crossSurprisal: add-one scoring against a reference LM, OOV ceiling, hand-computed bit equality") {
     val ref = Seq((10L, "a a b")).toDF("id", "text")   // N=3, V=2
     val tgt = Seq((1L, "a b"), (2L, "a z z")).toDF("id", "text")
