@@ -2520,7 +2520,19 @@ object SparkEntry {
     // greedy-left fold (encoded-accumulator list_reduce), so the trained
     // merge list is engine-exact.
     "q187_bpe_train" -> ((sp, dir) =>
-      TF.bpeTrain(table(sp, dir, "documents"), "text", 5))
+      TF.bpeTrain(table(sp, dir, "documents"), "text", 5)),
+
+    // BPE ENCODE with the q187-trained merges: the 5 learned merges
+    // compose into one codegen'd fold chain applied per word in learned
+    // order (zero shuffle before the per-doc aggregate); output is each
+    // doc's word and symbol count under the trained tokenizer — the
+    // real-tokenizer fertility denominator.
+    "q188_bpe_encode" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TF.bpeEncode(d, "doc_id", "text", m)
+    })
   )
 
   /** The q124 fixture: event-type transition graph with row-normalized
@@ -6251,6 +6263,69 @@ object SparkEntry {
              s"SELECT CAST($r AS BIGINT) AS round, s1 AS lhs, s2 AS rhs, " +
                s"s1 || s2 AS merged, n AS cnt FROM m$r")
              .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // q187's trained merges (the same m1..m5 layers over the vocab), then
+    // the identical greedy-left fold applied to every DOC word in learned
+    // order; per-doc word/symbol counts.
+    "q188_bpe_encode" -> {
+      def o(acc: String) = s"split_part($acc, chr(1), 1)"
+      def p(acc: String) = s"split_part($acc, chr(1), 2)"
+      def app(out: String, x: String) =
+        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
+      def foldCtes(prev: String, m: String, out: String,
+          carry: String): String =
+        s"""${out}_0 AS (
+           |  SELECT ${carry},
+           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
+           |           (acc, x) -> CASE
+           |             WHEN ${p("acc")} = ''
+           |               THEN ${o("acc")} || chr(1) || x
+           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
+           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
+           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
+           |           END) AS r
+           |  FROM $prev v CROSS JOIN $m m),
+           |$out AS (SELECT ${carry.replace("v.", "")},
+           |                CASE WHEN ${p("r")} = '' THEN ${o("r")}
+           |                ELSE ${app(o("r"), p("r"))} END AS s
+           |         FROM ${out}_0)""".stripMargin
+      def vocabLayer(r: Int): String = {
+        val v = s"v${r - 1}"
+        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
+           |            WHERE len(str_split(s, ' ')) >= 2),
+           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
+           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
+           |               a[CAST(i + 1 AS INTEGER)] AS s2,
+           |               CAST(sum(f) AS BIGINT) AS n
+           |        FROM p${r}_1 GROUP BY 1, 2),
+           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+           |${foldCtes(v, s"m$r", s"v$r", "v.f AS f")}""".stripMargin
+      }
+      val rounds = 5
+      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |            FROM documents),
+         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+         |v0 AS (SELECT array_to_string(
+         |                 list_append(list_transform(range(1, len(w) + 1),
+         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                 ' ') AS s, f
+         |       FROM vw),
+         |${(1 to rounds).map(vocabLayer).mkString(",\n")},
+         |e0 AS (SELECT doc_id,
+         |              array_to_string(
+         |                list_append(list_transform(range(1, len(w) + 1),
+         |                  i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                ' ') AS s
+         |       FROM (SELECT doc_id,
+         |                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |             FROM documents)),
+         |${(1 to rounds).map(r =>
+             foldCtes(s"e${r - 1}", s"m$r", s"e$r", "v.doc_id AS doc_id"))
+             .mkString(",\n")}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(str_split(s, ' '))) AS BIGINT) AS n_sym
+         |FROM e$rounds GROUP BY doc_id""".stripMargin
     }
   )
 }

@@ -804,4 +804,48 @@ object TextFunctions {
     import sp.implicits._
     merges.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
   }
+
+  /** BPE ENCODING with a trained merge list — [[bpeTrain]]'s apply side:
+    * each word ([a-z0-9]+ run of the lowercased text, chars + `</w>`)
+    * is rewritten by every merge in LEARNED ORDER (the standard encoder:
+    * merge r applies everywhere before merge r+1, each application the
+    * same greedy-left fold as training). Returns one row per doc with
+    * >= 1 word: (idCol, n_words, n_sym) — `n_sym` is the doc's total
+    * symbol count under the tokenizer, the real-tokenizer sibling of the
+    * whitespace [[tokenizerFertility]] denominator.
+    *
+    * Scale shape: the merge list is a driver-side Seq (k entries),
+    * composed into ONE codegen'd chain of k fold expressions — encoding
+    * fuses into the scan with ZERO shuffle beyond the final per-doc
+    * aggregate; nothing per-row touches the merge table at runtime. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    require(merges.nonEmpty, "bpeEncode requires at least one merge")
+    def app(out: Column, x: Column) =
+      when(out === "", x).otherwise(concat(out, lit(" "), x))
+    def fold(sym: Column, a: String, b: String): Column = aggregate(
+      split(sym, " "),
+      struct(lit("").as("o"), lit("").as("p")),
+      (acc, s) => {
+        val o = acc.getField("o")
+        val p = acc.getField("p")
+        when(p === "", struct(o.as("o"), s.as("p")))
+          .when(p === lit(a) && s === lit(b),
+            struct(app(o, lit(a + b)).as("o"), lit("").as("p")))
+          .otherwise(struct(app(o, p).as("o"), s.as("p")))
+      },
+      acc => when(acc.getField("p") === "", acc.getField("o"))
+        .otherwise(app(acc.getField("o"), acc.getField("p"))))
+    val sym0 = concat_ws(" ", expr(
+      "concat(transform(sequence(1, char_length(__w)), i -> substring(__w, i, 1)), array('</w>'))"))
+    val enc = merges.foldLeft(sym0) { case (s, (a, b)) => fold(s, a, b) }
+    df.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .select(col(idCol), enc.as("__e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("__e"), " "))).cast("long").as("n_sym"))
+  }
 }

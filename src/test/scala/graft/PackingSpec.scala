@@ -238,6 +238,22 @@ class PackingSpec extends SparkSuite {
     assert(TF.bpeTrain(tiny, "text", 10).count() <= 2L)
   }
 
+  test("bpeEncode: learned-order greedy application, hand-checked symbol counts") {
+    // merges (a,b)->ab then (ab,c)->abc: "abc" encodes to [abc, </w>] (2),
+    // "ab" to [ab, </w>] (2), "ba" to [b, a, </w>] (3); "cab" -> c ab </w>
+    val d = Seq((1L, "abc ab"), (2L, "ba cab")).toDF("id", "text")
+    val got = TF.bpeEncode(d, "id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 4L)), got.toString)   // [abc </w>] + [ab </w>]
+    assert(got(2L) == ((2L, 6L)), got.toString)   // [b a </w>] + [c ab </w>]
+    // merge ORDER matters: applying (b,c) before (a,b) blocks ab in "abc"
+    val g2 = TF.bpeEncode(Seq((1L, "abc")).toDF("id", "text"),
+        "id", "text", Seq(("b", "c"), ("a", "b")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(g2 == ((1L, 3L))) // [a, bc, </w>]
+  }
+
   test("crossSurprisal: add-one scoring against a reference LM, OOV ceiling, hand-computed bit equality") {
     val ref = Seq((10L, "a a b")).toDF("id", "text")   // N=3, V=2
     val tgt = Seq((1L, "a b"), (2L, "a z z")).toDF("id", "text")
