@@ -96,7 +96,10 @@ class PlanShapeSpec extends SparkSuite {
     // single-row pooled (theta, xbar) broadcast cross into the arm frame
     "q161_cuped",
     // single-row n_ref x n_cur broadcast cross anchoring the bin frame
-    "q164_psi")
+    "q164_psi",
+    // single-row reference-LM (N, V) broadcast cross into the per-term
+    // smoothing math (q59's idiom with the reference/target split)
+    "q185_cross_surprisal")
 
   test("no query plans a CartesianProduct; BNLJ only where broadcast-small is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
