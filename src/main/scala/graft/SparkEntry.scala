@@ -2532,6 +2532,19 @@ object SparkEntry {
       val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TF.bpeEncode(d, "doc_id", "text", m)
+    }),
+
+    // Benchmark decontamination, the REMOVAL pass over q54's detection:
+    // corpus docs ship scrubbed of every token span covered by a
+    // benchmark 5-gram (span-level — keeps the clean rest of a page that
+    // quotes one eval question) instead of being dropped whole. Same
+    // even/odd split as q54; the bench gram set broadcasts, the corpus
+    // never shuffles for the marking.
+    "q189_decontaminate_spans" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      Dedup.decontaminateSpans(
+        d.where(pmod(col("doc_id"), lit(50L)) =!= 0L), "doc_id", "text",
+        d.where(pmod(col("doc_id"), lit(50L)) === 0L), "text", 5)
     })
   )
 
@@ -6326,6 +6339,48 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(len(str_split(s, ' '))) AS BIGINT) AS n_sym
          |FROM e$rounds GROUP BY doc_id""".stripMargin
-    }
+    },
+
+    // q183's coverage/rebuild replay with the marked-window set swapped
+    // to "gram appears in the benchmark slice" (q54's split, 5-grams).
+    "q189_decontaminate_spans" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |bt AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bg AS (SELECT DISTINCT unnest(
+        |         list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+        |                        i -> array_to_string(t[i : i + 4], ' '))) AS g
+        |       FROM bt),
+        |wins0 AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, CAST(ntok AS INTEGER) - 4)) AS p
+        |  FROM sized WHERE ntok >= 5),
+        |wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |         array_to_string(toks[p : p + 4], ' ') AS gram
+        |  FROM wins0),
+        |dw AS (SELECT w.doc_id, w.p FROM wins w
+        |       WHERE w.gram IN (SELECT g FROM bg)),
+        |covpos0 AS (SELECT doc_id, p, unnest(generate_series(0, 4)) AS o FROM dw),
+        |covpos AS (SELECT DISTINCT doc_id, p + o AS pos FROM covpos0),
+        |pos0 AS (SELECT doc_id, toks,
+        |                unnest(generate_series(1, CAST(ntok AS INTEGER))) AS pos
+        |         FROM sized WHERE ntok >= 1),
+        |kept AS (SELECT p0.doc_id, CAST(p0.pos AS BIGINT) AS pos,
+        |                p0.toks[CAST(p0.pos AS INTEGER)] AS tok
+        |         FROM pos0 p0 ANTI JOIN covpos c
+        |           ON c.doc_id = p0.doc_id AND c.pos = p0.pos),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.ntok,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin
   )
 }

@@ -218,6 +218,16 @@ object Dedup {
     * position spans, 1-based). */
   private def dupSpanRuns(df: DataFrame, idCol: String, textCol: String,
       n: Int): (DataFrame, DataFrame) = {
+    val (base, wins) = tokenWindows(df, idCol, textCol, n)
+    val dupGrams = wins.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select("__gram")
+    (base, mergeRuns(wins.join(dupGrams, Seq("__gram"), "left_semi"), idCol, n))
+  }
+
+  /** (base = (idCol, __toks, __ntok), wins = (idCol, __p, __gram)) — every
+    * length-`n` token window of every doc, 1-based position. */
+  private def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__ntok", size(col("__toks")).cast("long"))
     val wins = base.where(col("__ntok") >= n)
@@ -226,19 +236,22 @@ object Dedup {
       .select(col(idCol), col("__p"),
         concat_ws(" ", slice(col("__toks"), col("__p").cast("int"), lit(n)))
           .as("__gram"))
-    val dupGrams = wins.groupBy("__gram").agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1).select("__gram")
-    val dwins = wins.join(dupGrams, Seq("__gram"), "left_semi")
+    (base, wins)
+  }
+
+  /** Merge the marked windows `dwins = (idCol, __p, ...)` into maximal
+    * covered runs per doc — the running-max interval trick partitioned by
+    * document. Returns (idCol, __grp, __s, __e), [\_\_s, __e) 1-based. */
+  private def mergeRuns(dwins: DataFrame, idCol: String, n: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__p"))
     val runMax = max(col("__p") + n)
       .over(byDoc.rowsBetween(Long.MinValue, -1))
     val isNew = when(runMax.isNull || col("__p") > runMax, 1L).otherwise(0L)
     val grp = sum(isNew).over(byDoc.rowsBetween(Long.MinValue, 0))
-    val runs = dwins.withColumn("__grp", grp)
+    dwins.withColumn("__grp", grp)
       .groupBy(col(idCol), col("__grp"))
       .agg(min(col("__p")).as("__s"), (max(col("__p")) + n).as("__e"))
-    (base, runs)
   }
 
   /** Exact-substring dedup, the REMOVAL pass (Lee et al., ACL '22): every
@@ -268,6 +281,16 @@ object Dedup {
     require(!Seq("ntok", "n_kept", "clean_text").contains(idCol),
       s"this operator writes `ntok`/`n_kept`/`clean_text`; rename id column `$idCol`")
     val (base, runs) = dupSpanRuns(df, idCol, textCol, n)
+    rebuildKept(base, runs, idCol)
+  }
+
+  /** Reassemble each doc from the tokens OUTSIDE its covered runs: the
+    * shared rebuild of [[removeDupSpans]] and [[decontaminateSpans]].
+    * One per-doc aggregate of merged runs (bounded by ntok/n rows per
+    * doc), then a codegen'd array-HOF filter — per-doc cost
+    * O(ntok × runs), never cross-doc. */
+  private def rebuildKept(base: DataFrame, runs: DataFrame,
+      idCol: String): DataFrame = {
     val cov = runs.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__s"), col("__e")))).as("__cov"))
     val withPos = transform(col("__toks"),
@@ -281,6 +304,34 @@ object Dedup {
       .select(col(idCol), col("__ntok").as("ntok"),
         size(kept).cast("long").as("n_kept"),
         concat_ws(" ", transform(kept, _.getField("t"))).as("clean_text"))
+  }
+
+  /** Benchmark decontamination, the REMOVAL pass over
+    * [[benchmarkContamination]]'s detection: every token position of a
+    * corpus doc covered by a length-`n` token window that appears
+    * ANYWHERE in the benchmark set loses its token, and the survivors
+    * reassemble in order — the doc ships scrubbed instead of dropped
+    * (span-level decontamination keeps the clean 99% of a page that
+    * happens to quote one eval question; doc-level dropping is the
+    * blunter q54-then-filter pipeline).
+    *
+    * Scale shape: the benchmark's distinct n-grams are (naturally tiny)
+    * and BROADCAST into one semi-join against the corpus windows — the
+    * corpus never shuffles for the marking; the rebuild is
+    * [[removeDupSpans]]'s shared one-aggregate + array-HOF pass. Output:
+    * (idCol, ntok, n_kept, clean_text). */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"decontaminateSpans requires n >= 1, got $n")
+    require(!Seq("ntok", "n_kept", "clean_text").contains(idCol),
+      s"this operator writes `ntok`/`n_kept`/`clean_text`; rename id column `$idCol`")
+    val benchGrams = benchmark
+      .select(explode(graft.functions.TextFunctions.tokenNgrams(
+        col(benchTextCol), n)).as("__gram"))
+      .distinct()
+    val (base, wins) = tokenWindows(corpus, idCol, textCol, n)
+    val dwins = wins.join(broadcast(benchGrams), Seq("__gram"), "left_semi")
+    rebuildKept(base, mergeRuns(dwins, idCol, n), idCol)
   }
 
   /** EXACT edit-distance-≤1 pairs over a string column via the FastSS

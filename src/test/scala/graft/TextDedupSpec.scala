@@ -538,6 +538,35 @@ class TextDedupSpec extends SparkSuite {
     assert(rep == got)
   }
 
+  test("decontaminateSpans: benchmark-covered spans removed, merged runs, clean docs untouched") {
+    import spark.implicits._
+    val bench = Seq((100L, "what is the answer to q seven")).toDF("bid", "btext")
+    val corpus = Seq(
+      // quotes bench 3-gram "the answer to" at p=3 -> covered [3,6)
+      (1L, "we know the answer to that question"),
+      // two bench 3-grams overlap ("what is the", "is the answer") ->
+      // merged run [1,5) of 6
+      (2L, "what is the answer maybe not"),
+      (3L, "completely clean document here"),
+      (4L, "to q")).toDF("id", "text") // shorter than n: passes through
+    val got = graft.functions.Dedup.decontaminateSpans(
+        corpus, "id", "text", bench, "btext", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((7L, 4L, "we know that question")))
+    assert(got(2L) == ((6L, 2L, "maybe not")))
+    assert(got(3L) == ((4L, 4L, "completely clean document here")))
+    assert(got(4L) == ((2L, 2L, "to q")))
+    // scrubbed corpus has ZERO q54-style hits against the same benchmark
+    val rescored = graft.functions.Dedup.benchmarkContamination(
+      graft.functions.Dedup.decontaminateSpans(
+          corpus, "id", "text", bench, "btext", 3)
+        .select(col("id"), col("clean_text").as("text")),
+      bench.select(col("btext").as("text")), "text", "id", n = 3)
+    assert(rescored.count() == 0L)
+  }
+
   test("editDistance1Pairs: substitutions and insertions found, shared-key distance-2 pairs rejected") {
     import spark.implicits._
     val vocab = Seq("cat", "cst", "cats", "dog", "ab", "ba", "unrelated")
