@@ -2545,6 +2545,28 @@ object SparkEntry {
       Dedup.decontaminateSpans(
         d.where(pmod(col("doc_id"), lit(50L)) =!= 0L), "doc_id", "text",
         d.where(pmod(col("doc_id"), lit(50L)) === 0L), "text", 5)
+    }),
+
+    // Retrieval evaluation: hit@10 / MRR / nDCG@10 of the q78 BM25 index
+    // probe against same-`source` relevance (the standard weak-label
+    // eval) — the metric layer every retriever comparison needs, exactly
+    // engine-replayable (6 dp pre-fold rounding on the DCG gains).
+    "q190_ranking_metrics" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_idx_${datasetStamp(dir)}"
+      if (!sp.catalog.tableExists(tbl))
+        graft.functions.TfIdf.writeBm25Index(d, "doc_id", "text", tbl, nBuckets = 32)
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      val res = graft.functions.TfIdf.bm25AgainstIndex(q, "qid", "qtext", tbl, 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qsrc = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"), col("source").as("__src"))
+      val truth = qsrc.join(
+        d.select(col("doc_id"), col("source").as("__src")), Seq("__src"))
+        .select(col("qid"), col("doc_id"))
+      graft.functions.Stats.rankingMetrics(res, truth, "qid", "doc_id", "rank", 10)
     })
   )
 
@@ -6381,6 +6403,37 @@ object SparkEntry {
         |SELECT s.doc_id, s.ntok,
         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(k.clean_text, '') AS clean_text
-        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin
+        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin,
+
+    // q78's BM25 replay as the ranked results, same-source relevance,
+    // then the metric math: 6 dp pre-fold rounded 1/log2(r+1) gains,
+    // rank-ordered 0.0-seeded folds for DCG and the ideal DCG.
+    "q190_ranking_metrics" ->
+      s"""WITH bm AS ($bm25ReplaySql),
+        |res AS (SELECT qid, doc_id, CAST(rank AS BIGINT) AS r FROM bm
+        |        WHERE rank BETWEEN 1 AND 10),
+        |qs AS (SELECT doc_id AS qid, source FROM documents WHERE doc_id % 50 = 0),
+        |rel AS (SELECT DISTINCT q.qid, d.doc_id
+        |        FROM qs q JOIN documents d ON d.source = q.source),
+        |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+        |h AS (SELECT r.qid, min(r.r) AS first,
+        |             list(round(1.0 / log2(CAST(r.r AS DOUBLE) + 1.0), 6)
+        |                  ORDER BY r.r) AS gs
+        |      FROM res r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+        |      GROUP BY r.qid),
+        |qq AS (SELECT DISTINCT qid FROM res)
+        |SELECT qq.qid, CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+        |       h.first IS NOT NULL AS hit,
+        |       round(CASE WHEN h.first IS NOT NULL
+        |             THEN 1.0 / CAST(h.first AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+        |       round(CASE WHEN least(coalesce(nr.n_rel, 0), 10) > 0
+        |             THEN list_reduce(list_prepend(0.0, coalesce(h.gs, CAST([] AS DOUBLE[]))),
+        |                              (a, b) -> a + b)
+        |                  / list_reduce(list_prepend(0.0,
+        |                      list_transform(range(1, least(coalesce(nr.n_rel, 0), 10) + 1),
+        |                        i -> round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6))),
+        |                      (a, b) -> a + b)
+        |             ELSE 0.0 END, 6) AS ndcg
+        |FROM qq LEFT JOIN h ON h.qid = qq.qid LEFT JOIN nr ON nr.qid = qq.qid""".stripMargin
   )
 }

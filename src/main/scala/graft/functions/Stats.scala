@@ -582,4 +582,59 @@ object Stats {
       .where(col("__best").isNull || col("__s") > col("__best"))
       .select(col(idCol), col(minCol), col(maxCol))
   }
+
+  /** Retrieval ranking metrics — the evaluation side of the BM25/ANN
+    * retrievers: per query, hit@k, MRR, and binary-relevance nDCG@k of a
+    * ranked result table against a relevance ground-truth table.
+    *
+    *  - `results`: (qCol, dCol, rankCol) — rank 1-based; rows with
+    *    rank > k are ignored.
+    *  - `truth`: (qCol, dCol) — the relevant set per query (extra
+    *    columns ignored; duplicates collapse).
+    *
+    * One row per DISTINCT results query: (qCol, n_rel, hit, mrr, ndcg).
+    * `n_rel` counts the query's full relevant set; queries absent from
+    * `truth` score 0/false. DCG uses gain 1/log2(r + 1) over the hit
+    * ranks; IDCG places the min(k, n_rel) relevant docs at the top ranks.
+    *
+    * Determinism: each 1/log2(r+1) term rounds 6 dp BEFORE the rank-
+    * sorted 0.0-seeded fold (the sub-ulp ln guard of the surprisal
+    * family), and mrr/ndcg round 6 dp — every value engine-bit-exact.
+    * Scale shape: one (q, d) equi-join of results against the (deduped)
+    * truth, then per-query map-side-combining aggregates; nothing is
+    * ever all-pairs and no global sort exists. */
+  def rankingMetrics(results: DataFrame, truth: DataFrame, qCol: String,
+      dCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics requires k >= 1, got $k")
+    def gain(r: Column) = round(lit(1.0) / log2(r.cast("double") + 1.0), 6)
+    val res = results
+      .select(col(qCol), col(dCol), col(rankCol).cast("long").as("__r"))
+      .where(col("__r") >= 1 && col("__r") <= k)
+    val rel = truth.select(col(qCol), col(dCol)).distinct()
+    val nRel = rel.groupBy(col(qCol)).agg(count(lit(1)).as("n_rel"))
+    val hits = res.join(rel, Seq(qCol, dCol), "left_semi")
+      .groupBy(col(qCol))
+      .agg(min(col("__r")).as("__first"),
+        sort_array(collect_list(col("__r"))).as("__hr"))
+    res.select(col(qCol)).distinct()
+      .join(hits, Seq(qCol), "left")
+      .join(nRel, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("__first").isNotNull.as("hit"),
+        round(when(col("__first").isNotNull,
+          lit(1.0) / col("__first").cast("double")).otherwise(0.0), 6)
+          .as("mrr"),
+        round({
+          val dcg = aggregate(
+            transform(coalesce(col("__hr"), array().cast("array<long>")),
+              r => gain(r)),
+            lit(0.0), (acc, v) => acc + v)
+          val ideal = least(coalesce(col("n_rel"), lit(0L)), lit(k.toLong))
+          val idcg = aggregate(
+            transform(sequence(lit(1L), ideal), i => gain(i)),
+            lit(0.0), (acc, v) => acc + v)
+          when(ideal > 0, dcg / idcg).otherwise(0.0)
+        }, 6).as("ndcg"))
+  }
 }

@@ -135,6 +135,36 @@ class RelStatsSpec extends SparkSuite {
     assert(r.getDouble(4) == math.rint(num * num / (dxx * dyy) * 1e6) / 1e6)
   }
 
+  // ---------------------------------------------------- rankingMetrics
+
+  test("rankingMetrics: hand-computed hit/MRR/nDCG, no-hit and unknown-query rows, rank cutoff") {
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L),   // q1: hits at 1, 3
+      (2L, 98L, 1L), (2L, 97L, 2L),                  // q2: no hits
+      (3L, 30L, 1L),                                 // q3: not in truth
+      (1L, 12L, 9L)                                  // beyond k=3: ignored
+    ).toDF("q", "d", "rk")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 50L), (4L, 9L))
+      .toDF("q", "d")
+    val got = Stats.rankingMetrics(results, truth, "q", "d", "rk", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def g(r: Long) = r6(1.0 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0)))
+    // q1: n_rel 3, first hit rank 1, dcg = g(1)+g(3), idcg = g(1)+g(2)+g(3)
+    val ndcg1 = r6((0.0 + g(1) + g(3)) / (0.0 + g(1) + g(2) + g(3)))
+    assert(got(1L) == ((3L, true, 1.0, ndcg1)), got(1L).toString)
+    assert(got(2L) == ((1L, false, 0.0, 0.0)))
+    assert(got(3L) == ((0L, false, 0.0, 0.0)))
+    assert(!got.contains(4L)) // truth-only queries don't emit rows
+    // idcg truncates at k: 5 relevant docs, k=2, perfect top-2 -> ndcg 1.0
+    val per = Seq((7L, 1L, 1L), (7L, 2L, 2L)).toDF("q", "d", "rk")
+    val tr5 = (1L to 5L).map(d => (7L, d)).toDF("q", "d")
+    val p = Stats.rankingMetrics(per, tr5, "q", "d", "rk", 2).collect()(0)
+    assert(p.getLong(1) == 5L && p.getDouble(4) == 1.0)
+  }
+
   // ------------------------------------------------------------ rocAuc
 
   test("rocAuc: perfect separation 1.0, reversed 0.0, single tie 0.5") {
