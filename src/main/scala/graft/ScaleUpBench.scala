@@ -67,6 +67,11 @@ object ScaleUpBench {
     val stamp = s"$srcDir|$factor\n"
     if (done.exists() &&
         java.nio.file.Files.readString(done.toPath) == stamp) return
+    // unmark BEFORE the first table write: a mid-rebuild crash must leave
+    // the directory marker-less, or a later run with the ORIGINAL
+    // (srcDir, factor) would see the surviving old-stamp marker and
+    // silently reuse a mix of old- and new-factor tables
+    java.nio.file.Files.deleteIfExists(done.toPath)
     val read = (t: String) => spark.read.parquet(s"$srcDir/$t.parquet")
     val write = (df: DataFrame, t: String) =>
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -166,7 +171,11 @@ object ScaleUpBench {
     val t1 = measure(srcDir)
     val tN = measure(outDir)
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // control chars first (Spark messages embed tabs even within one
+    // line), then the quote/backslash escapes — the output must stay one
+    // valid JSON line per query
+    def esc(s: String) = s.replaceAll("[\\p{Cntrl}]", " ")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     targets.foreach { n =>
       (t1(n), tN(n)) match {
         case (Right(a), Right(b)) =>

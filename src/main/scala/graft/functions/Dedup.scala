@@ -915,7 +915,13 @@ object Dedup {
       }(tup)
     var e = pairs.select(col("a"), col("b")).as(tup)
     var cnt = Long.MaxValue // caller established only cnt > localEdgeLimit
-    var parts = e.rdd.getNumPartitions
+    // initial coalesce width from the LOGICAL plan (a `.rdd` here forces
+    // physical planning of the pairs subtree outside AQE — the Scans
+    // issue, same class). The pairs frame is a post-shuffle subtree, so
+    // the estimate saturates and the session shuffle width is the bound.
+    var parts = math.min(
+      graft.sources.Scans.estimatedMapParallelism(e.toDF()),
+      e.sparkSession.sessionState.conf.numShufflePartitions)
     var stalled = false
     var pass = 0
     while (cnt > localEdgeLimit && !stalled && pass < maxIter) {

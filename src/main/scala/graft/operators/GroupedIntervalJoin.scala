@@ -52,8 +52,11 @@ object GroupedIntervalJoin {
 
     def boundedKeys(maxGroups: Int): Array[org.apache.spark.sql.Row] = {
       require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")
+      // saturating +1: Int.MaxValue means "no bound" — a plain increment
+      // would overflow to a negative limit and fail inside Spark
+      val lim = if (maxGroups == Int.MaxValue) maxGroups else maxGroups + 1
       val res = joined.select(groupColumns.map(col): _*).distinct()
-        .orderBy(groupColumns.map(col): _*).limit(maxGroups + 1).collect()
+        .orderBy(groupColumns.map(col): _*).limit(lim).collect()
       require(res.length <= maxGroups,
         s"groupbyIntervalJoin.keys/iterator collects the distinct group keys " +
           s"to the driver and this join has more than $maxGroups of them; " +

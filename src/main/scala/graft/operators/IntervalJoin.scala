@@ -98,8 +98,15 @@ object IntervalJoin {
       sweepLongThreshold: Option[Long] = None,
       sweepMaxReplication: Int = 16,
       /** If the long mass exceeds this row count, broadcasting it would be
-        * worse than replicating it — fall back to the unsplit sweep. */
-      sweepMaxBroadcastRows: Long = 2000000L)
+        * worse than replicating it — fall back to the unsplit sweep. The
+        * long-mass branches are broadcast nested-loop joins with a pure
+        * range predicate, so this cap bounds COMPUTE (long rows × stream
+        * rows predicate evaluations), not just broadcast memory: at the
+        * old 2 M default the BNLJ itself was already the catastrophic
+        * regime long before the memory bound engaged. 50 k longs against
+        * even a 10 M-row stream side is ~5·10^11 cheap comparisons spread
+        * over the cluster — near the practical ceiling. */
+      sweepMaxBroadcastRows: Long = 50000L)
 
   def intervalJoin(left: DataFrame, right: DataFrame, on: String): DataFrame =
     intervalJoin(left, right, on -> on, Options())

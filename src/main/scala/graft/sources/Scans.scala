@@ -79,7 +79,12 @@ object Scans {
         case fs: HadoopFsRelation => fileSlices(fs)
         case _                    => Int.MaxValue
       }
-      case u: Union => u.children.map(walk).sum
+      // saturating sum: any "assumed healthy" child (Int.MaxValue) must
+      // keep the union healthy — a plain Int sum overflows negative and
+      // would inject a spurious repartition on a healthy wide union
+      case u: Union =>
+        math.min(u.children.map(c => walk(c).toLong).sum,
+          Int.MaxValue.toLong).toInt
       case _: Project | _: Filter | _: LocalLimit |
            _: GlobalLimit | _: Sample | _: SubqueryAlias =>
         walk(p.children.head)
