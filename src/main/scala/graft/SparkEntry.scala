@@ -2567,8 +2567,305 @@ object SparkEntry {
         d.select(col("doc_id"), col("source").as("__src")), Seq("__src"))
         .select(col("qid"), col("doc_id"))
       graft.functions.Stats.rankingMetrics(res, truth, "qid", "doc_id", "rank", 10)
+    }),
+
+    // ------------------------------------------------------------------
+    // q191–q200: the remaining streaming operators under the driver gate
+    // (VERDICT-r9 #1). Same replay contract as q175–q177/q184: time-cut
+    // micro-batches make arrival order = event-time order, so each
+    // streamed operator's documented exactness condition holds and the
+    // oracle is the batch semantics in SQL. The events fixture has no
+    // (user_id, ts) ties (checked at sf0.01 and sf0.1), so every in-batch
+    // (ts)-sort below is a total order per key.
+    // ------------------------------------------------------------------
+
+    // Streaming BACKWARD as-of under the driver gate: q19's clicks and
+    // purchases (10% user slice) replay through two MemoryStreams cut at
+    // the same event-time quantiles. The per-key state is the latest
+    // purchase; lefts emit the moment they process, so no flush batch is
+    // needed. Oracle = q19's arg-max SQL on the slice.
+    "q191_stream_asof" -> ((sp, dir) => {
+      import sp.implicits._
+      val (clicks, purchases, _, _) = asofSliceBatches(sp, dir)
+      replayStream2(sp, clicks, purchases) { (l, r) =>
+        graft.streaming.StreamingAsof.asofJoinStream(
+          l.toDF("user_id", "ts", "click_id"),
+          r.toDF("user_id", "pts", "purchase_id", "purchase_value"),
+          "ts", "pts", Seq("user_id" -> "user_id"))
+      }
+    }),
+
+    // Streaming FORWARD as-of under the driver gate: pending clicks buffer
+    // per user until the next purchase resolves them. Clicks with no later
+    // purchase would pend forever, so the final batch carries one
+    // far-future sentinel purchase per sliced user; a 50-year tolerance
+    // (≫ any real gap, ≪ the 100-year sentinel offset) makes the sentinel
+    // resolve those clicks UNMATCHED — exactly the batch left-join's
+    // nulls. Oracle = q41's arg-min SQL on the slice, no tolerance needed.
+    "q192_stream_asof_fwd" -> ((sp, dir) => {
+      import sp.implicits._
+      val (clicks, purchases, users, maxTs) = asofSliceBatches(sp, dir)
+      val yearNs = 365L * 86400L * 1000000000L
+      val flush = users.map(u => (u, maxTs + 100L * yearNs, -1L, 0.0))
+      replayStream2(sp, clicks, purchases :+ flush) { (l, r) =>
+        graft.streaming.StreamingAsof.asofJoinStreamForward(
+          l.toDF("user_id", "ts", "click_id"),
+          r.toDF("user_id", "pts", "purchase_id", "purchase_value"),
+          "ts", "pts", Seq("user_id" -> "user_id"),
+          tolerance = Some(50L * yearNs))
+      }
+    }),
+
+    // Streaming first-touch funnel under the driver gate: the slice
+    // replays through the per-key stage machine; each batch in which a
+    // user advanced re-emits the running stage times, and since stages
+    // only move forward, the per-user MAX of each column is the final
+    // snapshot = the batch funnel for every user that reached stage 1.
+    "q193_stream_funnel" -> ((sp, dir) => {
+      import sp.implicits._
+      replayStream(sp, eventSliceBatches(sp, dir, "ns")) { df =>
+        graft.streaming.StreamingFunnel.funnelStream(
+          df.toDF("user_id", "ts", "event_id", "et"),
+          Seq("user_id"), "et", "ts", Seq("view", "click", "purchase"))
+      }.groupBy("user_id")
+        .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+          max("t_purchase").as("t_purchase"),
+          max("stage_reached").as("stage_reached"))
+    }),
+
+    // Streaming Markov transition feed under the driver gate: the
+    // per-event (from, to) edges stream out of the per-key last-event
+    // state; their count rollup equals q113's batch matrix on the slice.
+    "q194_stream_transitions" -> ((sp, dir) => {
+      import sp.implicits._
+      // per-from_type total via a window over the counts-sized frame: a
+      // q113-style self-join would re-reference the memory-sink view,
+      // whose attributes don't deduplicate (Spark INTERNAL_ERROR)
+      val w = Window.partitionBy("from_type")
+      replayStream(sp, eventSliceBatches(sp, dir, "ns")) { df =>
+        graft.streaming.StreamingTransitions.transitionsStream(
+          df.toDF("user_id", "ts", "event_id", "et"),
+          Seq("user_id"), "et", "ts")
+      }.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / sum("n").over(w), 6).as("p"))
+    }),
+
+    // Streaming count-min sketch under the driver gate: the documents'
+    // tokens stream in three batches through the running sketch (complete
+    // mode — the state IS the sketch, at most depth×width rows); the final
+    // snapshot equals the batch sketch of the union, pinned by probing it
+    // with q71's exact truth join. Salt "q71" on purpose: the oracle is
+    // q71's SQL verbatim — streamed ≡ batch, as a hash-checked row.
+    "q195_stream_cms" -> ((sp, dir) => {
+      import sp.implicits._
+      val sketch = replayStream(sp, docBatches(sp, dir), mode = "complete") {
+        df =>
+          graft.streaming.StreamingSketches.cmsStream(
+            df.select(explode(TF.tokens(col("_2"))).as("tok")),
+            "tok", 4, 64, "q71")
+      }
+      val toks = table(sp, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      graft.functions.Sketches
+        .cmsLookup(sketch, truth.select("tok"), "tok", 4, 64, "q71")
+        .join(truth, "tok")
+        .select(col("tok"), col("true_cnt"), col("est"))
+    }),
+
+    // Streaming HyperLogLog under the driver gate: running registers in
+    // complete mode (2^8 state rows forever); the final snapshot feeds the
+    // same estimator as batch q72 and the oracle is q72's SQL verbatim.
+    "q196_stream_hll" -> ((sp, dir) => {
+      import sp.implicits._
+      val regs = replayStream(sp, docBatches(sp, dir), mode = "complete") {
+        df =>
+          graft.streaming.StreamingSketches.hllStream(
+            df.select(explode(TF.tokens(col("_2"))).as("tok")),
+            "tok", 8, "q72")
+      }
+      val toks = table(sp, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      graft.functions.Sketches.hllEstimate(regs, 8)
+        .crossJoin(broadcast(
+          toks.agg(countDistinct(col("tok")).as("exact_distinct"))))
+    }),
+
+    // Streaming data-quality profile under the driver gate: one running
+    // state row per profiled column (complete mode); the final snapshot is
+    // the batch profile minus the distinct count, with min/max over the
+    // STRINGIFIED values (the operator's documented running-range rule —
+    // the oracle replays the lexicographic min/max explicitly).
+    "q197_stream_profile" -> ((sp, dir) => {
+      import sp.implicits._
+      val rows = table(sp, dir, "documents")
+        .select(col("doc_id").cast("long"), col("lang"), col("source"),
+          col("n_chars").cast("long"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val n = rows.length
+      val batches = Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+        rows.slice(2 * n / 3, n))
+      replayStream(sp, batches, mode = "complete") { df =>
+        graft.streaming.StreamingProfile.profileStream(
+          df.toDF("doc_id", "lang", "source", "n_chars"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+      }
+    }),
+
+    // Streaming budget admission under the driver gate: the stream arrives
+    // in the batch operator's (salted hash, key) order — three consecutive
+    // chunks of it — so the online admitted set equals batch q67 exactly
+    // and the oracle is q67's prefix-sum SQL verbatim.
+    "q198_stream_budget" -> ((sp, dir) => {
+      import sp.implicits._
+      val rows = table(sp, dir, "documents")
+        .select(col("doc_id").cast("long"), col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"),
+          TF.tokenHashMod(concat(lit("budget:"),
+            col("doc_id").cast("string"))).as("h"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(t => (t._4, t._1)).map(t => (t._1, t._2, t._3))
+      val n = rows.length
+      val batches = Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+        rows.slice(2 * n / 3, n))
+      replayStream(sp, batches) { df =>
+        graft.streaming.StreamingSampling.capByBudgetOnline(
+          df.toDF("doc_id", "lang", "n_tok"), "doc_id", "n_tok", 2000L,
+          strataCol = Some("lang"), salt = "budget")
+      }.select(col("id").as("doc_id"), col("stratum").as("lang"),
+        col("v").as("n_tok"))
+    }),
+
+    // Streaming near-dup-against-corpus under the driver gate: even docs
+    // are the prepared static corpus (band index, persisted), odd docs
+    // stream through the stateless band equi-join + exact-Jaccard verify.
+    // Oracle = q64's full MinHash replay with the stream/corpus split.
+    "q199_stream_neardup" -> ((sp, dir) => {
+      import sp.implicits._
+      val corpus = graft.streaming.StreamingDedup.prepareCorpus(
+        table(sp, dir, "documents")
+          .where(pmod(col("doc_id"), lit(2L)) === 0L), "text", "doc_id")
+      try {
+        replayStream(sp, docBatches(sp, dir, keep = _ % 2L == 1L)) { df =>
+          graft.streaming.StreamingDedup.nearDupAgainstCorpus(
+            df.toDF("doc_id", "text"), corpus, "text", "doc_id")
+        }
+      } finally corpus.unpersist() // memory sink rows are materialized
+    }),
+
+    // Streaming multi-touch attribution under the driver gate: per-credit
+    // rows stream out of the bounded touch buffer; their per-channel
+    // DECIMAL rollup equals batch q157 on the slice (µs times, the batch
+    // operator's unit).
+    "q200_stream_attribution" -> ((sp, dir) => {
+      import sp.implicits._
+      replayStream(sp, eventSliceBatches(sp, dir, "us")) { df =>
+        graft.streaming.StreamingAttribution.attributionStream(
+          df.toDF("user_id", "t", "event_id", "et"),
+          Seq("user_id"), "et", "t", "event_id",
+          Seq("click", "view"), "purchase",
+          lookback = 7L * 86400000000L, model = "position")
+      }.groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("user_id"), col("conv_id")).as("n_conversions"),
+          sum(col("credit").cast("decimal(18,6)")).cast("double").as("credit"))
+    }),
+
+    // BPE ENCODE emitting the TOKEN SEQUENCE (VERDICT-r9 #2): q188's
+    // trained merges applied per distinct word, occurrences reassembled in
+    // document order — `tokens` is the space-joined symbol stream a
+    // tokenizer consumer actually reads (serialized to one string per the
+    // top-level-array ban). The oracle replays the same fold chain per
+    // occurrence and string_agg's in word order.
+    "q201_bpe_encode_seq" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TF.bpeEncodeSeq(d, "doc_id", "text", m)
+    }),
+
+    // Exact-substring dedup, KEEP-ONE removal (VERDICT-r9 #3): q183's
+    // marking with the canonical min-(doc_id, pos) occurrence of each
+    // duplicated 5-gram surviving — the Lee et al. semantics real corpora
+    // want (one copy of boilerplate stays in the training set). The
+    // canonical choice is a deterministic global argmin, so the result is
+    // partitioning-invariant and the oracle replays it as a row_number
+    // over (doc_id, p).
+    "q202_dedup_spans_keep_one" -> ((sp, dir) =>
+      Dedup.removeDupSpansKeepOne(table(sp, dir, "documents"),
+        "doc_id", "text", 5)),
+
+    // Incremental band-index maintenance (VERDICT-r9 #7): the q64 history
+    // index built in TWO ingestion steps — write doc_id % 4 == 0, append
+    // doc_id % 4 == 2 (the 100 TB append path: only the new batch pays
+    // signatures; the history's files never rewrite) — then probed with
+    // the same odd batch. Append ≡ rebuild, so the oracle is q64's SQL
+    // verbatim. The `_incr_done` marker is written AFTER the append: a
+    // crash between write and append leaves no marker, forcing a clean
+    // rebuild instead of serving the half-merged index.
+    "q203_neardup_index_incr" -> ((sp, dir) => {
+      val docs = table(sp, dir, "documents")
+      val fresh = graft.sources.Scans.parallelized(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1L))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_band_index_incr_${datasetStamp(dir)}").getPath
+      val done = new java.io.File(path, "_graft_incr_done")
+      if (!done.exists()) {
+        val dirF = new java.io.File(path)
+        if (dirF.exists()) { // half-built leftover: rebuild from scratch
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dirF)
+        }
+        Dedup.writeBandIndex(
+          docs.where(pmod(col("doc_id"), lit(4L)) === 0L),
+          "text", "doc_id", path)
+        Dedup.appendToBandIndex(
+          docs.where(pmod(col("doc_id"), lit(4L)) === 2L),
+          "text", "doc_id", path)
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
     })
   )
+
+  /** q19/q41's click/purchase frames on the 10% user slice, collected and
+    * cut into three joint-event-time micro-batches (shared cuts on the
+    * UNION of both sides' times, so cross-batch arrival order = event-time
+    * order for the two-stream as-of replays). Also returns the sliced
+    * click users and the global max time for q192's sentinel flush. The
+    * fixture has no (user_id, ts) ties, so the latest/first-right state
+    * transitions are deterministic without a tie rule. */
+  private def asofSliceBatches(sp: SparkSession, dir: String)
+      : (Seq[Seq[(Long, Long, Long)]], Seq[Seq[(Long, Long, Long, Double)]],
+         Seq[Long], Long) = {
+    val ev = table(sp, dir, "events")
+      .where(pmod(col("user_id"), lit(10L)) === 0L)
+      .withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").cast("long"), col("tsq").cast("long"),
+        col("event_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").cast("long"), col("tsq").cast("long"),
+        col("event_id").cast("long"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val all = (clicks.map(_._2) ++ purchases.map(_._2)).sorted
+    val (c1, c2) = (all(all.length / 3), all(2 * all.length / 3))
+    val lb = Seq(clicks.filter(_._2 < c1),
+      clicks.filter(c => c._2 >= c1 && c._2 < c2), clicks.filter(_._2 >= c2))
+    val rb = Seq(purchases.filter(_._2 < c1),
+      purchases.filter(p => p._2 >= c1 && p._2 < c2),
+      purchases.filter(_._2 >= c2))
+    (lb, rb, clicks.map(_._1).distinct.sorted, all.last)
+  }
 
   /** The q124 fixture: event-type transition graph with row-normalized
     * Markov weights (6 dp). */
@@ -2649,7 +2946,8 @@ object SparkEntry {
     * now only spec-pinned — surfaces as ordinary oracle-checked rows in
     * the driver's correctness gate. */
   private def replayStream[T <: Product](sp: SparkSession,
-      batches: Seq[Seq[T]])(build: DataFrame => DataFrame)(
+      batches: Seq[Seq[T]], mode: String = "append")(
+      build: DataFrame => DataFrame)(
       implicit ev: org.apache.spark.sql.Encoder[T]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
@@ -2662,12 +2960,88 @@ object SparkEntry {
     val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
     sp.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      // mode "complete" for running-aggregation operators (sketches,
+      // profile): the memory sink then holds the LATEST snapshot, which
+      // after the final batch is the aggregate of the whole replay.
       val q = build(in.toDF()).writeStream.format("memory")
-        .queryName(name).outputMode("append").start()
+        .queryName(name).outputMode(mode).start()
       try batches.foreach { b => in.addData(b); q.processAllAvailable() }
       finally q.stop()
     } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
     sp.table(name)
+  }
+
+  /** Two-source replayStream for binary streaming operators (as-of): batch
+    * i of BOTH sides lands in the same trigger, so one event-time cut
+    * applied to both sides keeps their union event-time-ordered across
+    * triggers — the exactness precondition of the streaming as-of. Sides
+    * may have different batch counts (a trailing right-only flush batch). */
+  private def replayStream2[L <: Product, R <: Product](sp: SparkSession,
+      lBatches: Seq[Seq[L]], rBatches: Seq[Seq[R]])(
+      build: (DataFrame, DataFrame) => DataFrame)(
+      implicit lev: org.apache.spark.sql.Encoder[L],
+      rev: org.apache.spark.sql.Encoder[R]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val lIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[L]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[R]
+    val name = s"graft_stream_replay_${streamSeq.incrementAndGet()}"
+    val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(lIn.toDF(), rIn.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try (0 until math.max(lBatches.length, rBatches.length)).foreach { i =>
+        if (i < lBatches.length && lBatches(i).nonEmpty) lIn.addData(lBatches(i))
+        if (i < rBatches.length && rBatches(i).nonEmpty) rIn.addData(rBatches(i))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+    sp.table(name)
+  }
+
+  /** Shared fixture of the q191–q200 replay entries: the q184 10% user
+    * slice of events as (user_id, ts, event_id, event_type) rows in the
+    * requested time unit ("ns" like q103/q113, "us" like q157), split into
+    * three micro-batches at the 1/3 and 2/3 event-time quantiles. Batches
+    * partition event time, so nothing is ever late and each streamed
+    * operator's output equals its batch counterpart exactly. The events
+    * fixture has no (user_id, ts) ties at any SF (checked at 0.01/0.1), so
+    * in-batch (ts)-sorting is a total order per key and the replay is
+    * deterministic. */
+  private def eventSliceBatches(sp: SparkSession, dir: String,
+      unit: String): Seq[Seq[(Long, Long, Long, String)]] = {
+    val tsExpr = unit match {
+      case "ns" => expr("unix_micros(cast(ts as timestamp)) * 1000")
+      case "us" => expr("unix_micros(cast(ts as timestamp))")
+      case u    => throw new IllegalArgumentException(s"unknown unit $u")
+    }
+    val rows = table(sp, dir, "events")
+      .where(pmod(col("user_id"), lit(10L)) === 0L)
+      .select(col("user_id").cast("long"), tsExpr.cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val ts = rows.map(_._2).sorted
+    val (c1, c2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    Seq(rows.filter(_._2 < c1),
+      rows.filter(r => r._2 >= c1 && r._2 < c2),
+      rows.filter(_._2 >= c2))
+  }
+
+  /** The documents table as (doc_id, text) micro-batches in doc_id order —
+    * the feed of the streamed sketch/profile/dedup entries. Any split
+    * works for pure running aggregations; doc_id order keeps it
+    * deterministic. */
+  private def docBatches(sp: SparkSession, dir: String,
+      keep: Long => Boolean = _ => true): Seq[Seq[(Long, String)]] = {
+    val rows = table(sp, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .filter(t => keep(t._1))
+    val n = rows.length
+    Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3), rows.slice(2 * n / 3, n))
   }
 
   /** A real 3x2 PNG with fixed pixels rgb(x,y) = (10+40x+100y, 7x, 3y);
@@ -2783,6 +3157,96 @@ object SparkEntry {
        |                                   ORDER BY score DESC, doc_id) AS rank
        |      FROM f)
        |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** q64's full MinHash index-probe replay — shared verbatim by the batch
+    * row and q203's incrementally-built index (append ≡ rebuild). */
+  private lazy val q64Sql = {
+    val bandSqls = (0 until 4).map(bd =>
+      s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
+      .mkString(",\n       ")
+    s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents),
+       |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+       |s AS (SELECT doc_id,
+       |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
+       |             $sigSql AS sig
+       |      FROM d2),
+       |b AS (SELECT doc_id, hs,
+       |       $bandSqls
+       |      FROM s),
+       |p AS (SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+       |             round(len(list_intersect(n.hs, i.hs))
+       |                   / len(list_distinct(list_concat(n.hs, i.hs))), 6) AS jaccard
+       |      FROM b n JOIN b i
+       |        ON n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+       |       AND (n.bh0 = i.bh0 OR n.bh1 = i.bh1 OR n.bh2 = i.bh2 OR n.bh3 = i.bh3))
+       |SELECT new_id, index_id, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** q67's strict-prefix budget admission — shared verbatim by the batch
+    * row and q198's streamed replay (the stream arrives in this exact
+    * (hkey, doc_id) order, so online admission ≡ the prefix rule). */
+  private lazy val q67Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |         ${hSql("'budget:' || CAST(doc_id AS VARCHAR)")} AS hkey
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         sum(n_tok) OVER (PARTITION BY lang ORDER BY hkey, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin
+
+  /** q71's count-min replay — shared verbatim by the batch row and q195's
+    * streamed replay (a running CMS is a pure aggregation: the snapshot
+    * after the last micro-batch IS the batch sketch of the union). */
+  private lazy val q71Sql = {
+    val cmsH = (v: String) =>
+      s"(${hSql(s"'cms:q71:' || CAST(r AS VARCHAR) || ':' || $v")}) % 64"
+    s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+       |          FROM tok GROUP BY 1),
+       |cells AS (SELECT r, ${cmsH("tok")} AS bucket
+       |          FROM tok, range(4) t(r)),
+       |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM cells GROUP BY 1, 2),
+       |probe AS (SELECT tok, r, ${cmsH("tok")} AS bucket
+       |          FROM truth, range(4) t(r)),
+       |est AS (SELECT tok, min(coalesce(cnt, 0)) AS est
+       |        FROM probe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+       |SELECT tok, true_cnt, est
+       |FROM truth JOIN est USING (tok)""".stripMargin
+  }
+
+  /** q72's HLL replay — shared verbatim by the batch row and q196's
+    * streamed replay (running max registers, same argument as q71). */
+  private lazy val q72Sql = {
+    val m = 256
+    val est0 = graft.functions.Sketches.hllAlpha(m) * m * m
+    s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |h AS (SELECT ('0x' || substr(md5('hll:q72:' || tok),1,15))::BIGINT AS h
+       |      FROM tok),
+       |rr AS (SELECT h % $m AS register,
+       |              CASE WHEN (h >> 8) = 0 THEN 53
+       |                   ELSE 53 - length(bin(h >> 8)) END AS rho
+       |       FROM h),
+       |regs AS (SELECT register, max(rho) AS rho FROM rr GROUP BY 1),
+       |allr AS (SELECT r AS register, coalesce(rho, 0) AS rho
+       |         FROM range($m) t(r) LEFT JOIN regs ON r = register),
+       |agg AS (SELECT list(pow(2.0, -rho) ORDER BY register) AS hs,
+       |               CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_zero
+       |        FROM allr),
+       |f AS (SELECT list_reduce(list_prepend(0.0, hs), (a, b) -> a + b)
+       |               AS hsum, n_zero FROM agg)
+       |SELECT $m AS m, n_zero,
+       |       round(CASE WHEN $est0 / hsum <= ${2.5 * m} AND n_zero > 0
+       |                  THEN ${m.toDouble} * ln(${m.toDouble} / n_zero)
+       |                  ELSE $est0 / hsum END, 6) AS est,
+       |       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tok)
+       |         AS exact_distinct
+       |FROM f""".stripMargin
   }
 
   private def shinglesSql(n: Int) =
@@ -2973,17 +3437,7 @@ object SparkEntry {
     // The cap's contract IS the windowed running sum: keep rows whose
     // inclusive per-lang cumulative token count in (salted hash, key)
     // order fits the budget
-    "q67_budget_cap" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok,
-         |         ${hSql("'budget:' || CAST(doc_id AS VARCHAR)")} AS hkey
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, lang, n_tok,
-         |         sum(n_tok) OVER (PARTITION BY lang ORDER BY hkey, doc_id
-         |                          ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM t)
-         |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin,
+    "q67_budget_cap" -> q67Sql,
 
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -3475,27 +3929,11 @@ object SparkEntry {
 
     // Same full MinHash->band->Jaccard replay as q17, restricted to
     // (even index side) x (odd probe side) cross pairs
-    "q64_neardup_index" -> {
-      val bandSqls = (0 until 4).map(bd =>
-        s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
-        .mkString(",\n       ")
-      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents),
-         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
-         |s AS (SELECT doc_id,
-         |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
-         |             $sigSql AS sig
-         |      FROM d2),
-         |b AS (SELECT doc_id, hs,
-         |       $bandSqls
-         |      FROM s),
-         |p AS (SELECT n.doc_id AS new_id, i.doc_id AS index_id,
-         |             round(len(list_intersect(n.hs, i.hs))
-         |                   / len(list_distinct(list_concat(n.hs, i.hs))), 6) AS jaccard
-         |      FROM b n JOIN b i
-         |        ON n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
-         |       AND (n.bh0 = i.bh0 OR n.bh1 = i.bh1 OR n.bh2 = i.bh2 OR n.bh3 = i.bh3))
-         |SELECT new_id, index_id, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
-    },
+    "q64_neardup_index" -> q64Sql,
+
+    // Incremental index maintenance ≡ rebuild: the merged (half-built,
+    // half-appended) index answers the probe with q64's SQL VERBATIM.
+    "q203_neardup_index_incr" -> q64Sql,
 
     // Lossless decode of a fixed-pixel PNG -> the oracle states the exact
     // decoded constants (3x2, r+g+b total 651); text payloads hit the
@@ -3646,55 +4084,13 @@ object SparkEntry {
 
     // Full CMS replay: same salted md5 buckets, same sketch counts, same
     // min-over-rows estimate (left join: an absent cell estimates 0).
-    "q71_cms_counts" -> {
-      val cmsH = (v: String) =>
-        s"(${hSql(s"'cms:q71:' || CAST(r AS VARCHAR) || ':' || $v")}) % 64"
-      s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
-         |truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
-         |          FROM tok GROUP BY 1),
-         |cells AS (SELECT r, ${cmsH("tok")} AS bucket
-         |          FROM tok, range(4) t(r)),
-         |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
-         |       FROM cells GROUP BY 1, 2),
-         |probe AS (SELECT tok, r, ${cmsH("tok")} AS bucket
-         |          FROM truth, range(4) t(r)),
-         |est AS (SELECT tok, min(coalesce(cnt, 0)) AS est
-         |        FROM probe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
-         |SELECT tok, true_cnt, est
-         |FROM truth JOIN est USING (tok)""".stripMargin
-    },
+    "q71_cms_counts" -> q71Sql,
 
     // Full HLL replay: 60-bit md5 hash, low-8 register, rho from the
     // binary-string bit length (exact in both engines), registers folded
     // in order from a 0.0 seed; the alpha constant is inlined from the
     // same Scala double so both engines use the identical literal.
-    "q72_hll_distinct" -> {
-      val m = 256
-      val est0 = graft.functions.Sketches.hllAlpha(m) * m * m
-      s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
-         |h AS (SELECT ('0x' || substr(md5('hll:q72:' || tok),1,15))::BIGINT AS h
-         |      FROM tok),
-         |rr AS (SELECT h % $m AS register,
-         |              CASE WHEN (h >> 8) = 0 THEN 53
-         |                   ELSE 53 - length(bin(h >> 8)) END AS rho
-         |       FROM h),
-         |regs AS (SELECT register, max(rho) AS rho FROM rr GROUP BY 1),
-         |allr AS (SELECT r AS register, coalesce(rho, 0) AS rho
-         |         FROM range($m) t(r) LEFT JOIN regs ON r = register),
-         |agg AS (SELECT list(pow(2.0, -rho) ORDER BY register) AS hs,
-         |               CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |                 AS n_zero
-         |        FROM allr),
-         |f AS (SELECT list_reduce(list_prepend(0.0, hs), (a, b) -> a + b)
-         |               AS hsum, n_zero FROM agg)
-         |SELECT $m AS m, n_zero,
-         |       round(CASE WHEN $est0 / hsum <= ${2.5 * m} AND n_zero > 0
-         |                  THEN ${m.toDouble} * ln(${m.toDouble} / n_zero)
-         |                  ELSE $est0 / hsum END, 6) AS est,
-         |       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tok)
-         |         AS exact_distinct
-         |FROM f""".stripMargin
-    },
+    "q72_hll_distinct" -> q72Sql,
 
     // Bloom replay: distinct set bits from the even docs, probe = all
     // docs' k positions, present iff every position joined.
@@ -6434,6 +6830,269 @@ object SparkEntry {
         |                        i -> round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6))),
         |                      (a, b) -> a + b)
         |             ELSE 0.0 END, 6) AS ndcg
-        |FROM qq LEFT JOIN h ON h.qid = qq.qid LEFT JOIN nr ON nr.qid = qq.qid""".stripMargin
+        |FROM qq LEFT JOIN h ON h.qid = qq.qid LEFT JOIN nr ON nr.qid = qq.qid""".stripMargin,
+
+    // q19's arg-max SQL on the 10% user slice — the streamed backward
+    // as-of is exact under event-time-ordered arrival, which the joint
+    // ts-cut batches guarantee.
+    "q191_stream_asof" ->
+      """WITH l AS (SELECT user_id, ts, event_id AS click_id
+        |           FROM events
+        |           WHERE event_type = 'click' AND user_id % 10 = 0),
+        |     r AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
+        |                  value AS purchase_value
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |     j AS (SELECT l.user_id, l.ts, l.click_id,
+        |                  r.purchase_id, r.purchase_value, r.pts,
+        |                  row_number() OVER (PARTITION BY l.click_id
+        |                    ORDER BY r.pts DESC, r.purchase_id DESC,
+        |                             r.purchase_value DESC) AS rn
+        |           FROM l LEFT JOIN r
+        |             ON l.user_id = r.user_id AND r.pts <= l.ts)
+        |SELECT user_id, epoch_ns(ts) AS ts, click_id, purchase_id,
+        |       purchase_value, epoch_ns(pts) AS pts
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // q41's arg-min SQL on the slice; the streamed forward as-of needs no
+    // tolerance clause here — the sentinel flush is beyond the 50-year
+    // tolerance for every click, so it yields exactly this left join's
+    // unmatched nulls.
+    "q192_stream_asof_fwd" ->
+      """WITH l AS (SELECT user_id, ts, event_id AS click_id
+        |           FROM events
+        |           WHERE event_type = 'click' AND user_id % 10 = 0),
+        |     r AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
+        |                  value AS purchase_value
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |     j AS (SELECT l.user_id, l.ts, l.click_id,
+        |                  r.purchase_id, r.purchase_value, r.pts,
+        |                  row_number() OVER (PARTITION BY l.click_id
+        |                    ORDER BY r.pts ASC, r.purchase_id DESC,
+        |                             r.purchase_value DESC) AS rn
+        |           FROM l LEFT JOIN r
+        |             ON l.user_id = r.user_id AND r.pts >= l.ts)
+        |SELECT user_id, epoch_ns(ts) AS ts, click_id, purchase_id,
+        |       purchase_value, epoch_ns(pts) AS pts
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // q103's staged min-time funnel on the slice, plus the streamed
+    // operator's stage_reached companion column.
+    "q193_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+        |           FROM events WHERE user_id % 10 = 0),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.t > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.t > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |       CAST(1 + (CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END)
+        |              + (CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END)
+        |            AS INTEGER) AS stage_reached
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin,
+
+    // q113's Markov rollup on the slice — the streamed per-event edges
+    // aggregate to exactly the batch lag-pair counts.
+    "q194_stream_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events WHERE user_id % 10 = 0),
+        |l AS (SELECT event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY t, event_id) AS from_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM l
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, round(c.n / t.tot, 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // Streamed ≡ batch for the running sketches: the oracles are q71/q72
+    // VERBATIM — the strongest possible equivalence statement the gate can
+    // express.
+    "q195_stream_cms" -> q71Sql,
+    "q196_stream_hll" -> q72Sql,
+
+    // The streamed profile's documented running-range rule: min/max over
+    // the STRINGIFIED values (lexicographic), counts as usual; one SELECT
+    // per profiled column.
+    "q197_stream_profile" ->
+      Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |       count(*) - count($c) AS n_nulls,
+           |       min(CAST($c AS VARCHAR)) AS min_str,
+           |       max(CAST($c AS VARCHAR)) AS max_str
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+
+    // Streamed ≡ batch for budget admission when arrival order is the
+    // batch operator's (hkey, doc_id) order — q67's prefix SQL verbatim.
+    "q198_stream_budget" -> q67Sql,
+
+    // q64's full MinHash replay with the stream/corpus split: odd docs
+    // stream against the prepared even-doc band index.
+    "q199_stream_neardup" -> {
+      val bandSqls = (0 until 4).map(bd =>
+        s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
+        .mkString(",\n       ")
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM documents),
+         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |s AS (SELECT doc_id,
+         |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
+         |             $sigSql AS sig
+         |      FROM d2),
+         |b AS (SELECT doc_id, hs,
+         |       $bandSqls
+         |      FROM s),
+         |p AS (SELECT n.doc_id AS id, i.doc_id AS corpus_id,
+         |             round(len(list_intersect(n.hs, i.hs))
+         |                   / len(list_distinct(list_concat(n.hs, i.hs))), 6) AS jaccard
+         |      FROM b n JOIN b i
+         |        ON n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+         |       AND (n.bh0 = i.bh0 OR n.bh1 = i.bh1 OR n.bh2 = i.bh2 OR n.bh3 = i.bh3))
+         |SELECT id, corpus_id, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+    },
+
+    // q157's position-model rollup on the slice — the streamed per-credit
+    // rows aggregate to the batch attribution exactly.
+    "q200_stream_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |           FROM events WHERE user_id % 10 = 0),
+        |tc AS (SELECT t.event_type AS channel, t.t AS tt,
+        |              t.event_id AS tie, c.event_id AS cid, c.user_id
+        |       FROM e t JOIN e c ON t.user_id = c.user_id
+        |       WHERE c.event_type = 'purchase'
+        |         AND t.event_type IN ('click', 'view')
+        |         AND t.t >= c.t - 604800000000 AND t.t < c.t),
+        |p AS (SELECT channel, user_id, cid,
+        |             row_number() OVER (PARTITION BY user_id, cid
+        |                                ORDER BY tt, tie) AS pos,
+        |             count(*) OVER (PARTITION BY user_id, cid) AS n
+        |      FROM tc),
+        |cr AS (SELECT channel, user_id, cid,
+        |              CAST(round(CASE
+        |                WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |                WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |                WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+        |                ELSE CAST(0.2 AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0)
+        |              END, 6) AS DECIMAL(18,6)) AS credit
+        |       FROM p)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT (user_id, cid)) AS BIGINT) AS n_conversions,
+        |       CAST(sum(credit) AS DOUBLE) AS credit
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // q188's per-occurrence fold replay, with each word carrying its
+    // document position so the final rollup can string_agg the symbol
+    // strings back in document order — the token sequence itself.
+    "q201_bpe_encode_seq" -> {
+      def o(acc: String) = s"split_part($acc, chr(1), 1)"
+      def p(acc: String) = s"split_part($acc, chr(1), 2)"
+      def app(out: String, x: String) =
+        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
+      def foldCtes(prev: String, m: String, out: String,
+          carry: String): String =
+        s"""${out}_0 AS (
+           |  SELECT ${carry},
+           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
+           |           (acc, x) -> CASE
+           |             WHEN ${p("acc")} = ''
+           |               THEN ${o("acc")} || chr(1) || x
+           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
+           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
+           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
+           |           END) AS r
+           |  FROM $prev v CROSS JOIN $m m),
+           |$out AS (SELECT ${carry.replace("v.", "")},
+           |                CASE WHEN ${p("r")} = '' THEN ${o("r")}
+           |                ELSE ${app(o("r"), p("r"))} END AS s
+           |         FROM ${out}_0)""".stripMargin
+      def vocabLayer(r: Int): String = {
+        val v = s"v${r - 1}"
+        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
+           |            WHERE len(str_split(s, ' ')) >= 2),
+           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
+           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
+           |               a[CAST(i + 1 AS INTEGER)] AS s2,
+           |               CAST(sum(f) AS BIGINT) AS n
+           |        FROM p${r}_1 GROUP BY 1, 2),
+           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+           |${foldCtes(v, s"m$r", s"v$r", "v.f AS f")}""".stripMargin
+      }
+      val rounds = 5
+      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |            FROM documents),
+         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+         |v0 AS (SELECT array_to_string(
+         |                 list_append(list_transform(range(1, len(w) + 1),
+         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                 ' ') AS s, f
+         |       FROM vw),
+         |${(1 to rounds).map(vocabLayer).mkString(",\n")},
+         |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         |       FROM documents),
+         |e00 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |        FROM dw),
+         |e0 AS (SELECT doc_id, i,
+         |              array_to_string(
+         |                list_append(list_transform(
+         |                  range(1, len(ws[CAST(i AS INTEGER)]) + 1),
+         |                  j -> substr(ws[CAST(i AS INTEGER)], CAST(j AS INTEGER), 1)),
+         |                  '</w>'),
+         |                ' ') AS s
+         |       FROM e00),
+         |${(1 to rounds).map(r =>
+             foldCtes(s"e${r - 1}", s"m$r", s"e$r",
+               "v.doc_id AS doc_id, v.i AS i"))
+             .mkString(",\n")}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(str_split(s, ' '))) AS BIGINT) AS n_sym,
+         |       string_agg(s, ' ' ORDER BY i) AS tokens
+         |FROM e$rounds GROUP BY doc_id""".stripMargin
+    },
+
+    // q183's replay with the keep-one marking: rank each gram's
+    // occurrences by (doc_id, p); occurrence 1 of a duplicated gram is
+    // canonical and survives, the rest are marked.
+    "q202_dedup_spans_keep_one" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |wins0 AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, CAST(ntok AS INTEGER) - 4)) AS p
+        |  FROM sized WHERE ntok >= 5),
+        |wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |         array_to_string(toks[p : p + 4], ' ') AS gram
+        |  FROM wins0),
+        |occ AS (SELECT doc_id, p,
+        |               row_number() OVER (PARTITION BY gram
+        |                                  ORDER BY doc_id, p) AS rn,
+        |               count(*) OVER (PARTITION BY gram) AS c
+        |        FROM wins),
+        |dw AS (SELECT doc_id, p FROM occ WHERE c > 1 AND rn > 1),
+        |covpos0 AS (SELECT doc_id, p, unnest(generate_series(0, 4)) AS o FROM dw),
+        |covpos AS (SELECT DISTINCT doc_id, p + o AS pos FROM covpos0),
+        |pos0 AS (SELECT doc_id, toks,
+        |                unnest(generate_series(1, CAST(ntok AS INTEGER))) AS pos
+        |         FROM sized WHERE ntok >= 1),
+        |kept AS (SELECT p0.doc_id, CAST(p0.pos AS BIGINT) AS pos,
+        |                p0.toks[CAST(p0.pos AS INTEGER)] AS tok
+        |         FROM pos0 p0 ANTI JOIN covpos c
+        |           ON c.doc_id = p0.doc_id AND c.pos = p0.pos),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.ntok,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin
   )
 }

@@ -284,6 +284,45 @@ object Dedup {
     rebuildKept(base, runs, idCol)
   }
 
+  /** [[removeDupSpans]] with Lee et al.'s KEEP-ONE semantics: for every
+    * duplicated length-`n` window, one canonical occurrence SURVIVES — the
+    * minimum (doc_id, position) occurrence, a deterministic global choice
+    * that needs no document order beyond the id itself, so the result is
+    * invariant under any partitioning — and every other occurrence is
+    * marked for removal. This is what real corpora want: the conservative
+    * both-occurrences variant ([[removeDupSpans]]) deletes popular
+    * boilerplate EVERYWHERE, leaving no copy in the training set.
+    *
+    * Granularity caveat (inherent to span marking): the canonical
+    * occurrence of gram g is never marked BY g, but a position inside it
+    * can still fall to an OVERLAPPING duplicated gram whose canonical
+    * occurrence lies elsewhere; a duplicated window overlapping no other
+    * duplicated window keeps exactly one verbatim copy.
+    *
+    * Scale shape: identical to the marking pass — the canonical occurrence
+    * rides the same gram-keyed aggregate as the count (a min over
+    * (doc_id, pos) structs, map-side combining), then occurrences re-join
+    * the (verified-duplicated) gram frame once. Output:
+    * (idCol, ntok, n_kept, clean_text), like [[removeDupSpans]]. */
+  def removeDupSpansKeepOne(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"removeDupSpansKeepOne requires n >= 1, got $n")
+    require(!Seq("ntok", "n_kept", "clean_text").contains(idCol),
+      s"this operator writes `ntok`/`n_kept`/`clean_text`; rename id column `$idCol`")
+    val (base, wins) = tokenWindows(df, idCol, textCol, n)
+    val dup = wins.groupBy("__gram")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("__cid"), col("__p").as("__cp")))
+          .as("__canon"))
+      .where(col("__c") > 1)
+      .select(col("__gram"), col("__canon.__cid").as("__cid"),
+        col("__canon.__cp").as("__cp"))
+    val marked = wins.join(dup, Seq("__gram"))
+      .where(!(col(idCol) === col("__cid") && col("__p") === col("__cp")))
+      .select(col(idCol), col("__p"))
+    rebuildKept(base, mergeRuns(marked, idCol, n), idCol)
+  }
+
   /** Reassemble each doc from the tokens OUTSIDE its covered runs: the
     * shared rebuild of [[removeDupSpans]] and [[decontaminateSpans]].
     * One per-doc aggregate of merged runs (bounded by ntok/n rows per
@@ -585,6 +624,38 @@ object Dedup {
     writeIndexSidecar(df.sparkSession, path, k, bands, shingleN, seed)
   }
 
+  /** INCREMENTAL maintenance of a [[writeBandIndex]] index — the append
+    * path a 100 TB corpus actually takes (users ingest; nobody rebuilds
+    * the history's signatures per batch): the new batch pays its own
+    * signature + explode cost and its (band, bh) rows land as NEW parquet
+    * files next to the history's. Index rows are per-document and
+    * independent, so append ≡ rebuild EXACTLY: the merged index holds the
+    * same row set as [[writeBandIndex]] over the union corpus, and every
+    * probe result is identical (pinned by spec and by the q203 oracle
+    * row). Parameters must match the index's sidecar — a mismatched
+    * append would poison the index with hashes that never collide, so it
+    * is rejected at plan time; the sidecar itself is re-published last
+    * (same params, fresh mtime) so external content stamps keyed on index
+    * files see the change. Caller owns id-uniqueness across batches (a
+    * re-ingested doc_id would probe against its own old rows — run
+    * [[nearDupAgainstIndex]] BEFORE appending, the natural order). */
+  def appendToBandIndex(newDocs: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 16, bands: Int = 4, shingleN: Int = 5,
+      seed: Long = 42L): Unit = {
+    val meta = readIndexMeta(newDocs.sparkSession, path)
+    require(meta.nonEmpty,
+      s"no band index at $path (missing $IndexMetaFile) — write one with " +
+        "writeBandIndex before appending")
+    requireIndexParams(newDocs.sparkSession, path, k, bands, shingleN, seed)
+    signatures(newDocs, textCol, idCol, k, bands, shingleN, seed)
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .repartition(col("band"), col("bh"))
+      .write.mode("append").parquet(path)
+    writeIndexSidecar(newDocs.sparkSession, path, k, bands, shingleN, seed)
+  }
+
   private val IndexMetaFile = "_graft_band_index.json"
 
   /** Atomic sidecar publish (temp + overwriting rename — readers see either
@@ -740,6 +811,38 @@ object Dedup {
           s"shingleN=$shingleN, seed=$seed) — hashes would never collide")
     }
     probeIndex(idx, newDocs, textCol, idCol, threshold, k, bands, shingleN, seed)
+  }
+
+  /** [[appendToBandIndex]] for the bucketed-TABLE index: the new batch's
+    * rows append into the EXISTING bucket layout (numBuckets read from the
+    * catalog, so the layout can never fork), paying one shuffle of the
+    * batch only — the history never moves, and probes keep their
+    * shuffle-free index side. Append ≡ rebuild for the same reason as the
+    * path variant. */
+  def appendToBandIndexTable(newDocs: DataFrame, textCol: String,
+      idCol: String, tableName: String, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 5, seed: Long = 42L): Unit = {
+    val sp = newDocs.sparkSession
+    val idx = sp.table(tableName)
+    val cm = idx.schema("bhs").metadata
+    if (cm.contains("graft.k")) {
+      val (ik, ib, is, isd) = (cm.getLong("graft.k"), cm.getLong("graft.bands"),
+        cm.getLong("graft.shingleN"), cm.getLong("graft.seed"))
+      require(ik == k && ib == bands && is == shingleN && isd == seed,
+        s"band index table $tableName was written with (k=$ik, bands=$ib, " +
+          s"shingleN=$is, seed=$isd) but the append uses (k=$k, bands=$bands, " +
+          s"shingleN=$shingleN, seed=$seed) — the merged index would be poisoned")
+    }
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    signatures(newDocs, textCol, idCol, k, bands, shingleN, seed)
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .write.format("parquet")
+      .bucketBy(spec.get.numBuckets, "band", "bh").sortBy("band", "bh")
+      .mode("append").saveAsTable(tableName)
   }
 
   /** Benchmark decontamination: for every corpus document, the number of

@@ -825,6 +825,53 @@ object TextFunctions {
       textCol: String, merges: Seq[(String, String)])
       : org.apache.spark.sql.DataFrame = {
     require(merges.nonEmpty, "bpeEncode requires at least one merge")
+    val words = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+    val vocabSyms = words.select("__w").distinct()
+      .select(col("__w"),
+        size(split(bpeFoldChain(merges), " ")).cast("long").as("__k"))
+    words.join(vocabSyms, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__k")).cast("long").as("n_sym"))
+  }
+
+  /** [[bpeEncode]] emitting the actual TOKEN SEQUENCE — the tokenizer
+    * consumer's surface, not just the fertility counts: one row per doc
+    * with >= 1 word, (idCol, n_words, n_sym, tokens) where `tokens` is the
+    * doc's space-joined symbol sequence under the trained merges (words in
+    * document order; the `</w>` end-of-word markers keep the flat join
+    * lossless). Serialized to ONE string per the suite-wide top-level-array
+    * ban — a consumer splits on ' '.
+    *
+    * Same vocab trick as [[bpeEncode]]: the k-fold chain runs once per
+    * DISTINCT word; occurrences carry only a word-keyed join. The only
+    * addition is per-doc ordered reassembly (posexplode index → sort_array
+    * over (pos, sym) structs), whose state is one document's tokens — the
+    * same per-doc bound every text metric here already has. */
+  def bpeEncodeSeq(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeSeq requires at least one merge")
+    val words = df.select(col(idCol),
+      posexplode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as(Seq("__i", "__w")))
+    val vocabSyms = words.select("__w").distinct()
+      .select(col("__w"), bpeFoldChain(merges).as("__sym"))
+    words.join(vocabSyms, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("__sym"), " "))).cast("long").as("n_sym"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__i"), col("__sym")))),
+          x => x.getField("__sym")), " ").as("tokens"))
+  }
+
+  /** The composed greedy-left fold chain of a trained merge list, applied
+    * to the char+`</w>` decomposition of word column `__w` — shared by
+    * [[bpeEncode]] (counts) and [[bpeEncodeSeq]] (sequence). */
+  private def bpeFoldChain(merges: Seq[(String, String)]): Column = {
     def app(out: Column, x: Column) =
       when(out === "", x).otherwise(concat(out, lit(" "), x))
     def fold(sym: Column, a: String, b: String): Column = aggregate(
@@ -842,15 +889,6 @@ object TextFunctions {
         .otherwise(app(acc.getField("o"), acc.getField("p"))))
     val sym0 = concat_ws(" ", expr(
       "concat(transform(sequence(1, char_length(__w)), i -> substring(__w, i, 1)), array('</w>'))"))
-    val enc = merges.foldLeft(sym0) { case (s, (a, b)) => fold(s, a, b) }
-    val words = df.select(col(idCol),
-      explode(regexp_extract_all(lower(col(textCol)),
-        lit("[a-z0-9]+"), lit(0))).as("__w"))
-    val vocabSyms = words.select("__w").distinct()
-      .select(col("__w"), size(split(enc, " ")).cast("long").as("__k"))
-    words.join(vocabSyms, Seq("__w"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("__k")).cast("long").as("n_sym"))
+    merges.foldLeft(sym0) { case (s, (a, b)) => fold(s, a, b) }
   }
 }

@@ -28,6 +28,9 @@ class PlanShapeSpec extends SparkSuite {
     // single-row corpus-count broadcast (tf-idf idf factor / surprisal N /
     // the HLL estimate row x exact-distinct row / BM25's (N, avgdl) row)
     "q42_tfidf_top", "q59_unigram_surprisal", "q72_hll_distinct", "q74_bm25",
+    // q72's estimate-row x exact-distinct-row cross on the streamed
+    // register snapshot
+    "q196_stream_hll",
     // single-row threshold broadcast into the sketch gate + exact cut
     "q77_heavy_hitters",
     // single-row ring-size (max idx + 1) broadcast cross into the

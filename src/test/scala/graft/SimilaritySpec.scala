@@ -154,6 +154,51 @@ class SimilaritySpec extends SparkSuite {
     assert(perQ.forall(_.getLong(1) <= 10))
   }
 
+  test("IVF corpus-scaled operating point: nLists grows with the corpus, recall and candidate work hold") {
+    // The production regime the q181 oracle row cannot replay: when the
+    // corpus grows, the coarse quantizer retrains with nLists ∝ corpus so
+    // corpus/nLists — hence per-query candidate work — stays ~flat at the
+    // SAME nProbe. 4× the fixture (id-offset copies, the ScaleUpBench
+    // shape), 4× the lists, identical queries.
+    val e1 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val e4 = (0 until 4).map(c =>
+        e1.select((col("vec_id") + c * 100000000L).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val q = e1.where(col("vec_id") % 100 === 0)
+    val nProbe = 4
+    def cands(e: org.apache.spark.sql.DataFrame, nLists: Int): (Long, Set[(Long, Long)]) = {
+      val index = Similarity.ivfTrain(e, nLists = nLists)
+      val n = e.withColumn("list_id", Similarity.ivfListId(col("embedding"), index))
+        .join(q.select(col("vec_id").as("q_id"),
+          explode(Similarity.ivfProbeLists(col("embedding"), index, nProbe))
+            .as("list_id")), Seq("list_id"))
+        .count()
+      val hits = Similarity.ivfTopK(e, q, 10, index, nProbe = nProbe)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (n, hits)
+    }
+    val (c1, hits1) = cands(e1, 16)
+    val (c4, hits4) = cands(e4, 64)
+    // candidate work per query stays ~flat (k-means balance is imperfect;
+    // 2.5x headroom vs the 4x a fixed-nLists quantizer would pay)
+    assert(c4.toDouble / c1 < 2.5,
+      s"scaled-nLists candidate work grew ${c4.toDouble / c1}x for 4x corpus")
+    // recall at each scale against THAT scale's own brute-force truth
+    // (a 4x top-10 is dominated by the 4 copies of the top few vectors,
+    // so folding 4x hits onto the 1x truth would cap recall near 0.3
+    // even for a PERFECT search)
+    val brute1 = Similarity.bruteForceTopK(e1, q, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute4 = Similarity.bruteForceTopK(e4, q, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (hits1 & brute1).size.toDouble / brute1.size
+    val r4 = (hits4 & brute4).size.toDouble / brute4.size
+    assert(r1 > 0.2, s"1x recall=$r1")
+    assert(r4 > 0.2, s"4x scaled-nLists recall=$r4")
+  }
+
   test("anchored IVF: full probe == brute force; q61 operating point recall holds") {
     // q61's quantizer: deterministic hashAnchors (SQL-replayable). At
     // nProbe == anchors.length every cell is probed, so the result must

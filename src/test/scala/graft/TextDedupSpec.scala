@@ -261,6 +261,71 @@ class TextDedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental band-index append == rebuild (path and table); mismatched/blind appends rejected") {
+    val corpus = (0L until 60L).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog number ${i % 7} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail$i extra words ${i * 31}")
+    }.toDF("doc_id", "text")
+    val histA = corpus.where(col("doc_id") % 4 === 0)
+    val histB = corpus.where(col("doc_id") % 4 === 2)
+    val hist = corpus.where(col("doc_id") % 2 === 0)
+    val fresh = corpus.where(col("doc_id") % 2 === 1)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pInc = new java.io.File(tmp, s"graft_bidx_inc_${System.nanoTime()}").getPath
+    val pFull = new java.io.File(tmp, s"graft_bidx_full_${System.nanoTime()}").getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      // blind append (no index at path) is rejected: nothing to merge into
+      val e0 = intercept[IllegalArgumentException] {
+        Dedup.appendToBandIndex(histB, "text", "doc_id", pInc)
+      }
+      assert(e0.getMessage.contains("no band index"))
+      Dedup.writeBandIndex(histA, "text", "doc_id", pInc)
+      Dedup.appendToBandIndex(histB, "text", "doc_id", pInc)
+      Dedup.writeBandIndex(hist, "text", "doc_id", pFull)
+      def probe(p: String) =
+        Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", p, threshold = 0.4)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val inc = probe(pInc)
+      assert(inc.nonEmpty && inc == probe(pFull),
+        "append over two batches must equal the one-shot rebuild")
+      // a mismatched append would poison the index — rejected at plan time
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.appendToBandIndex(histB, "text", "doc_id", pInc, seed = 7L)
+      }
+      assert(e1.getMessage.contains("seed=7"))
+      // the table variant: same two-step build equals the path rebuild,
+      // and the merged table still scans bucketed
+      Dedup.writeBandIndexTable(histA, "text", "doc_id",
+        "graft_band_idx_incr", nBuckets = 4)
+      Dedup.appendToBandIndexTable(histB, "text", "doc_id",
+        "graft_band_idx_incr")
+      val viaTable = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
+        "graft_band_idx_incr", threshold = 0.4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(viaTable == inc)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
+          "graft_band_idx_incr", threshold = 0.4)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"appended index must still scan bucketed:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.appendToBandIndexTable(histB, "text", "doc_id",
+          "graft_band_idx_incr", seed = 7L)
+      }
+      assert(e2.getMessage.contains("seed=7"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_band_idx_incr")
+      rm(new java.io.File(pInc)); rm(new java.io.File(pFull))
+    }
+  }
+
   test("bucketed band-index TABLE: probe == path probe, index side joins with no shuffle") {
     val corpus = (0L until 60L).map { i =>
       val base = s"the quick brown fox jumps over the lazy dog number ${i % 7} again and again"
@@ -532,6 +597,40 @@ class TextDedupSpec extends SparkSuite {
       assert(ntok - nKept == frac(id), s"doc $id") }
     // invariant to physical partitioning
     val rep = graft.functions.Dedup.removeDupSpans(docs.repartition(7), "id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rep == got)
+  }
+
+  test("removeDupSpansKeepOne: canonical min-(doc,pos) occurrence survives, partitioning-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q x y z r s"),   // holds the canonical "x y z" -> untouched
+      (2L, "x y z r2 s2"),   // the later "x y z" occurrence -> covered [1,4)
+      (3L, "a a a a a a"),   // "a a a" x4: canonical (3,1) keeps pos 1 only
+      (4L, "u v w only here once"),
+      (5L, "xy")).toDF("id", "text")
+    val got = graft.functions.Dedup.removeDupSpansKeepOne(docs, "id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((6L, 6L, "q x y z r s"))) // exactly one copy survives
+    assert(got(2L) == ((5L, 2L, "r2 s2")))
+    assert(got(3L) == ((6L, 1L, "a"))) // self-overlap: canonical window's
+    // positions 2,3 fall to the marked occurrences at p=2,3 — keep-one is
+    // a window-level guarantee, positions yield to OTHER duplicated windows
+    assert(got(4L) == ((6L, 6L, "u v w only here once")))
+    assert(got(5L) == ((1L, 1L, "xy")))
+    // keep-one removes a subset of the both-occurrences variant, never more
+    val both = graft.functions.Dedup.removeDupSpans(docs, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, nKept, _)) =>
+      assert(nKept >= both(id), s"doc $id kept fewer than the both-variant") }
+    // the canonical argmin is global and deterministic: invariant to
+    // physical partitioning
+    val rep = graft.functions.Dedup
+      .removeDupSpansKeepOne(docs.repartition(7), "id", "text", 3)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap

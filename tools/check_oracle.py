@@ -10,13 +10,17 @@ Comparison is order-insensitive (rows sorted, columns sorted by name) and
 STRICT: dtype kinds must match and values must match exactly (floats by
 bit pattern, not tolerance).
 
-Usage: check_oracle.py [sfDir] [outDir]
+Usage: check_oracle.py [sfDir] [outDir] [namePrefixes]
+  namePrefixes: optional comma-separated query-name prefixes — check only
+  those (local iteration after a partial Verify run; the full gate always
+  runs with no filter).
 """
 import duckdb, json, sys, math, struct
 import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -44,6 +48,9 @@ def norm(df):
     return sorted(rows)
 
 fails = 0
+if prefixes:
+    oracle = {k: v for k, v in oracle.items()
+              if any(k.startswith(p) for p in prefixes)}
 for name, sql in sorted(oracle.items()):
     try:
         exp = con.execute(sql).fetchdf()
