@@ -33,7 +33,16 @@ object IvfScaleBench {
     ScaleUpBench.buildScaled(spark, srcDir, outDir, factor)
 
     def run(dir: String, fac: Int, regime: String): Unit = {
-      val nLists = if (regime == "scaled") baseLists * fac else baseLists
+      // three sizings: fixed (q181's SQL-replayable config — candidate work
+      // grows with the corpus), sqrt (the classic production rule,
+      // nLists ∝ √N — assignment and candidate work grow together as √f),
+      // linear (nLists ∝ N — candidates flat, but the per-row assignment
+      // is O(nLists·dim) and becomes the bottleneck)
+      val nLists = regime match {
+        case "scaled_linear" => baseLists * fac
+        case "scaled_sqrt"   => baseLists * math.round(math.sqrt(fac)).toInt
+        case _               => baseLists
+      }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       // fixed query set: original-copy ids only (copy 0 is the identity
       // remap), every 50th — identical queries at every scale
@@ -64,8 +73,8 @@ object IvfScaleBench {
 
     run(srcDir, 1, "fixed")
     run(outDir, factor, "fixed")
-    run(srcDir, 1, "scaled") // == fixed at 1x (same nLists); sanity row
-    run(outDir, factor, "scaled")
+    run(outDir, factor, "scaled_sqrt")
+    run(outDir, factor, "scaled_linear")
     spark.stop()
   }
 }

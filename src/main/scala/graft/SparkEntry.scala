@@ -2831,6 +2831,29 @@ object SparkEntry {
         java.nio.file.Files.createFile(done.toPath)
       }
       Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
+    }),
+
+    // Retrieval evaluation, LABEL PATH (the 64× fix): q190's same-source
+    // weak-label eval without materializing the (query × relevant-doc)
+    // pair frame — a handful of shared sources made that frame grow 4096×
+    // at 64× (measured 56× wall on q190). Here n_rel is a source-keyed
+    // count joined to the queries and hit-marking joins only the top-k
+    // result rows to the doc labels. Output ≡ q190 (oracle verbatim).
+    "q204_ranking_metrics_label" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_idx_${datasetStamp(dir)}"
+      if (!sp.catalog.tableExists(tbl))
+        graft.functions.TfIdf.writeBm25Index(d, "doc_id", "text", tbl, nBuckets = 32)
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      val res = graft.functions.TfIdf.bm25AgainstIndex(q, "qid", "qtext", tbl, 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qLabels = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"), col("source"))
+      graft.functions.Stats.rankingMetricsByLabel(res,
+        qLabels, d.select(col("doc_id"), col("source")),
+        "qid", "doc_id", "rank", "source", 10)
     })
   )
 
@@ -3158,6 +3181,38 @@ object SparkEntry {
        |      FROM f)
        |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
   }
+
+  /** q190's retrieval-evaluation replay — shared verbatim by the
+    * pair-truth row (q190) and the label-path production substitution
+    * (q204), whose plan never materializes the (query × relevant-doc)
+    * pair frame. */
+  private lazy val q190Sql =
+    s"""WITH bm AS ($bm25ReplaySql),
+      |res AS (SELECT qid, doc_id, CAST(rank AS BIGINT) AS r FROM bm
+      |        WHERE rank BETWEEN 1 AND 10),
+      |qs AS (SELECT doc_id AS qid, source FROM documents WHERE doc_id % 50 = 0),
+      |rel AS (SELECT DISTINCT q.qid, d.doc_id
+      |        FROM qs q JOIN documents d ON d.source = q.source),
+      |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+      |h AS (SELECT r.qid, min(r.r) AS first,
+      |             list(round(1.0 / log2(CAST(r.r AS DOUBLE) + 1.0), 6)
+      |                  ORDER BY r.r) AS gs
+      |      FROM res r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+      |      GROUP BY r.qid),
+      |qq AS (SELECT DISTINCT qid FROM res)
+      |SELECT qq.qid, CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+      |       h.first IS NOT NULL AS hit,
+      |       round(CASE WHEN h.first IS NOT NULL
+      |             THEN 1.0 / CAST(h.first AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+      |       round(CASE WHEN least(coalesce(nr.n_rel, 0), 10) > 0
+      |             THEN list_reduce(list_prepend(0.0, coalesce(h.gs, CAST([] AS DOUBLE[]))),
+      |                              (a, b) -> a + b)
+      |                  / list_reduce(list_prepend(0.0,
+      |                      list_transform(range(1, least(coalesce(nr.n_rel, 0), 10) + 1),
+      |                        i -> round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6))),
+      |                      (a, b) -> a + b)
+      |             ELSE 0.0 END, 6) AS ndcg
+      |FROM qq LEFT JOIN h ON h.qid = qq.qid LEFT JOIN nr ON nr.qid = qq.qid""".stripMargin
 
   /** q64's full MinHash index-probe replay — shared verbatim by the batch
     * row and q203's incrementally-built index (append ≡ rebuild). */
@@ -6804,33 +6859,11 @@ object SparkEntry {
     // q78's BM25 replay as the ranked results, same-source relevance,
     // then the metric math: 6 dp pre-fold rounded 1/log2(r+1) gains,
     // rank-ordered 0.0-seeded folds for DCG and the ideal DCG.
-    "q190_ranking_metrics" ->
-      s"""WITH bm AS ($bm25ReplaySql),
-        |res AS (SELECT qid, doc_id, CAST(rank AS BIGINT) AS r FROM bm
-        |        WHERE rank BETWEEN 1 AND 10),
-        |qs AS (SELECT doc_id AS qid, source FROM documents WHERE doc_id % 50 = 0),
-        |rel AS (SELECT DISTINCT q.qid, d.doc_id
-        |        FROM qs q JOIN documents d ON d.source = q.source),
-        |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
-        |h AS (SELECT r.qid, min(r.r) AS first,
-        |             list(round(1.0 / log2(CAST(r.r AS DOUBLE) + 1.0), 6)
-        |                  ORDER BY r.r) AS gs
-        |      FROM res r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
-        |      GROUP BY r.qid),
-        |qq AS (SELECT DISTINCT qid FROM res)
-        |SELECT qq.qid, CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
-        |       h.first IS NOT NULL AS hit,
-        |       round(CASE WHEN h.first IS NOT NULL
-        |             THEN 1.0 / CAST(h.first AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
-        |       round(CASE WHEN least(coalesce(nr.n_rel, 0), 10) > 0
-        |             THEN list_reduce(list_prepend(0.0, coalesce(h.gs, CAST([] AS DOUBLE[]))),
-        |                              (a, b) -> a + b)
-        |                  / list_reduce(list_prepend(0.0,
-        |                      list_transform(range(1, least(coalesce(nr.n_rel, 0), 10) + 1),
-        |                        i -> round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6))),
-        |                      (a, b) -> a + b)
-        |             ELSE 0.0 END, 6) AS ndcg
-        |FROM qq LEFT JOIN h ON h.qid = qq.qid LEFT JOIN nr ON nr.qid = qq.qid""".stripMargin,
+    "q190_ranking_metrics" -> q190Sql,
+
+    // Label-path ranking metrics ≡ pair-truth ranking metrics: q190's
+    // oracle VERBATIM over the plan that never materializes the pair frame.
+    "q204_ranking_metrics_label" -> q190Sql,
 
     // q19's arg-max SQL on the 10% user slice — the streamed backward
     // as-of is exact under event-time-ordered arrival, which the joint

@@ -606,7 +606,6 @@ object Stats {
   def rankingMetrics(results: DataFrame, truth: DataFrame, qCol: String,
       dCol: String, rankCol: String, k: Int): DataFrame = {
     require(k >= 1, s"rankingMetrics requires k >= 1, got $k")
-    def gain(r: Column) = round(lit(1.0) / log2(r.cast("double") + 1.0), 6)
     val res = results
       .select(col(qCol), col(dCol), col(rankCol).cast("long").as("__r"))
       .where(col("__r") >= 1 && col("__r") <= k)
@@ -616,6 +615,47 @@ object Stats {
       .groupBy(col(qCol))
       .agg(min(col("__r")).as("__first"),
         sort_array(collect_list(col("__r"))).as("__hr"))
+    metricsFromHits(res, hits, nRel, qCol, k)
+  }
+
+  /** [[rankingMetrics]] for LABEL-DEFINED relevance (same-source /
+    * same-topic weak labels — the standard retriever eval) WITHOUT the
+    * (query × relevant-doc) pair frame: a popular label makes that frame
+    * quadratic (64× corpus × 64× queries sharing a handful of sources grew
+    * q190's truth 4096× — measured 56× wall), while here `n_rel` is a
+    * label-keyed count joined back to the queries and hit-marking joins
+    * only the top-k-bounded RESULT rows to the doc labels. Output is
+    * IDENTICAL to `rankingMetrics(results, qLabels ⋈ dLabels on label)`
+    * (pinned by q204 running q190's oracle verbatim) under the usual
+    * weak-label shape: one label per query and per doc. */
+  def rankingMetricsByLabel(results: DataFrame, qLabels: DataFrame,
+      dLabels: DataFrame, qCol: String, dCol: String, rankCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetricsByLabel requires k >= 1, got $k")
+    val res = results
+      .select(col(qCol), col(dCol), col(rankCol).cast("long").as("__r"))
+      .where(col("__r") >= 1 && col("__r") <= k)
+    val ql = qLabels.select(col(qCol), col(labelCol).as("__ql")).distinct()
+    val dl = dLabels.select(col(dCol), col(labelCol).as("__dl")).distinct()
+    val nRel = ql.join(
+        dl.groupBy(col("__dl")).agg(count(lit(1)).as("n_rel")),
+        col("__ql") === col("__dl"), "left")
+      .select(col(qCol), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+    val hits = res.join(dl, Seq(dCol)).join(ql, Seq(qCol))
+      .where(col("__dl") === col("__ql"))
+      .groupBy(col(qCol))
+      .agg(min(col("__r")).as("__first"),
+        sort_array(collect_list(col("__r"))).as("__hr"))
+    metricsFromHits(res, hits, nRel, qCol, k)
+  }
+
+  /** Shared metric projection of the two ranking-metric variants: per
+    * query, hit@k / MRR / binary nDCG@k from the (first hit rank, hit
+    * ranks, n_rel) frames. DCG gains round 6 dp before the rank-ordered
+    * 0.0-seeded fold, so the metrics are engine-bit-exact. */
+  private def metricsFromHits(res: DataFrame, hits: DataFrame,
+      nRel: DataFrame, qCol: String, k: Int): DataFrame = {
+    def gain(r: Column) = round(lit(1.0) / log2(r.cast("double") + 1.0), 6)
     res.select(col(qCol)).distinct()
       .join(hits, Seq(qCol), "left")
       .join(nRel, Seq(qCol), "left")

@@ -165,6 +165,30 @@ class RelStatsSpec extends SparkSuite {
     assert(p.getLong(1) == 5L && p.getDouble(4) == 1.0)
   }
 
+  test("rankingMetricsByLabel == rankingMetrics over the label-derived pair truth") {
+    // label universe: docs 1-12 across 3 labels; queries carry a label
+    // each (incl. one whose label has no docs -> n_rel 0)
+    val dLabels = (1L to 12L).map(d => (d, s"s${d % 3}")).toDF("d", "lab")
+    val qLabels = Seq((1L, "s0"), (2L, "s1"), (3L, "s2"), (4L, "zz"))
+      .toDF("q", "lab")
+    val results = Seq(
+      (1L, 3L, 1L), (1L, 4L, 2L), (1L, 6L, 3L),  // q1 label s0: docs 3,6,9,12
+      (2L, 1L, 1L), (2L, 2L, 2L),                // q2 label s1: docs 1,4,7,10
+      (3L, 5L, 1L), (3L, 9L, 2L),                // q3 label s2: docs 2,5,8,11
+      (4L, 1L, 1L)                               // q4: label matches nothing
+    ).toDF("q", "d", "rk")
+    val truth = qLabels.join(dLabels, "lab").select("q", "d")
+    val viaPairs = Stats.rankingMetrics(results, truth, "q", "d", "rk", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val viaLabel = Stats.rankingMetricsByLabel(results, qLabels, dLabels,
+        "q", "d", "rk", "lab", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(viaLabel == viaPairs)
+    assert(viaLabel(4L) == ((0L, false, 0.0, 0.0))) // label with no docs
+  }
+
   // ------------------------------------------------------------ rocAuc
 
   test("rocAuc: perfect separation 1.0, reversed 0.0, single tie 0.5") {
