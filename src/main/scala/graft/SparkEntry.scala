@@ -2854,6 +2854,35 @@ object SparkEntry {
       graft.functions.Stats.rankingMetricsByLabel(res,
         qLabels, d.select(col("doc_id"), col("source")),
         "qid", "doc_id", "rank", "source", 10)
+    }),
+
+    // Incremental BM25 index maintenance: the q78 index built in TWO
+    // ingestion steps over the split-stats layout (postings are immutable
+    // per-doc facts; per-term df and the (n, sumdl) sentinel fold
+    // incrementally — history postings never re-read), probed with q78's
+    // queries. Append ≡ rebuild ≡ the classic embedded-df index, so the
+    // oracle is q78's full BM25 replay verbatim. Readiness is checked via
+    // the stats sentinel's doc count: a crash between write and append
+    // leaves n < total and forces a clean rebuild.
+    "q205_bm25_index_incr" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_incr_${datasetStamp(dir)}"
+      val total = d.count()
+      val ready = sp.catalog.tableExists(tbl) &&
+        sp.catalog.tableExists(s"${tbl}_stats") &&
+        sp.table(s"${tbl}_stats").where(col("term").isNull)
+          .select("n").head().getLong(0) == total
+      if (!ready) {
+        graft.functions.TfIdf.writeBm25IndexIncr(
+          d.where(pmod(col("doc_id"), lit(2L)) === 0L),
+          "doc_id", "text", tbl, nBuckets = 32)
+        graft.functions.TfIdf.appendToBm25Index(
+          d.where(pmod(col("doc_id"), lit(2L)) === 1L), "doc_id", "text", tbl)
+      }
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      graft.functions.TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext", tbl, 10)
     })
   )
 
@@ -4168,6 +4197,10 @@ object SparkEntry {
     // The index probe must equal the direct path bit for bit — same
     // corpus, same queries, same oracle.
     "q78_bm25_index" -> bm25ReplaySql,
+
+    // Incremental BM25 maintenance ≡ rebuild ≡ the direct path: the
+    // two-step split-stats index answers q78's replay verbatim.
+    "q205_bm25_index_incr" -> bm25ReplaySql,
 
     // q17's pair pipeline -> recursive min-reachability closure -> q10's
     // quality formula -> first_value window picks the (quality DESC, id)

@@ -254,6 +254,42 @@ object Similarity {
       .mode("overwrite").saveAsTable(tableName)
   }
 
+  /** Fold a new vector batch into a [[writeIvfIndexTable]] index: the
+    * batch assigns against the FROZEN centroids stored in the table's
+    * schema metadata (index rows are per-vector facts under a fixed
+    * quantizer, so append ≡ rebuild exactly — spec-pinned) and appends
+    * into the existing bucket layout (numBuckets from the catalog).
+    * Freezing the quantizer is the production IVF contract: lists drift as
+    * the corpus distribution shifts, and the retrain cadence is a
+    * corpus-level decision ([[ivfTrain]] + a fresh write), not something
+    * an ingestion batch may do implicitly — a batch that silently
+    * retrained would reassign NOTHING of the history and poison the
+    * index. Caller owns id-uniqueness across batches. */
+  def appendToIvfIndexTable(newVecs: DataFrame, tableName: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val sp = newVecs.sparkSession
+    require(sp.catalog.tableExists(tableName),
+      s"no IVF index table at $tableName (write one with writeIvfIndexTable " +
+        "before appending)")
+    val idx = sp.table(tableName)
+    val m = idx.schema.find(_.name == "list_id").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    require(m.contains("graft.ivf.dim") && m.contains("graft.ivf.centroids"),
+      s"table $tableName was not written by writeIvfIndexTable (missing centroids)")
+    val dim = m.getLong("graft.ivf.dim").toInt
+    val index = IvfIndex(m.getDoubleArray("graft.ivf.centroids").grouped(dim).toArray)
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    withNorm(newVecs.select(col(idCol), col(vecCol)), vecCol, "__vd", "__n")
+      .withColumn("__list", ivfListId(col(vecCol), index))
+      .select(col(idCol), col("__vd").as("vec"), col("__n").as("norm"),
+        col("__list").as("list_id"))
+      .write.format("parquet")
+      .bucketBy(spec.get.numBuckets, "list_id").sortBy("list_id")
+      .mode("append").saveAsTable(tableName)
+  }
+
   /** IVF approximate top-k against a [[writeIvfIndexTable]] table —
     * bit-identical to [[ivfTopK]] over the same corpus and index (stored
     * doubles round-trip exactly through parquet; the probe replays the same

@@ -137,6 +137,125 @@ object TfIdf {
       .mode("overwrite").saveAsTable(tableName)
   }
 
+  /** INCREMENTAL-friendly BM25 index. [[writeBm25Index]] embeds the
+    * per-term `df` in every posting row, which makes the layout
+    * append-PROOF: one new document changes the df of every term it
+    * contains, i.e. rows scattered across the whole history. This variant
+    * splits the global state out: postings are (term, id, tf, dl) —
+    * per-document facts that never change — bucketed by `term`, and a
+    * companion `<name>_stats` table holds the per-term df plus one
+    * NULL-term sentinel row with the corpus constants (n, sumdl), bucketed
+    * by `term` with the same bucket count so the probe-time df join is
+    * co-located (no shuffle on either side). Appending a batch then costs:
+    * append the batch's postings (new files in the bucket layout), fold
+    * the batch's df/n/sumdl into the stats table (stats-sized work — the
+    * HISTORY POSTINGS ARE NEVER RE-READ). */
+  def writeBm25IndexIncr(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val sp = docs.sparkSession
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val nDocs = docs.count()
+    val sumDl = tf.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, tableName)
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats")
+    tf.join(dl, "id").select(col("term"), col("id"), col("tf"), col("dl"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(tableName)
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sumdl"))
+    val sentinel = sp.range(1).select(
+      lit(null).cast("string").as("term"), lit(null).cast("long").as("df"),
+      lit(nDocs).as("n"), lit(sumDl).as("sumdl"))
+    dfr.unionByName(sentinel)
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats")
+  }
+
+  /** Fold a new document batch into a [[writeBm25IndexIncr]] index:
+    * postings append into the existing bucket layout; per-term df and the
+    * (n, sumdl) sentinel fold via a full-outer merge of the OLD STATS with
+    * the batch's term counts — work proportional to the stats table, never
+    * the posting history. The merged stats stage through `<name>_stats_stage`
+    * (Spark cannot overwrite a table that is an input of the writing plan)
+    * and then replace the stats table. Caller owns id-uniqueness across
+    * batches (re-probe before appending, same contract as the band index). */
+  def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+      tableName: String): Unit = {
+    val sp = newDocs.sparkSession
+    require(sp.catalog.tableExists(tableName) &&
+      sp.catalog.tableExists(s"${tableName}_stats"),
+      s"no incremental BM25 index at $tableName (write one with " +
+        "writeBm25IndexIncr before appending)")
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    val nBuckets = spec.get.numBuckets
+    val toks = newDocs.select(col(idCol).cast("long").as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumed thrice: postings, df fold, sumdl
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val newN = newDocs.count()
+    val newSumDl = tf.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
+    tf.join(dl, "id").select(col("term"), col("id"), col("tf"), col("dl"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("append").saveAsTable(tableName)
+    val old = sp.table(s"${tableName}_stats")
+    val newDf = tf.groupBy("term").agg(count(lit(1)).as("__df2"))
+    val merged = old.where(col("term").isNotNull)
+      .join(newDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__df2"), lit(0L))).as("df"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sumdl"))
+      .unionByName(old.where(col("term").isNull)
+        .select(col("term"), col("df"),
+          (col("n") + newN).as("n"), (col("sumdl") + newSumDl).as("sumdl")))
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats_stage")
+    merged.write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats_stage")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats")
+    sp.table(s"${tableName}_stats_stage")
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats")
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stats_stage")
+    ()
+  }
+
+  /** BM25 top-`k` against a [[writeBm25IndexIncr]] index — bit-identical
+    * to [[bm25AgainstIndex]] / [[bm25TopK]] over the same corpus: the df
+    * join is co-located (both tables bucketed by term), the corpus
+    * constants come from the stats sentinel, and the contribution math is
+    * shared, so scores agree to the bit. */
+  def bm25AgainstIndexIncr(queries: DataFrame, qidCol: String,
+      qtextCol: String, tableName: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25AgainstIndexIncr requires k >= 1, got $k")
+    val sp = queries.sparkSession
+    val stats = sp.table(s"${tableName}_stats")
+    val sent = stats.where(col("term").isNull).select("n", "sumdl").head()
+    val n = sent.getLong(0)
+    val avgdl = sent.getLong(1).toDouble / n
+    val postings = sp.table(tableName)
+      .join(stats.where(col("term").isNotNull).select("term", "df"), "term")
+      .select(col("term"), col("id"),
+        (round(bm25Contrib(lit(n), lit(avgdl), k1, b), 6)
+          .cast(DecimalType(18, 6)) * 1000000).cast("long").as("c"))
+    val matched = broadcast(bm25QueryTerms(queries, qidCol, qtextCol))
+      .join(postings, "term")
+      .select(col("qid"), col("id"), col("c"))
+    bm25SumAndRank(matched, k)
+  }
+
   /** BM25 top-`k` against a [[writeBm25Index]] table — bit-identical to
     * [[bm25TopK]] over the same corpus (same float op order; the corpus
     * constants ride the catalog metadata). Rejects tables that are not

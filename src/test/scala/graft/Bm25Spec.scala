@@ -117,6 +117,54 @@ class Bm25Spec extends SparkSuite {
     }
   }
 
+  test("incremental BM25 index: two-step build == one-shot == classic index, df join adds no exchange") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val docs = corpus.toDF("doc_id", "text")
+    try {
+      // blind append (no index) rejected
+      val e0 = intercept[IllegalArgumentException] {
+        TfIdf.appendToBm25Index(docs, "doc_id", "text", "graft_bm25_incr_spec")
+      }
+      assert(e0.getMessage.contains("no incremental BM25 index"))
+      // two-step: odd docs first, evens appended
+      TfIdf.writeBm25IndexIncr(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", "graft_bm25_incr_spec", nBuckets = 4)
+      TfIdf.appendToBm25Index(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", "graft_bm25_incr_spec")
+      // one-shot incremental layout over the full corpus
+      TfIdf.writeBm25IndexIncr(docs, "doc_id", "text",
+        "graft_bm25_incr_one", nBuckets = 4)
+      val q = queries.toDF("qid", "qtext")
+      val twoStep = TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext",
+        "graft_bm25_incr_spec", 10).collect().map(_.toSeq).toSet
+      val oneShot = TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext",
+        "graft_bm25_incr_one", 10).collect().map(_.toSeq).toSet
+      val direct = run(k = 10).collect().map(_.toSeq).toSet
+      assert(twoStep.nonEmpty && twoStep == oneShot && twoStep == direct,
+        "append must fold df/n/sumdl so scores stay bit-identical")
+      // the split-out df join must be co-located: with broadcast off, the
+      // incremental probe plans NO MORE exchanges than the classic
+      // embedded-df probe over the same corpus
+      TfIdf.writeBm25Index(docs, "doc_id", "text", "graft_bm25_incr_cls",
+        nBuckets = 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(plan: String) = "Exchange".r.findAllIn(plan).size
+      val pIncr = TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext",
+        "graft_bm25_incr_spec", 10).queryExecution.executedPlan.toString
+      val pCls = TfIdf.bm25AgainstIndex(q, "qid", "qtext",
+        "graft_bm25_incr_cls", 10).queryExecution.executedPlan.toString
+      assert(pIncr.contains("Bucketed: true"), s"postings must scan bucketed:\n$pIncr")
+      assert(exchanges(pIncr) <= exchanges(pCls),
+        s"df join must not add a shuffle: incr=${exchanges(pIncr)} classic=${exchanges(pCls)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      Seq("graft_bm25_incr_spec", "graft_bm25_incr_spec_stats",
+        "graft_bm25_incr_one", "graft_bm25_incr_one_stats",
+        "graft_bm25_incr_cls", "graft_bm25_incr_spec_stats_stage")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("an orphaned warehouse location from a dead JVM does not block index writes") {
     // in-memory catalogs forget tables at JVM exit; warehouse dirs don't —
     // a rerun must clear the catalog-orphaned location, not die on

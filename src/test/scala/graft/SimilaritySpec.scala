@@ -259,6 +259,40 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("incremental IVF index: append under the frozen quantizer == rebuild; blind append rejected") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 100 === 0)
+    // the quantizer is trained ONCE on the first batch and frozen — the
+    // production contract (ingestion batches must not retrain implicitly)
+    val first = e.where(col("vec_id") % 2 === 0)
+    val second = e.where(col("vec_id") % 2 === 1)
+    val index = Similarity.ivfTrain(first, nLists = 8)
+    try {
+      val e0 = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndexTable(second, "graft_ivf_incr_idx")
+      }
+      assert(e0.getMessage.contains("no IVF index table"))
+      Similarity.writeIvfIndexTable(first, index, "graft_ivf_incr_idx", nBuckets = 4)
+      Similarity.appendToIvfIndexTable(second, "graft_ivf_incr_idx")
+      Similarity.writeIvfIndexTable(e, index, "graft_ivf_full_idx", nBuckets = 4)
+      val inc = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_incr_idx", nProbe = 3).collect().map(_.toSeq).toSet
+      val full = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_full_idx", nProbe = 3).collect().map(_.toSeq).toSet
+      assert(inc.nonEmpty && inc == full,
+        "append under the frozen quantizer must equal the one-shot rebuild")
+      // the merged table still scans bucketed
+      val plan = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_incr_idx", nProbe = 3, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"appended index must still scan bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_incr_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_full_idx")
+    }
+  }
+
   test("semanticDedup: cell assignment, smaller-id-wins drop rule, cross-cell dups survive") {
     import spark.implicits._
     // two orthogonal cell directions; duplicates planted along each
