@@ -2580,17 +2580,27 @@ object SparkEntry {
     // ------------------------------------------------------------------
 
     // Streaming BACKWARD as-of under the driver gate: q19's clicks and
-    // purchases (10% user slice) replay through two MemoryStreams cut at
-    // the same event-time quantiles. The per-key state is the latest
-    // purchase; lefts emit the moment they process, so no flush batch is
-    // needed. Oracle = q19's arg-max SQL on the slice.
+    // purchases (10% user slice) replay as ONE side-tagged MemoryStream
+    // cut at joint event-time quantiles, split into the two as-of inputs
+    // INSIDE the streaming query. One stream means one addData block per
+    // joint batch — atomic, so no spontaneous trigger can ever process a
+    // clicks-only prefix before its same-batch purchases (two separate
+    // MemoryStreams raced exactly that way: the default continuous
+    // trigger fired between the two addData calls and 521 sf0.1 clicks
+    // missed purchases, timing-dependent). The per-key state is the
+    // latest purchase; lefts emit the moment they process, so no flush
+    // batch is needed. Oracle = q19's arg-max SQL on the slice.
     "q191_stream_asof" -> ((sp, dir) => {
       import sp.implicits._
-      val (clicks, purchases, _, _) = asofSliceBatches(sp, dir)
-      replayStream2(sp, clicks, purchases) { (l, r) =>
+      val (batches, _, _) = asofSliceBatches(sp, dir)
+      replayStream(sp, batches) { df =>
         graft.streaming.StreamingAsof.asofJoinStream(
-          l.toDF("user_id", "ts", "click_id"),
-          r.toDF("user_id", "pts", "purchase_id", "purchase_value"),
+          df.where(col("_1") === 1)
+            .select(col("_2").as("user_id"), col("_3").as("ts"),
+              col("_4").as("click_id")),
+          df.where(col("_1") === 0)
+            .select(col("_2").as("user_id"), col("_3").as("pts"),
+              col("_4").as("purchase_id"), col("_5").as("purchase_value")),
           "ts", "pts", Seq("user_id" -> "user_id"))
       }
     }),
@@ -2601,16 +2611,21 @@ object SparkEntry {
     // far-future sentinel purchase per sliced user; a 50-year tolerance
     // (≫ any real gap, ≪ the 100-year sentinel offset) makes the sentinel
     // resolve those clicks UNMATCHED — exactly the batch left-join's
-    // nulls. Oracle = q41's arg-min SQL on the slice, no tolerance needed.
+    // nulls. Same single side-tagged stream as q191 (atomic joint
+    // batches). Oracle = q41's arg-min SQL on the slice, no tolerance.
     "q192_stream_asof_fwd" -> ((sp, dir) => {
       import sp.implicits._
-      val (clicks, purchases, users, maxTs) = asofSliceBatches(sp, dir)
+      val (batches, users, maxTs) = asofSliceBatches(sp, dir)
       val yearNs = 365L * 86400L * 1000000000L
-      val flush = users.map(u => (u, maxTs + 100L * yearNs, -1L, 0.0))
-      replayStream2(sp, clicks, purchases :+ flush) { (l, r) =>
+      val flush = users.map(u => (0, u, maxTs + 100L * yearNs, -1L, 0.0))
+      replayStream(sp, batches :+ flush) { df =>
         graft.streaming.StreamingAsof.asofJoinStreamForward(
-          l.toDF("user_id", "ts", "click_id"),
-          r.toDF("user_id", "pts", "purchase_id", "purchase_value"),
+          df.where(col("_1") === 1)
+            .select(col("_2").as("user_id"), col("_3").as("ts"),
+              col("_4").as("click_id")),
+          df.where(col("_1") === 0)
+            .select(col("_2").as("user_id"), col("_3").as("pts"),
+              col("_4").as("purchase_id"), col("_5").as("purchase_value")),
           "ts", "pts", Seq("user_id" -> "user_id"),
           tolerance = Some(50L * yearNs))
       }
@@ -2886,37 +2901,33 @@ object SparkEntry {
     })
   )
 
-  /** q19/q41's click/purchase frames on the 10% user slice, collected and
-    * cut into three joint-event-time micro-batches (shared cuts on the
-    * UNION of both sides' times, so cross-batch arrival order = event-time
-    * order for the two-stream as-of replays). Also returns the sliced
-    * click users and the global max time for q192's sentinel flush. The
-    * fixture has no (user_id, ts) ties, so the latest/first-right state
-    * transitions are deterministic without a tie rule. */
+  /** q19/q41's click/purchase rows on the 10% user slice as ONE
+    * side-tagged sequence — (side 1=click/0=purchase, user_id, ts,
+    * event_id, value) — cut into three joint-event-time micro-batches.
+    * One combined stream keeps each joint batch a single atomic addData
+    * block (one micro-batch sees all of it, any trigger timing), which is
+    * what makes the as-of replays' arrival order provably equal event-time
+    * order. Also returns the sliced click users and the global max time
+    * for q192's sentinel flush. The fixture has no (user_id, ts) ties, so
+    * the latest/first-right state transitions are deterministic without a
+    * tie rule. */
   private def asofSliceBatches(sp: SparkSession, dir: String)
-      : (Seq[Seq[(Long, Long, Long)]], Seq[Seq[(Long, Long, Long, Double)]],
-         Seq[Long], Long) = {
+      : (Seq[Seq[(Int, Long, Long, Long, Double)]], Seq[Long], Long) = {
     val ev = table(sp, dir, "events")
-      .where(pmod(col("user_id"), lit(10L)) === 0L)
-      .withColumn("tsq", expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id").cast("long"), col("tsq").cast("long"),
-        col("event_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id").cast("long"), col("tsq").cast("long"),
+      .where(pmod(col("user_id"), lit(10L)) === 0L &&
+        col("event_type").isin("click", "purchase"))
+      .select(when(col("event_type") === "click", 1).otherwise(0).as("side"),
+        col("user_id").cast("long"),
+        (expr("unix_micros(cast(ts as timestamp))") * 1000L).as("tsq"),
         col("event_id").cast("long"), col("value"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = ev.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
       .toSeq
-    val all = (clicks.map(_._2) ++ purchases.map(_._2)).sorted
-    val (c1, c2) = (all(all.length / 3), all(2 * all.length / 3))
-    val lb = Seq(clicks.filter(_._2 < c1),
-      clicks.filter(c => c._2 >= c1 && c._2 < c2), clicks.filter(_._2 >= c2))
-    val rb = Seq(purchases.filter(_._2 < c1),
-      purchases.filter(p => p._2 >= c1 && p._2 < c2),
-      purchases.filter(_._2 >= c2))
-    (lb, rb, clicks.map(_._1).distinct.sorted, all.last)
+    val ts = rows.map(_._3).sorted
+    val (c1, c2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    val batches = Seq(rows.filter(_._3 < c1),
+      rows.filter(r => r._3 >= c1 && r._3 < c2), rows.filter(_._3 >= c2))
+    (batches, rows.filter(_._1 == 1).map(_._2).distinct.sorted, ts.last)
   }
 
   /** The q124 fixture: event-type transition graph with row-normalized
@@ -3023,33 +3034,13 @@ object SparkEntry {
     sp.table(name)
   }
 
-  /** Two-source replayStream for binary streaming operators (as-of): batch
-    * i of BOTH sides lands in the same trigger, so one event-time cut
-    * applied to both sides keeps their union event-time-ordered across
-    * triggers — the exactness precondition of the streaming as-of. Sides
-    * may have different batch counts (a trailing right-only flush batch). */
-  private def replayStream2[L <: Product, R <: Product](sp: SparkSession,
-      lBatches: Seq[Seq[L]], rBatches: Seq[Seq[R]])(
-      build: (DataFrame, DataFrame) => DataFrame)(
-      implicit lev: org.apache.spark.sql.Encoder[L],
-      rev: org.apache.spark.sql.Encoder[R]): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
-    val lIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[L]
-    val rIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[R]
-    val name = s"graft_stream_replay_${streamSeq.incrementAndGet()}"
-    val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
-    sp.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = build(lIn.toDF(), rIn.toDF()).writeStream.format("memory")
-        .queryName(name).outputMode("append").start()
-      try (0 until math.max(lBatches.length, rBatches.length)).foreach { i =>
-        if (i < lBatches.length && lBatches(i).nonEmpty) lIn.addData(lBatches(i))
-        if (i < rBatches.length && rBatches(i).nonEmpty) rIn.addData(rBatches(i))
-        q.processAllAvailable()
-      } finally q.stop()
-    } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
-    sp.table(name)
-  }
+  // NOTE deliberately NO two-source replay helper: with two MemoryStreams
+  // the engine's continuous trigger can fire BETWEEN the two addData calls
+  // and process a one-sided prefix of a joint batch, silently breaking the
+  // event-time-ordered-arrival precondition (observed: 521 sf0.1 as-of
+  // rows, timing-dependent). Binary operators replay through ONE
+  // side-tagged stream split inside the query — one addData block is one
+  // atomic micro-batch under any trigger timing.
 
   /** Shared fixture of the q191–q200 replay entries: the q184 10% user
     * slice of events as (user_id, ts, event_id, event_type) rows in the
