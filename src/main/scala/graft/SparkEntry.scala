@@ -2898,6 +2898,29 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
       graft.functions.TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext", tbl, 10)
+    }),
+
+    // BPE token-id VOCABULARY: the q187-trained encoder's distinct output
+    // symbols over the corpus, dense ids in lexicographic symbol order
+    // (the deterministic, tie-free assignment rule) with weighted corpus
+    // occurrence counts — the tokenizer artifact a training pipeline
+    // ships. The id window sorts a vocab-bounded frame only.
+    "q206_bpe_vocab" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TF.bpeVocab(d, "text", m)
+    }),
+
+    // BPE ENCODE TO IDS — the final model-feed surface: q201's symbol
+    // sequences mapped through the q206 vocab, one comma-joined id string
+    // per doc. Fold chain + symbol→id join run once per distinct word;
+    // the vocab broadcasts.
+    "q207_bpe_encode_ids" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TF.bpeEncodeIds(d, "doc_id", "text", m)
     })
   )
 
@@ -7150,6 +7173,138 @@ object SparkEntry {
         |SELECT s.doc_id, s.ntok,
         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(k.clean_text, '') AS clean_text
-        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin
+        |FROM sized s LEFT JOIN ka k ON k.doc_id = s.doc_id""".stripMargin,
+
+    // q187's trained vocab layers, then the encoder's output symbols over
+    // the distinct-word frame get dense ids in symbol order and weighted
+    // occurrence counts.
+    "q206_bpe_vocab" -> {
+      def o(acc: String) = s"split_part($acc, chr(1), 1)"
+      def p(acc: String) = s"split_part($acc, chr(1), 2)"
+      def app(out: String, x: String) =
+        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
+      def vocabLayer(r: Int): String = {
+        val v = s"v${r - 1}"
+        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
+           |            WHERE len(str_split(s, ' ')) >= 2),
+           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
+           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
+           |               a[CAST(i + 1 AS INTEGER)] AS s2,
+           |               CAST(sum(f) AS BIGINT) AS n
+           |        FROM p${r}_1 GROUP BY 1, 2),
+           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+           |v${r}_0 AS (
+           |  SELECT v.f AS f,
+           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
+           |           (acc, x) -> CASE
+           |             WHEN ${p("acc")} = ''
+           |               THEN ${o("acc")} || chr(1) || x
+           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
+           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
+           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
+           |           END) AS r
+           |  FROM $v v CROSS JOIN m$r m),
+           |v$r AS (SELECT CASE WHEN ${p("r")} = '' THEN ${o("r")}
+           |               ELSE ${app(o("r"), p("r"))} END AS s, f
+           |        FROM v${r}_0)""".stripMargin
+      }
+      val rounds = 5
+      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |            FROM documents),
+         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+         |v0 AS (SELECT array_to_string(
+         |                 list_append(list_transform(range(1, len(w) + 1),
+         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                 ' ') AS s, f
+         |       FROM vw),
+         |${(1 to rounds).map(vocabLayer).mkString(",\n")},
+         |syms AS (SELECT f, unnest(str_split(s, ' ')) AS symbol FROM v$rounds),
+         |agg AS (SELECT symbol, CAST(sum(f) AS BIGINT) AS n_occ
+         |        FROM syms GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS token_id,
+         |       symbol, n_occ
+         |FROM agg""".stripMargin
+    },
+
+    // q201's per-occurrence encode replay + the q206 vocab id mapping,
+    // string_agg'd in (word, symbol) order.
+    "q207_bpe_encode_ids" -> {
+      def o(acc: String) = s"split_part($acc, chr(1), 1)"
+      def p(acc: String) = s"split_part($acc, chr(1), 2)"
+      def app(out: String, x: String) =
+        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
+      def foldCtes(prev: String, m: String, out: String,
+          carry: String): String =
+        s"""${out}_0 AS (
+           |  SELECT ${carry},
+           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
+           |           (acc, x) -> CASE
+           |             WHEN ${p("acc")} = ''
+           |               THEN ${o("acc")} || chr(1) || x
+           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
+           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
+           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
+           |           END) AS r
+           |  FROM $prev v CROSS JOIN $m m),
+           |$out AS (SELECT ${carry.replace("v.", "")},
+           |                CASE WHEN ${p("r")} = '' THEN ${o("r")}
+           |                ELSE ${app(o("r"), p("r"))} END AS s
+           |         FROM ${out}_0)""".stripMargin
+      def vocabLayer(r: Int): String = {
+        val v = s"v${r - 1}"
+        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
+           |            WHERE len(str_split(s, ' ')) >= 2),
+           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
+           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
+           |               a[CAST(i + 1 AS INTEGER)] AS s2,
+           |               CAST(sum(f) AS BIGINT) AS n
+           |        FROM p${r}_1 GROUP BY 1, 2),
+           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+           |${foldCtes(v, s"m$r", s"v$r", "v.f AS f")}""".stripMargin
+      }
+      val rounds = 5
+      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |            FROM documents),
+         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+         |v0 AS (SELECT array_to_string(
+         |                 list_append(list_transform(range(1, len(w) + 1),
+         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                 ' ') AS s, f
+         |       FROM vw),
+         |${(1 to rounds).map(vocabLayer).mkString(",\n")},
+         |voc0 AS (SELECT DISTINCT unnest(str_split(s, ' ')) AS symbol
+         |         FROM v$rounds),
+         |voc AS (SELECT symbol,
+         |               CAST(row_number() OVER (ORDER BY symbol) AS BIGINT)
+         |                 AS token_id
+         |        FROM voc0),
+         |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         |       FROM documents),
+         |e00 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |        FROM dw),
+         |e0 AS (SELECT doc_id, i,
+         |              array_to_string(
+         |                list_append(list_transform(
+         |                  range(1, len(ws[CAST(i AS INTEGER)]) + 1),
+         |                  j -> substr(ws[CAST(i AS INTEGER)], CAST(j AS INTEGER), 1)),
+         |                  '</w>'),
+         |                ' ') AS s
+         |       FROM e00),
+         |${(1 to rounds).map(r =>
+             foldCtes(s"e${r - 1}", s"m$r", s"e$r",
+               "v.doc_id AS doc_id, v.i AS i"))
+             .mkString(",\n")},
+         |tok0 AS (SELECT doc_id, i, str_split(s, ' ') AS ss FROM e$rounds),
+         |tok1 AS (SELECT doc_id, i, ss, unnest(range(1, len(ss) + 1)) AS j
+         |         FROM tok0),
+         |tok AS (SELECT doc_id, i, j, ss[CAST(j AS INTEGER)] AS symbol
+         |        FROM tok1),
+         |wids AS (SELECT t.doc_id, t.i, t.j, v.token_id
+         |         FROM tok t JOIN voc v USING (symbol))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sym,
+         |       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY i, j)
+         |         AS token_ids
+         |FROM wids GROUP BY doc_id""".stripMargin
+    }
   )
 }

@@ -868,6 +868,78 @@ object TextFunctions {
           x => x.getField("__sym")), " ").as("tokens"))
   }
 
+  /** The ID-ASSIGNED VOCABULARY of a trained BPE encoder over a corpus:
+    * one row per distinct symbol the encoder emits on the corpus' words,
+    * with dense token ids in lexicographic symbol order — the
+    * deterministic assignment rule (no frequency ties to break), fully
+    * SQL-replayable. `n_occ` counts corpus occurrences (per-word symbol
+    * counts weighted by word frequency) — the fertility/compression
+    * audit column. Output: (token_id, symbol, n_occ).
+    *
+    * Scale shape: the corpus reduces once to the distinct-word frequency
+    * frame (the training vocab trick); symbols explode off the per-word
+    * fold chain and aggregate map-side. The id window is a single-task
+    * sort of a VOCAB-BOUNDED frame (base characters + surviving merges —
+    * dozens to tens of thousands of rows at any corpus size), the one
+    * place a global window is the right tool. */
+  def bpeVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    require(merges.nonEmpty, "bpeVocab requires at least one merge")
+    val words = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    val syms = words
+      .select(col("__f"),
+        explode(split(bpeFoldChain(merges), " ")).as("symbol"))
+      .groupBy("symbol").agg(sum("__f").as("n_occ"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("symbol")
+    syms.select(row_number().over(w).cast("long").as("token_id"),
+      col("symbol"), col("n_occ"))
+  }
+
+  /** [[bpeEncodeSeq]] emitting TOKEN IDS — the final surface a training
+    * pipeline feeds the model: each doc's symbol sequence mapped through
+    * the [[bpeVocab]] id assignment, comma-joined into one string (the
+    * top-level-array ban; a consumer splits on ','). Pass a precomputed
+    * `vocab` (token_id, symbol) for the production shape — encode a new
+    * batch under a FROZEN tokenizer; by default the vocab derives from
+    * `df` itself. A symbol absent from a frozen vocab drops (the
+    * OOV-symbol policy of a fixed vocab; with the derived default every
+    * symbol is present by construction). Output:
+    * (idCol, n_sym, token_ids).
+    *
+    * Scale shape: the fold chain and the symbol→id join run once per
+    * DISTINCT word (vocab broadcast onto the exploded per-word symbols);
+    * occurrences carry only the word-keyed join plus the same per-doc
+    * ordered reassembly as [[bpeEncodeSeq]]. */
+  def bpeEncodeIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      vocab: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeIds requires at least one merge")
+    val voc = vocab.getOrElse(bpeVocab(df, textCol, merges))
+      .select(col("symbol").as("__s"), col("token_id"))
+    val words = df.select(col(idCol),
+      posexplode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as(Seq("__i", "__w")))
+    val wsyms = words.select("__w").distinct()
+      .select(col("__w"),
+        posexplode(split(bpeFoldChain(merges), " ")).as(Seq("__j", "__s")))
+    val wids = wsyms.join(broadcast(voc), Seq("__s"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__k"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__j"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), ",").as("__ids"))
+    words.join(wids, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).cast("long").as("n_sym"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__i"), col("__ids")))),
+          x => x.getField("__ids")), ",").as("token_ids"))
+  }
+
   /** The composed greedy-left fold chain of a trained merge list, applied
     * to the char+`</w>` decomposition of word column `__w` — shared by
     * [[bpeEncode]] (counts) and [[bpeEncodeSeq]] (sequence). */
