@@ -2921,6 +2921,52 @@ object SparkEntry {
       val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TF.bpeEncodeIds(d, "doc_id", "text", m)
+    }),
+
+    // LATE DATA under a watermark — the one streaming semantic every
+    // replay so far avoided ("nothing is ever late"): hourly per-type
+    // counts over the 10% slice, where a deterministic subset of batch-2
+    // rows is HELD BACK into batch 3: everything in the last 6 h before
+    // the c2 cut plus event_id % 3 == 0 of the last 48 h. When batch 3
+    // processes, the watermark stands at (ms-floored max ON-TIME event
+    // time of batches 1–2) − 1 s — at least 6 h behind c2 by
+    // construction — so the recent held rows provably SURVIVE (their
+    // hour windows are still open) while the older ones provably DROP:
+    // both sides of Spark's stateful-aggregation late-row rule are
+    // exercised at both gate SFs (sf0.01: 26 held → 7 survive;
+    // sf0.1: 291 → 100) and pinned against the oracle's explicit replay
+    // of the same cutoff. The far-future flush advances the watermark
+    // past every real window so append mode emits them all; the flush
+    // row's own window never closes and never emits.
+    "q208_stream_late" -> ((sp, dir) => {
+      import sp.implicits._
+      val rows = table(sp, dir, "events")
+        .where(pmod(col("user_id"), lit(10L)) === 0L)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"),
+          col("event_id").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val ts = rows.map(_._2).sorted
+      val (c1, c2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+      val hourUs = 3600000000L
+      def isLate(r: (String, Long, Long)) =
+        r._2 >= c1 && r._2 < c2 &&
+          (r._2 >= c2 - 6 * hourUs ||
+            (r._2 >= c2 - 48 * hourUs && r._3 % 3 == 0))
+      val b1 = rows.filter(_._2 < c1)
+      val b2 = rows.filter(r => r._2 >= c1 && r._2 < c2 && !isLate(r))
+      val b3 = rows.filter(r => r._2 >= c2 || isLate(r))
+      val flush = Seq(("__flush", ts.last + 365L * 86400000000L, -1L))
+      replayStream(sp, Seq(b1, b2, b3, flush)) { df =>
+        df.select(col("_1").as("event_type"),
+            timestamp_micros(col("_2")).as("ts"))
+          .withWatermark("ts", "1 second")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("wstart"), col("cnt"))
+      }.where(col("event_type") =!= "__flush") // fixture plumbing, not data
     })
   )
 
@@ -7305,6 +7351,40 @@ object SparkEntry {
          |       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY i, j)
          |         AS token_ids
          |FROM wids GROUP BY doc_id""".stripMargin
-    }
+    },
+
+    // The late-data replay's explicit drop rule: batch cuts at the
+    // sorted-t offsets len/3 and 2len/3, the held-back set is batch-2
+    // rows in the last 6 h before c2 (all) plus the last 48 h with
+    // event_id % 3 = 0, and the watermark while batch 3 processes is the
+    // ms-floored max on-time event time of batches 1–2 minus 1 s (Spark
+    // tracks watermarks in ms). A held-back row survives iff its hour
+    // window's end is still above that watermark; on-time rows always
+    // survive.
+    "q208_stream_late" ->
+      """WITH s AS (SELECT event_type, epoch_us(ts) AS t, event_id
+        |           FROM events WHERE user_id % 10 = 0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        |c1 AS (SELECT t AS c FROM s ORDER BY t
+        |       LIMIT 1 OFFSET (SELECT n // 3 FROM nn)),
+        |c2 AS (SELECT t AS c FROM s ORDER BY t
+        |       LIMIT 1 OFFSET (SELECT 2 * n // 3 FROM nn)),
+        |b AS (SELECT event_type, t,
+        |             (t >= (SELECT c FROM c1) AND t < (SELECT c FROM c2)
+        |              AND (t >= (SELECT c FROM c2) - 21600000000
+        |                   OR (t >= (SELECT c FROM c2) - 172800000000
+        |                       AND event_id % 3 = 0))) AS held
+        |      FROM s),
+        |wm AS (SELECT ((max(t) // 1000) - 1000) * 1000 AS w
+        |       FROM b WHERE NOT held AND t < (SELECT c FROM c2)),
+        |kept AS (SELECT event_type, t FROM b WHERE NOT held
+        |         UNION ALL
+        |         SELECT event_type, t FROM b, wm
+        |         WHERE held
+        |           AND ((t // 3600000000) + 1) * 3600000000 > wm.w)
+        |SELECT event_type,
+        |       CAST((t // 3600000000) * 3600000000 AS BIGINT) AS wstart,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM kept GROUP BY 1, 2""".stripMargin
   )
 }
