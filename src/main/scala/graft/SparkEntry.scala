@@ -2967,6 +2967,72 @@ object SparkEntry {
           .select(col("event_type"),
             expr("unix_micros(window.start)").as("wstart"), col("cnt"))
       }.where(col("event_type") =!= "__flush") // fixture plumbing, not data
+    }),
+
+    // Band-index TOMBSTONE DELETE — the lifecycle leg after q203's append:
+    // index the even docs, logically delete the %6==0 slice (takedown /
+    // GDPR-erasure shape), probe with the odd docs. The probe anti-joins
+    // the (broadcast, delete-batch-sized) tombstone set — the index
+    // parquet is NOT rewritten — and must equal a rebuild over the
+    // survivors, which is exactly what the oracle replays (q64's SQL with
+    // the index side restricted to doc_id % 6 <> 0). Physical reclaim is
+    // compactBandIndex, spec-pinned probe-preserving.
+    "q209_neardup_index_del" -> ((sp, dir) => {
+      val docs = table(sp, dir, "documents")
+      val fresh = graft.sources.Scans.parallelized(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1L))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_band_index_del_${datasetStamp(dir)}").getPath
+      val done = new java.io.File(path, "_graft_del_done")
+      if (!done.exists()) {
+        val dirF = new java.io.File(path)
+        if (dirF.exists()) { // half-built leftover: rebuild from scratch
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dirF)
+        }
+        Dedup.writeBandIndex(
+          docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
+          "text", "doc_id", path)
+        Dedup.deleteFromBandIndex(
+          docs.where(pmod(col("doc_id"), lit(6L)) === 0L).select("doc_id"),
+          "doc_id", path)
+        java.nio.file.Files.createFile(done.toPath)
+      }
+      Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path, threshold = 0.5)
+    }),
+
+    // BM25 TOMBSTONE DELETE — q205's lifecycle leg: full-corpus index,
+    // then the %9==4 slice is logically deleted. Postings mask via a
+    // broadcast anti-join; df / n / sumdl folded DOWN at delete time in
+    // long arithmetic, so scores over the survivors rebuild BIT-EXACTLY —
+    // the oracle replays BM25 over the surviving corpus (queries still
+    // draw from all docs: a deleted doc may keep querying, it just stops
+    // being retrievable). Readiness: survivor doc count in the stats
+    // sentinel AND the tombstone table present — a crash between the
+    // stats fold and the tombstone append leaves n correct but postings
+    // unmasked, and must force the rebuild.
+    "q210_bm25_index_del" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val tbl = s"graft_bm25_del_${datasetStamp(dir)}"
+      val total = d.where(pmod(col("doc_id"), lit(9L)) =!= 4L).count()
+      val ready = sp.catalog.tableExists(tbl) &&
+        sp.catalog.tableExists(s"${tbl}_stats") &&
+        sp.catalog.tableExists(s"${tbl}_tombstones") &&
+        sp.table(s"${tbl}_stats").where(col("term").isNull)
+          .select("n").head().getLong(0) == total
+      if (!ready) {
+        graft.functions.TfIdf.writeBm25IndexIncr(d, "doc_id", "text", tbl,
+          nBuckets = 32)
+        graft.functions.TfIdf.deleteFromBm25Index(
+          d.where(pmod(col("doc_id"), lit(9L)) === 4L).select("doc_id"),
+          "doc_id", tbl)
+      }
+      val q = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
+      graft.functions.TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext", tbl, 10)
     })
   )
 
@@ -3240,17 +3306,25 @@ object SparkEntry {
     * must equal the direct path bit for bit): same lowercase tokens, same
     * idf/tf/length math in the same float op order, contributions folded
     * in sorted term order from 0.0, rank on the 6-dp-rounded score. */
-  private lazy val bm25ReplaySql = {
+  private lazy val bm25ReplaySql = bm25ReplaySqlFor("TRUE")
+
+  /** The full BM25 replay with the CORPUS restricted by `corpusPred` —
+    * queries still draw from the unrestricted documents table (a deleted
+    * doc may keep issuing queries; it just stops being retrievable).
+    * `corpusPred = "TRUE"` is the classic full-corpus replay shared by
+    * q78/q190/q204/q205; q210 passes the tombstone survivors. */
+  private def bm25ReplaySqlFor(corpusPred: String) = {
     val toksLower =
       """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
     s"""WITH toks AS (SELECT doc_id AS id, unnest($toksLower) AS term
-       |              FROM documents),
+       |              FROM documents WHERE $corpusPred),
        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |st AS (SELECT (SELECT count(*) FROM documents WHERE $corpusPred) AS n,
        |              (SELECT CAST(count(*) AS DOUBLE) FROM toks)
-       |                / (SELECT count(*) FROM documents) AS avgdl),
+       |                / (SELECT count(*) FROM documents WHERE $corpusPred)
+       |                AS avgdl),
        |q AS (SELECT qid, unnest(qt) AS term
        |      FROM (SELECT doc_id AS qid,
        |                   list_distinct(($toksLower)[1:8]) AS qt
@@ -3305,7 +3379,12 @@ object SparkEntry {
 
   /** q64's full MinHash index-probe replay — shared verbatim by the batch
     * row and q203's incrementally-built index (append ≡ rebuild). */
-  private lazy val q64Sql = {
+  private lazy val q64Sql = q64SqlFor("")
+
+  /** The q64 replay with an extra predicate on the INDEX side of the
+    * probe join (`extra` is ANDed into the ON clause, or empty for the
+    * classic replay) — q209 passes the tombstone survivors. */
+  private def q64SqlFor(extra: String) = {
     val bandSqls = (0 until 4).map(bd =>
       s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
       .mkString(",\n       ")
@@ -3322,7 +3401,7 @@ object SparkEntry {
        |             round(len(list_intersect(n.hs, i.hs))
        |                   / len(list_distinct(list_concat(n.hs, i.hs))), 6) AS jaccard
        |      FROM b n JOIN b i
-       |        ON n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+       |        ON n.doc_id % 2 = 1 AND i.doc_id % 2 = 0$extra
        |       AND (n.bh0 = i.bh0 OR n.bh1 = i.bh1 OR n.bh2 = i.bh2 OR n.bh3 = i.bh3))
        |SELECT new_id, index_id, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
   }
@@ -7385,6 +7464,16 @@ object SparkEntry {
         |SELECT event_type,
         |       CAST((t // 3600000000) * 3600000000 AS BIGINT) AS wstart,
         |       CAST(count(*) AS BIGINT) AS cnt
-        |FROM kept GROUP BY 1, 2""".stripMargin
+        |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // q64's probe replay with the index side restricted to the tombstone
+    // SURVIVORS: a logical delete must be indistinguishable from never
+    // having indexed the doc.
+    "q209_neardup_index_del" -> q64SqlFor(" AND i.doc_id % 6 <> 0"),
+
+    // BM25 replay over the surviving corpus — stats (n, avgdl, df) and
+    // postings all come from survivors only; queries still draw from the
+    // full documents table.
+    "q210_bm25_index_del" -> bm25ReplaySqlFor("doc_id % 9 <> 4")
   )
 }

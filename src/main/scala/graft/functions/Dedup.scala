@@ -656,6 +656,81 @@ object Dedup {
     writeIndexSidecar(newDocs.sparkSession, path, k, bands, shingleN, seed)
   }
 
+  /** Tombstone DELETE from a [[writeBandIndex]] index — the third leg of
+    * the index lifecycle (build → append → DELETE → compact) a 100 TB
+    * corpus needs for takedowns / GDPR erasure / re-crawl retractions. A
+    * physical rewrite per delete batch would re-shuffle the whole posting
+    * history for a handful of ids, so deletion is LOGICAL: the ids land in
+    * an append-only `_graft_band_tombstones/` parquet set inside the index
+    * directory (underscore-prefixed — Spark's file listing treats it as
+    * hidden, so plain index reads never see it), and every probe
+    * anti-joins the (small, broadcast) tombstone set before matching.
+    * Probe-over-deleted ≡ probe-over-rebuilt EXACTLY: index rows are
+    * per-document and independent, so removing a doc's rows from the
+    * match set is the same visible output as never having indexed it
+    * (pinned by spec and by the q209 oracle row). Reclaim the bytes — and
+    * re-enable re-ingesting a deleted id — with [[compactBandIndex]].
+    * NOTE: tombstones kill ids, not row versions; re-appending a deleted
+    * id before compaction would leave its fresh rows masked too. The
+    * sidecar is re-published last (same params, fresh mtime) so external
+    * content stamps keyed on index files see the change. */
+  def deleteFromBandIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val sp = ids.sparkSession
+    require(readIndexMeta(sp, path).nonEmpty,
+      s"no band index at $path (missing $IndexMetaFile) — write one with " +
+        "writeBandIndex before deleting")
+    // one file per delete batch: tombstone batches are id-sized, and a
+    // single file keeps the probe-side broadcast read cheap
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/$TombstoneDir")
+    val (k, b, s, seed) = readIndexMeta(sp, path).get
+    writeIndexSidecar(sp, path, k, b, s, seed)
+  }
+
+  /** The index's tombstoned ids, if any delete batch has been recorded —
+    * one `id` column, de-duplicated across batches. */
+  def bandTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, TombstoneDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("id").distinct())
+  }
+
+  /** Physical COMPACTION of a tombstoned [[writeBandIndex]] index: rewrite
+    * the surviving rows, drop the tombstone set, re-publish the sidecar.
+    * The one full-rewrite cost of the lifecycle — paid on an operator's
+    * schedule (storage-reclaim thresholds), never per delete batch. The
+    * rewrite stages into a sibling `<path>.compacting` directory and swaps
+    * via two renames (readers racing the swap see either the old complete
+    * index or the new one); the tombstone set vanishes with the old
+    * directory, so compaction also re-opens the door for re-ingesting a
+    * previously deleted id. No-op when nothing is tombstoned. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = bandTombstones(spark, path).foreach { t =>
+    val (k, b, s, seed) = readIndexMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no band index at $path (missing $IndexMetaFile)"))
+    val stage = s"$path.compacting"
+    spark.read.parquet(path)
+      .join(broadcast(t), Seq("id"), "left_anti")
+      .repartition(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(stage)
+    writeIndexSidecar(spark, stage, k, b, s, seed)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old-${java.util.UUID.randomUUID()}")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri, conf)
+    fc.rename(cur, old)
+    fc.rename(new org.apache.hadoop.fs.Path(stage), cur)
+    fs.delete(old, true)
+    ()
+  }
+
+  private val TombstoneDir = "_graft_band_tombstones"
+
   private val IndexMetaFile = "_graft_band_index.json"
 
   /** Atomic sidecar publish (temp + overwriting rename — readers see either
@@ -716,7 +791,10 @@ object Dedup {
       mb.putLong("graft.k", k.toLong).putLong("graft.bands", b.toLong)
         .putLong("graft.shingleN", s.toLong).putLong("graft.seed", seed)
     }
-    spark.read.parquet(path)
+    // same tombstone mask as the batch probe: a deleted doc must vanish
+    // from the stream-static join's static side too
+    bandTombstones(spark, path).foldLeft(spark.read.parquet(path))(
+        (i, t) => i.join(broadcast(t), Seq("id"), "left_anti"))
       .select(col("band"), col("bh"), col("id").as("corpus_id"),
         col("hs").as("corpus_hs"), col("bhs").as("corpus_bhs", mb.build()))
   }
@@ -736,9 +814,15 @@ object Dedup {
       indexPath: String, threshold: Double = 0.5,
       k: Int = 16, bands: Int = 4, shingleN: Int = 5, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0, "nearDupAgainstIndex requires a positive threshold")
-    requireIndexParams(newDocs.sparkSession, indexPath, k, bands, shingleN, seed)
-    probeIndex(newDocs.sparkSession.read.parquet(indexPath), newDocs,
-      textCol, idCol, threshold, k, bands, shingleN, seed)
+    val sp = newDocs.sparkSession
+    requireIndexParams(sp, indexPath, k, bands, shingleN, seed)
+    // tombstone mask ([[deleteFromBandIndex]]): ids deleted since the last
+    // compaction anti-join out of the match set — the tombstone frame is
+    // delete-batch-sized, so the mask is a broadcast, never a shuffle of
+    // the index
+    val idx = bandTombstones(sp, indexPath).foldLeft(
+      sp.read.parquet(indexPath))((i, t) => i.join(broadcast(t), Seq("id"), "left_anti"))
+    probeIndex(idx, newDocs, textCol, idCol, threshold, k, bands, shingleN, seed)
   }
 
   /** The shared probe: `idx` carries (band, bh, id, hs, bhs) rows from any

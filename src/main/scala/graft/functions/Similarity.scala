@@ -290,6 +290,59 @@ object Similarity {
       .mode("append").saveAsTable(tableName)
   }
 
+  /** Tombstone DELETE from a [[writeIvfIndexTable]] index — the same
+    * lifecycle leg as the band and BM25 indexes (takedowns / GDPR erasure
+    * without rewriting the vector history): ids append into a
+    * `<name>_tombstones` table that every probe anti-joins (broadcast).
+    * Centroids are untouched — the standard IVF deletion contract: the
+    * quantizer is a corpus-level artifact and list membership of the
+    * survivors is unchanged, so probe-over-deleted ≡ probe-over-rebuilt
+    * under the SAME frozen quantizer exactly (spec-pinned and q211
+    * oracle-gated). Reclaim bytes with [[compactIvfIndexTable]];
+    * re-ingest a deleted id only after compaction. */
+  def deleteFromIvfIndexTable(ids: DataFrame, tableName: String,
+      idCol: String = "vec_id"): Unit = {
+    val sp = ids.sparkSession
+    require(sp.catalog.tableExists(tableName),
+      s"no IVF index table at $tableName (write one with writeIvfIndexTable " +
+        "before deleting)")
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones"))
+      graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_tombstones")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.format("parquet").mode("append")
+      .saveAsTable(s"${tableName}_tombstones")
+  }
+
+  /** Physical COMPACTION of a tombstoned [[writeIvfIndexTable]] index:
+    * rewrite the surviving vector rows through a stage table, drop the
+    * tombstones. The `list_id` column metadata (dim + frozen centroids)
+    * rides the schema through the rewrite, so probes against the
+    * compacted table plan exactly as before. No-op when nothing is
+    * tombstoned. */
+  def compactIvfIndexTable(sp: org.apache.spark.sql.SparkSession,
+      tableName: String, idCol: String = "vec_id"): Unit = {
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones")) return
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    val nBuckets = spec.get.numBuckets
+    val t = sp.table(s"${tableName}_tombstones").select("id").distinct()
+    val survivors = sp.table(tableName)
+      .join(broadcast(t), col(idCol) === col("id"), "left_anti")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stage")
+    survivors.write.format("parquet")
+      .bucketBy(nBuckets, "list_id").sortBy("list_id")
+      .mode("overwrite").saveAsTable(s"${tableName}_stage")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, tableName)
+    sp.table(s"${tableName}_stage")
+      .write.format("parquet")
+      .bucketBy(nBuckets, "list_id").sortBy("list_id")
+      .mode("overwrite").saveAsTable(tableName)
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stage")
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_tombstones")
+    ()
+  }
+
   /** IVF approximate top-k against a [[writeIvfIndexTable]] table —
     * bit-identical to [[ivfTopK]] over the same corpus and index (stored
     * doubles round-trip exactly through parquet; the probe replays the same
@@ -319,7 +372,16 @@ object Similarity {
         "q_vec", "__qvd", "__qn")
       .withColumn("list_id", explode(ivfProbeLists(col("q_vec"), index, nProbe)))
     val probeSide = if (broadcastQueries) broadcast(q) else q
-    val sim = idx.join(probeSide, Seq("list_id"))
+    // tombstone mask ([[deleteFromIvfIndexTable]]): ids deleted since the
+    // last compaction anti-join out — broadcast, never an index shuffle
+    val sp = queries.sparkSession
+    val live =
+      if (sp.catalog.tableExists(s"${tableName}_tombstones"))
+        idx.join(broadcast(
+          sp.table(s"${tableName}_tombstones").select("id").distinct()),
+          col(idCol) === col("id"), "left_anti")
+      else idx
+    val sim = live.join(probeSide, Seq("list_id"))
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
         pairSim(col("vec"), col("norm"), col("__qvd"), col("__qn")).as("sim"))

@@ -231,11 +231,103 @@ object TfIdf {
     ()
   }
 
+  /** Tombstone DELETE from a [[writeBm25IndexIncr]] index — takedowns /
+    * GDPR erasure without rewriting the posting history. Deletion is
+    * LOGICAL: the ids append into a `<name>_tombstones` table that every
+    * probe anti-joins (broadcast — delete batches are id-sized), and the
+    * stats fold DOWN exactly the way [[appendToBm25Index]] folds them up:
+    * per-term df decrements from the deleted docs' own posting rows, the
+    * (n, sumdl) sentinel by their doc count and length sum, a term whose
+    * last doc died leaving the lexicon entirely. All folds are long
+    * arithmetic, so delete ≡ rebuild over the survivors BIT-EXACTLY
+    * (pinned by spec and the q210 oracle row). The one scan this pays is
+    * postings filtered by the deleted ids — work per delete batch, never
+    * per probe; reclaim the posting bytes with [[compactBm25Index]].
+    * Same contract as the band index: tombstones kill ids, so re-ingest a
+    * deleted id only after compaction. */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String,
+      tableName: String): Unit = {
+    val sp = ids.sparkSession
+    require(sp.catalog.tableExists(tableName) &&
+      sp.catalog.tableExists(s"${tableName}_stats"),
+      s"no incremental BM25 index at $tableName (write one with " +
+        "writeBm25IndexIncr before deleting)")
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    val nBuckets = spec.get.numBuckets
+    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true) // consumed twice: posting filter, tombstone append
+    // the deleted docs' own posting rows drive the stats fold — deleting
+    // an id the index never held is a clean no-op on every statistic
+    val delPost = sp.table(tableName)
+      .join(broadcast(del), Seq("id"), "left_semi")
+      .localCheckpoint(true) // consumed thrice: df fold, sentinel n, sentinel sumdl
+    val nDel = delPost.select("id").distinct().count()
+    val sumDlDec = delPost.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
+    val dfDec = delPost.groupBy("term").agg(count(lit(1)).as("__dfdec"))
+    val old = sp.table(s"${tableName}_stats")
+    val merged = old.where(col("term").isNotNull)
+      .join(dfDec, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("__dfdec"), lit(0L))).as("df"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sumdl"))
+      .where(col("df") > 0L)
+      .unionByName(old.where(col("term").isNull)
+        .select(col("term"), col("df"),
+          (col("n") - nDel).as("n"), (col("sumdl") - sumDlDec).as("sumdl")))
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats_stage")
+    merged.write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats_stage")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats")
+    sp.table(s"${tableName}_stats_stage")
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats")
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stats_stage")
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones"))
+      graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_tombstones")
+    del.write.format("parquet").mode("append")
+      .saveAsTable(s"${tableName}_tombstones")
+  }
+
+  /** Physical COMPACTION of a tombstoned [[writeBm25IndexIncr]] index:
+    * rewrite the surviving posting rows through a stage table (Spark
+    * cannot overwrite a table that is an input of the writing plan), drop
+    * the tombstone table. Stats are already exact — [[deleteFromBm25Index]]
+    * folded them at delete time — so compaction touches postings only.
+    * Paid on a storage-reclaim schedule, never per delete batch. No-op
+    * when nothing is tombstoned. */
+  def compactBm25Index(sp: org.apache.spark.sql.SparkSession,
+      tableName: String): Unit = {
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones")) return
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    val nBuckets = spec.get.numBuckets
+    val t = sp.table(s"${tableName}_tombstones").select("id").distinct()
+    val survivors = sp.table(tableName).join(broadcast(t), Seq("id"), "left_anti")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stage")
+    survivors.write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stage")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, tableName)
+    sp.table(s"${tableName}_stage")
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(tableName)
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stage")
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_tombstones")
+    ()
+  }
+
   /** BM25 top-`k` against a [[writeBm25IndexIncr]] index — bit-identical
     * to [[bm25AgainstIndex]] / [[bm25TopK]] over the same corpus: the df
     * join is co-located (both tables bucketed by term), the corpus
     * constants come from the stats sentinel, and the contribution math is
-    * shared, so scores agree to the bit. */
+    * shared, so scores agree to the bit. Tombstoned ids
+    * ([[deleteFromBm25Index]]) are masked by a broadcast anti-join. */
   def bm25AgainstIndexIncr(queries: DataFrame, qidCol: String,
       qtextCol: String, tableName: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -245,7 +337,14 @@ object TfIdf {
     val sent = stats.where(col("term").isNull).select("n", "sumdl").head()
     val n = sent.getLong(0)
     val avgdl = sent.getLong(1).toDouble / n
-    val postings = sp.table(tableName)
+    val base = sp.table(tableName)
+    val live =
+      if (sp.catalog.tableExists(s"${tableName}_tombstones"))
+        base.join(broadcast(
+          sp.table(s"${tableName}_tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else base
+    val postings = live
       .join(stats.where(col("term").isNotNull).select("term", "df"), "term")
       .select(col("term"), col("id"),
         (round(bm25Contrib(lit(n), lit(avgdl), k1, b), 6)

@@ -165,6 +165,77 @@ class Bm25Spec extends SparkSuite {
     }
   }
 
+  test("BM25 tombstone delete == rebuild over survivors bit-exactly; compaction preserves") {
+    val docs = corpus.toDF("doc_id", "text")
+    val dead = docs.where(col("doc_id") % 2 === 0).select("doc_id") // 2, 4
+    val live = docs.where(col("doc_id") % 2 === 1)
+    val q = queries.toDF("qid", "qtext")
+    try {
+      // deleting from a missing index is rejected
+      val e0 = intercept[IllegalArgumentException] {
+        TfIdf.deleteFromBm25Index(dead, "doc_id", "graft_bm25_del_spec")
+      }
+      assert(e0.getMessage.contains("no incremental BM25 index"))
+      TfIdf.writeBm25IndexIncr(docs, "doc_id", "text",
+        "graft_bm25_del_spec", nBuckets = 4)
+      TfIdf.writeBm25IndexIncr(live, "doc_id", "text",
+        "graft_bm25_del_surv", nBuckets = 4)
+      def probe(t: String) = TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext", t, 10)
+        .collect().map(_.toSeq).toSet
+      val full = probe("graft_bm25_del_spec")
+      TfIdf.deleteFromBm25Index(dead, "doc_id", "graft_bm25_del_spec")
+      val afterDelete = probe("graft_bm25_del_spec")
+      val rebuilt = probe("graft_bm25_del_surv")
+      assert(afterDelete.nonEmpty && afterDelete == rebuilt,
+        "delete must fold df/n/sumdl down so scores rebuild bit-identically")
+      assert(full != afterDelete, "the delete must change scores (df/n moved)")
+      // stats sentinel folded down to the survivor corpus exactly
+      val sent = spark.table("graft_bm25_del_spec_stats")
+        .where(col("term").isNull).select("n", "sumdl").head()
+      val sentS = spark.table("graft_bm25_del_surv_stats")
+        .where(col("term").isNull).select("n", "sumdl").head()
+      assert(sent == sentS)
+      // a term whose docs all died leaves the lexicon, as a rebuild would
+      val terms = spark.table("graft_bm25_del_spec_stats")
+        .where(col("term").isNotNull).select("term", "df")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val termsS = spark.table("graft_bm25_del_surv_stats")
+        .where(col("term").isNotNull).select("term", "df")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(terms == termsS)
+      // deleting an id the index never held is a no-op on every statistic
+      TfIdf.deleteFromBm25Index(Seq(999L).toDF("doc_id"), "doc_id",
+        "graft_bm25_del_spec")
+      assert(probe("graft_bm25_del_spec") == rebuilt)
+      assert(spark.table("graft_bm25_del_spec_stats")
+        .where(col("term").isNull).select("n", "sumdl").head() == sentS)
+      // compaction: postings shrink to the survivor rebuild's row count,
+      // tombstones drop, probe unchanged, bucket layout preserved
+      TfIdf.compactBm25Index(spark, "graft_bm25_del_spec")
+      assert(!spark.catalog.tableExists("graft_bm25_del_spec_tombstones"))
+      assert(spark.table("graft_bm25_del_spec").count() ==
+        spark.table("graft_bm25_del_surv").count())
+      assert(probe("graft_bm25_del_spec") == rebuilt)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext",
+          "graft_bm25_del_spec", 10).queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"compacted postings must still scan bucketed:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      // compacting with nothing tombstoned is a no-op
+      TfIdf.compactBm25Index(spark, "graft_bm25_del_spec")
+      assert(probe("graft_bm25_del_spec") == rebuilt)
+    } finally {
+      Seq("graft_bm25_del_spec", "graft_bm25_del_spec_stats",
+        "graft_bm25_del_spec_tombstones", "graft_bm25_del_spec_stage",
+        "graft_bm25_del_spec_stats_stage",
+        "graft_bm25_del_surv", "graft_bm25_del_surv_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("an orphaned warehouse location from a dead JVM does not block index writes") {
     // in-memory catalogs forget tables at JVM exit; warehouse dirs don't —
     // a rerun must clear the catalog-orphaned location, not die on

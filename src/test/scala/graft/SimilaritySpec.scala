@@ -293,6 +293,56 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF tombstone delete == rebuild under the frozen quantizer; compaction preserves") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 100 === 0)
+    val dead = e.where(col("vec_id") % 5 === 3).select("vec_id")
+    val survivors = e.where(col("vec_id") % 5 =!= 3)
+    // quantizer trained on the FULL corpus and frozen through the delete —
+    // the IVF deletion contract (list membership of survivors unchanged)
+    val index = Similarity.ivfTrain(e, nLists = 8)
+    def probe(t: String) = Similarity.ivfTopKAgainstIndexTable(q, 10, t,
+      nProbe = 3).collect().map(_.toSeq).toSet
+    try {
+      val e0 = intercept[IllegalArgumentException] {
+        Similarity.deleteFromIvfIndexTable(dead, "graft_ivf_del_idx")
+      }
+      assert(e0.getMessage.contains("no IVF index table"))
+      Similarity.writeIvfIndexTable(e, index, "graft_ivf_del_idx", nBuckets = 4)
+      Similarity.writeIvfIndexTable(survivors, index, "graft_ivf_del_surv",
+        nBuckets = 4)
+      val full = probe("graft_ivf_del_idx")
+      Similarity.deleteFromIvfIndexTable(dead, "graft_ivf_del_idx")
+      val afterDelete = probe("graft_ivf_del_idx")
+      val rebuilt = probe("graft_ivf_del_surv")
+      assert(afterDelete.nonEmpty && afterDelete == rebuilt,
+        "tombstoned probe must equal the rebuild over the survivors")
+      assert(full != afterDelete, "the delete must evict ranked results")
+      // compaction: rows shrink to the rebuild's count, tombstones drop,
+      // the frozen centroids survive the rewrite in the schema metadata
+      Similarity.compactIvfIndexTable(spark, "graft_ivf_del_idx")
+      assert(!spark.catalog.tableExists("graft_ivf_del_idx_tombstones"))
+      assert(spark.table("graft_ivf_del_idx").count() ==
+        spark.table("graft_ivf_del_surv").count())
+      assert(probe("graft_ivf_del_idx") == rebuilt)
+      val m = spark.table("graft_ivf_del_idx").schema
+        .find(_.name == "list_id").get.metadata
+      assert(m.contains("graft.ivf.centroids"))
+      val plan = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_del_idx", nProbe = 3, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"compacted index must still scan bucketed:\n$plan")
+      // no-op compaction
+      Similarity.compactIvfIndexTable(spark, "graft_ivf_del_idx")
+      assert(probe("graft_ivf_del_idx") == rebuilt)
+    } finally {
+      Seq("graft_ivf_del_idx", "graft_ivf_del_idx_tombstones",
+        "graft_ivf_del_idx_stage", "graft_ivf_del_surv")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("semanticDedup: cell assignment, smaller-id-wins drop rule, cross-cell dups survive") {
     import spark.implicits._
     // two orthogonal cell directions; duplicates planted along each

@@ -779,4 +779,64 @@ class TextDedupSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
   }
+
+  test("band-index tombstone delete == rebuild over survivors; compaction reclaims and preserves") {
+    val corpus = (0L until 60L).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog number ${i % 7} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail$i extra words ${i * 31}")
+    }.toDF("doc_id", "text")
+    val hist = corpus.where(col("doc_id") % 2 === 0)
+    val dead = hist.where(col("doc_id") % 6 === 0).select("doc_id")
+    val survivors = hist.where(col("doc_id") % 6 =!= 0)
+    val fresh = corpus.where(col("doc_id") % 2 === 1)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pDel = new java.io.File(tmp, s"graft_bidx_del_${System.nanoTime()}").getPath
+    val pSurv = new java.io.File(tmp, s"graft_bidx_surv_${System.nanoTime()}").getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    def probe(p: String) =
+      Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", p, threshold = 0.4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    try {
+      // deleting from a directory that holds no index is rejected
+      val e0 = intercept[IllegalArgumentException] {
+        Dedup.deleteFromBandIndex(dead, "doc_id", pDel)
+      }
+      assert(e0.getMessage.contains("no band index"))
+      Dedup.writeBandIndex(hist, "text", "doc_id", pDel)
+      Dedup.writeBandIndex(survivors, "text", "doc_id", pSurv)
+      val full = probe(pDel)
+      Dedup.deleteFromBandIndex(dead, "doc_id", pDel)
+      val afterDelete = probe(pDel)
+      val rebuilt = probe(pSurv)
+      assert(afterDelete.nonEmpty && afterDelete == rebuilt,
+        "tombstoned probe must equal the rebuild over the survivors")
+      assert(full != afterDelete, "the delete must actually remove matches")
+      assert(full.keySet.exists { case (_, idx) => idx % 6 == 0 },
+        "fixture check: the deleted docs matched before the delete")
+      assert(!afterDelete.keySet.exists { case (_, idx) => idx % 6 == 0 })
+      // the streaming bridge sees the same mask
+      val bridged = Dedup.loadBandIndex(spark, pDel)
+        .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!bridged.exists(_ % 6 == 0))
+      // plain index reads never see the underscore-prefixed tombstone set
+      assert(spark.read.parquet(pDel).columns.toSet ==
+        Set("id", "hs", "bhs", "band", "bh"))
+      // compaction: physical rows drop to the survivor rebuild's count,
+      // the tombstone set vanishes, the probe result is unchanged
+      Dedup.compactBandIndex(spark, pDel)
+      assert(Dedup.bandTombstones(spark, pDel).isEmpty)
+      assert(spark.read.parquet(pDel).count() == spark.read.parquet(pSurv).count())
+      assert(probe(pDel) == rebuilt)
+      // params survive the compaction swap: a mismatched probe still rejects
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", pDel, seed = 7L)
+      }
+      assert(e1.getMessage.contains("seed=7"))
+      // compacting with nothing tombstoned is a no-op
+      Dedup.compactBandIndex(spark, pDel)
+      assert(probe(pDel) == rebuilt)
+    } finally { rm(new java.io.File(pDel)); rm(new java.io.File(pSurv)) }
+  }
 }
