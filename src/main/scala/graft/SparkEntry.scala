@@ -3033,6 +3033,21 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           array_join(slice(TF.tokens(lower(col("text"))), 1, 8), " ").as("qtext"))
       graft.functions.TfIdf.bm25AgainstIndexIncr(q, "qid", "qtext", tbl, 10)
+    }),
+
+    // TRAINING SEQUENCES — the end of the tokenizer pipeline: q207's
+    // per-doc token ids split into fixed 16-token windows, the last
+    // right-padded with -1, n_real carrying the attention-mask boundary.
+    // Documents never mix (cross-doc packing is q56/q186); the window
+    // layer is pure codegen'd array expressions inside the scan stage —
+    // no shuffle beyond what the encode itself does at any corpus size.
+    "q211_train_sequences" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val m = TF.bpeTrain(d, "text", 5).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Packing.fixedLenSequences(
+        TF.bpeEncodeIds(d, "doc_id", "text", m),
+        "doc_id", "token_ids", seqLen = 16, padId = -1L)
     })
   )
 
@@ -3376,6 +3391,87 @@ object SparkEntry {
       |                      (a, b) -> a + b)
       |             ELSE 0.0 END, 6) AS ndcg
       |FROM qq LEFT JOIN h ON h.qid = qq.qid LEFT JOIN nr ON nr.qid = qq.qid""".stripMargin
+
+  /** q207's full BPE encode-to-ids replay — shared by the batch row
+    * and q211's fixed-length training-sequence layer on top. */
+  private lazy val q207Sql: String = {
+      def o(acc: String) = s"split_part($acc, chr(1), 1)"
+      def p(acc: String) = s"split_part($acc, chr(1), 2)"
+      def app(out: String, x: String) =
+        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
+      def foldCtes(prev: String, m: String, out: String,
+          carry: String): String =
+        s"""${out}_0 AS (
+           |  SELECT ${carry},
+           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
+           |           (acc, x) -> CASE
+           |             WHEN ${p("acc")} = ''
+           |               THEN ${o("acc")} || chr(1) || x
+           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
+           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
+           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
+           |           END) AS r
+           |  FROM $prev v CROSS JOIN $m m),
+           |$out AS (SELECT ${carry.replace("v.", "")},
+           |                CASE WHEN ${p("r")} = '' THEN ${o("r")}
+           |                ELSE ${app(o("r"), p("r"))} END AS s
+           |         FROM ${out}_0)""".stripMargin
+      def vocabLayer(r: Int): String = {
+        val v = s"v${r - 1}"
+        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
+           |            WHERE len(str_split(s, ' ')) >= 2),
+           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
+           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
+           |               a[CAST(i + 1 AS INTEGER)] AS s2,
+           |               CAST(sum(f) AS BIGINT) AS n
+           |        FROM p${r}_1 GROUP BY 1, 2),
+           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+           |${foldCtes(v, s"m$r", s"v$r", "v.f AS f")}""".stripMargin
+      }
+      val rounds = 5
+      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |            FROM documents),
+         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+         |v0 AS (SELECT array_to_string(
+         |                 list_append(list_transform(range(1, len(w) + 1),
+         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
+         |                 ' ') AS s, f
+         |       FROM vw),
+         |${(1 to rounds).map(vocabLayer).mkString(",\n")},
+         |voc0 AS (SELECT DISTINCT unnest(str_split(s, ' ')) AS symbol
+         |         FROM v$rounds),
+         |voc AS (SELECT symbol,
+         |               CAST(row_number() OVER (ORDER BY symbol) AS BIGINT)
+         |                 AS token_id
+         |        FROM voc0),
+         |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         |       FROM documents),
+         |e00 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |        FROM dw),
+         |e0 AS (SELECT doc_id, i,
+         |              array_to_string(
+         |                list_append(list_transform(
+         |                  range(1, len(ws[CAST(i AS INTEGER)]) + 1),
+         |                  j -> substr(ws[CAST(i AS INTEGER)], CAST(j AS INTEGER), 1)),
+         |                  '</w>'),
+         |                ' ') AS s
+         |       FROM e00),
+         |${(1 to rounds).map(r =>
+             foldCtes(s"e${r - 1}", s"m$r", s"e$r",
+               "v.doc_id AS doc_id, v.i AS i"))
+             .mkString(",\n")},
+         |tok0 AS (SELECT doc_id, i, str_split(s, ' ') AS ss FROM e$rounds),
+         |tok1 AS (SELECT doc_id, i, ss, unnest(range(1, len(ss) + 1)) AS j
+         |         FROM tok0),
+         |tok AS (SELECT doc_id, i, j, ss[CAST(j AS INTEGER)] AS symbol
+         |        FROM tok1),
+         |wids AS (SELECT t.doc_id, t.i, t.j, v.token_id
+         |         FROM tok t JOIN voc v USING (symbol))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sym,
+         |       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY i, j)
+         |         AS token_ids
+         |FROM wids GROUP BY doc_id""".stripMargin
+  }
 
   /** q64's full MinHash index-probe replay — shared verbatim by the batch
     * row and q203's incrementally-built index (append ≡ rebuild). */
@@ -7353,84 +7449,29 @@ object SparkEntry {
 
     // q201's per-occurrence encode replay + the q206 vocab id mapping,
     // string_agg'd in (word, symbol) order.
-    "q207_bpe_encode_ids" -> {
-      def o(acc: String) = s"split_part($acc, chr(1), 1)"
-      def p(acc: String) = s"split_part($acc, chr(1), 2)"
-      def app(out: String, x: String) =
-        s"CASE WHEN $out = '' THEN $x ELSE $out || ' ' || $x END"
-      def foldCtes(prev: String, m: String, out: String,
-          carry: String): String =
-        s"""${out}_0 AS (
-           |  SELECT ${carry},
-           |         list_reduce(list_prepend(chr(1), str_split(v.s, ' ')),
-           |           (acc, x) -> CASE
-           |             WHEN ${p("acc")} = ''
-           |               THEN ${o("acc")} || chr(1) || x
-           |             WHEN ${p("acc")} = m.s1 AND x = m.s2
-           |               THEN ${app(o("acc"), "m.s1 || m.s2")} || chr(1)
-           |             ELSE ${app(o("acc"), p("acc"))} || chr(1) || x
-           |           END) AS r
-           |  FROM $prev v CROSS JOIN $m m),
-           |$out AS (SELECT ${carry.replace("v.", "")},
-           |                CASE WHEN ${p("r")} = '' THEN ${o("r")}
-           |                ELSE ${app(o("r"), p("r"))} END AS s
-           |         FROM ${out}_0)""".stripMargin
-      def vocabLayer(r: Int): String = {
-        val v = s"v${r - 1}"
-        s"""p${r}_0 AS (SELECT f, str_split(s, ' ') AS a FROM $v
-           |            WHERE len(str_split(s, ' ')) >= 2),
-           |p${r}_1 AS (SELECT f, a, unnest(range(1, len(a))) AS i FROM p${r}_0),
-           |p$r AS (SELECT a[CAST(i AS INTEGER)] AS s1,
-           |               a[CAST(i + 1 AS INTEGER)] AS s2,
-           |               CAST(sum(f) AS BIGINT) AS n
-           |        FROM p${r}_1 GROUP BY 1, 2),
-           |m$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
-           |${foldCtes(v, s"m$r", s"v$r", "v.f AS f")}""".stripMargin
-      }
-      val rounds = 5
-      s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-         |            FROM documents),
-         |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
-         |v0 AS (SELECT array_to_string(
-         |                 list_append(list_transform(range(1, len(w) + 1),
-         |                   i -> substr(w, CAST(i AS INTEGER), 1)), '</w>'),
-         |                 ' ') AS s, f
-         |       FROM vw),
-         |${(1 to rounds).map(vocabLayer).mkString(",\n")},
-         |voc0 AS (SELECT DISTINCT unnest(str_split(s, ' ')) AS symbol
-         |         FROM v$rounds),
-         |voc AS (SELECT symbol,
-         |               CAST(row_number() OVER (ORDER BY symbol) AS BIGINT)
-         |                 AS token_id
-         |        FROM voc0),
-         |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-         |       FROM documents),
-         |e00 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
-         |        FROM dw),
-         |e0 AS (SELECT doc_id, i,
-         |              array_to_string(
-         |                list_append(list_transform(
-         |                  range(1, len(ws[CAST(i AS INTEGER)]) + 1),
-         |                  j -> substr(ws[CAST(i AS INTEGER)], CAST(j AS INTEGER), 1)),
-         |                  '</w>'),
-         |                ' ') AS s
-         |       FROM e00),
-         |${(1 to rounds).map(r =>
-             foldCtes(s"e${r - 1}", s"m$r", s"e$r",
-               "v.doc_id AS doc_id, v.i AS i"))
-             .mkString(",\n")},
-         |tok0 AS (SELECT doc_id, i, str_split(s, ' ') AS ss FROM e$rounds),
-         |tok1 AS (SELECT doc_id, i, ss, unnest(range(1, len(ss) + 1)) AS j
-         |         FROM tok0),
-         |tok AS (SELECT doc_id, i, j, ss[CAST(j AS INTEGER)] AS symbol
-         |        FROM tok1),
-         |wids AS (SELECT t.doc_id, t.i, t.j, v.token_id
-         |         FROM tok t JOIN voc v USING (symbol))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sym,
-         |       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY i, j)
-         |         AS token_ids
-         |FROM wids GROUP BY doc_id""".stripMargin
-    },
+    "q207_bpe_encode_ids" -> q207Sql,
+
+    // q207's id replay with the fixed-length training-window layer on
+    // top: 16-token sequences per doc in id order, the last window
+    // right-padded with -1, n_real = the unpadded length.
+    "q211_train_sequences" ->
+      s"""WITH ids AS ($q207Sql),
+        |arr AS (SELECT doc_id, str_split(token_ids, ',') AS a
+        |        FROM ids WHERE token_ids <> ''),
+        |w AS (SELECT doc_id, a,
+        |             unnest(range(0, CAST(ceil(len(a) / 16.0) AS BIGINT)))
+        |               AS seq_idx
+        |      FROM arr),
+        |sq AS (SELECT doc_id, CAST(seq_idx AS BIGINT) AS seq_idx,
+        |              a[CAST(seq_idx * 16 + 1 AS INTEGER)
+        |                :CAST(seq_idx * 16 + 16 AS INTEGER)] AS win
+        |       FROM w)
+        |SELECT doc_id, seq_idx,
+        |       array_to_string(list_concat(win,
+        |         list_transform(range(1, 16 - len(win) + 1), x -> '-1')),
+        |         ',') AS ids,
+        |       CAST(len(win) AS BIGINT) AS n_real
+        |FROM sq""".stripMargin,
 
     // The late-data replay's explicit drop rule: batch cuts at the
     // sorted-t offsets len/3 and 2len/3, the held-back set is batch-2

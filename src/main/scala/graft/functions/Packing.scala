@@ -176,4 +176,34 @@ object Packing {
         size(col("__c")).as("chunk_tok"),
         concat_ws(" ", col("__c")).as("chunk_text"))
   }
+
+  /** Fixed-length TRAINING SEQUENCES from per-document token ids — the
+    * model-feed artifact at the end of the tokenizer pipeline
+    * ([[TextFunctions.bpeEncodeIds]] → here): each document's id stream
+    * (comma-joined string, the engine-portable id surface) splits into
+    * `seqLen`-sized windows in order; the final window right-pads with
+    * `padId`, and `n_real` carries the unpadded count (the attention-mask
+    * boundary a trainer derives masks from). One output row per
+    * (document, seq_idx). Documents never mix — cross-document packing is
+    * [[packStream]]/[[packWhole]]'s job; this is the per-doc truncation
+    * layout. Embarrassingly parallel: pure codegen'd array expressions
+    * inside the scan stage, no shuffle at any corpus size. Rows with an
+    * empty id stream yield no sequences. */
+  def fixedLenSequences(df: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, padId: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    val nWin = ceil(size(col("__a")) / lit(seqLen.toDouble)).cast("long")
+    df.where(col(idsCol).isNotNull && col(idsCol) =!= "")
+      .select(col(idCol), split(col(idsCol), ",").as("__a"))
+      .select(col(idCol), col("__a"),
+        explode(sequence(lit(0L), nWin - 1L)).as("seq_idx"))
+      .select(col(idCol), col("seq_idx"),
+        slice(col("__a"), (col("seq_idx") * seqLen + 1L).cast("int"),
+          lit(seqLen)).as("__w"))
+      .select(col(idCol), col("seq_idx"),
+        concat_ws(",", concat(col("__w"),
+          array_repeat(lit(padId.toString),
+            (lit(seqLen) - size(col("__w"))).cast("int")))).as("ids"),
+        size(col("__w")).cast("long").as("n_real"))
+  }
 }

@@ -311,4 +311,29 @@ class PackingSpec extends SparkSuite {
     // "a b" and "b c" tie at 2, break lexicographically; then ties at 1
     assert(top.sameElements(Array(("a b", 2L), ("b c", 2L), ("b a", 1L))))
   }
+
+  test("fixedLenSequences: windows in order, last pads, n_real exact, empty drops") {
+    val docs = Seq(
+      (1L, "10,11,12,13,14"), // 5 ids, seqLen 2 -> 3 windows, last pads 1
+      (2L, "7,8"),            // exactly one full window
+      (3L, "9"),              // one window, pads 1
+      (4L, "")                // empty id stream -> no rows
+    ).toDF("doc_id", "token_ids")
+    val got = graft.functions.Packing
+      .fixedLenSequences(docs, "doc_id", "token_ids", seqLen = 2, padId = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "10,11", 2L), (1L, 1L, "12,13", 2L), (1L, 2L, "14,-1", 1L),
+      (2L, 0L, "7,8", 2L),
+      (3L, 0L, "9,-1", 1L)))
+    intercept[IllegalArgumentException] {
+      graft.functions.Packing.fixedLenSequences(docs, "doc_id", "token_ids", 0, -1L)
+    }
+    // no shuffle: the window layer runs inside the scan stage
+    val plan = graft.functions.Packing
+      .fixedLenSequences(docs, "doc_id", "token_ids", 2, -1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
 }
