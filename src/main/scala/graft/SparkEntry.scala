@@ -3048,6 +3048,26 @@ object SparkEntry {
       graft.functions.Packing.fixedLenSequences(
         TF.bpeEncodeIds(d, "doc_id", "text", m),
         "doc_id", "token_ids", seqLen = 16, padId = -1L)
+    }),
+
+    // Embedding-space DECONTAMINATION — the vector sibling of q54/q189's
+    // n-gram scrubs, catching paraphrased eval leakage exact grams miss:
+    // the %37==5 slice plays the benchmark (collected driver-side, eval
+    // sets are KB-scale), the rest is the corpus, and every corpus vector
+    // whose best benchmark cosine (4 dp, ties to the smaller bench id)
+    // reaches 0.3 is flagged with its match. Zero shuffle: the argmax is
+    // one codegen'd fold over benchmark literals inside the corpus scan
+    // (the fixture's embeddings are near-random — max cross-sim ~0.48 —
+    // so 0.3 exercises a real flagged/unflagged split).
+    "q212_embed_decontaminate" -> ((sp, dir) => {
+      val e = table(sp, dir, "embeddings")
+      val bench = e.where(pmod(col("vec_id"), lit(37L)) === 5L)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .toSeq.sortBy(_._1)
+      Similarity.embedDecontaminate(
+        e.where(pmod(col("vec_id"), lit(37L)) =!= 5L), bench, 0.3)
     })
   )
 
@@ -7515,6 +7535,24 @@ object SparkEntry {
     // BM25 replay over the surviving corpus — stats (n, avgdl, df) and
     // postings all come from survivors only; queries still draw from the
     // full documents table.
-    "q210_bm25_index_del" -> bm25ReplaySqlFor("doc_id % 9 <> 4")
+    "q210_bm25_index_del" -> bm25ReplaySqlFor("doc_id % 9 <> 4"),
+
+    // Best-benchmark-match per corpus vector (4 dp cosine, ties to the
+    // smaller bench id), kept where it reaches the 0.3 flag threshold.
+    "q212_embed_decontaminate" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id AS bid, v FROM c WHERE vec_id % 37 = 5),
+        |s AS (SELECT c.vec_id AS id, b.bid,
+        |             round(list_dot_product(c.v, b.v)
+        |                   / (sqrt(list_dot_product(c.v, c.v))
+        |                      * sqrt(list_dot_product(b.v, b.v))), 4) AS s
+        |      FROM c JOIN b ON c.vec_id % 37 <> 5),
+        |best AS (SELECT id, bid, s,
+        |                row_number() OVER (PARTITION BY id
+        |                                   ORDER BY s DESC, bid) AS rn
+        |         FROM s)
+        |SELECT id, bid AS bench_id, s AS sim
+        |FROM best WHERE rn = 1 AND s >= 0.3""".stripMargin
   )
 }

@@ -536,6 +536,40 @@ object Similarity {
       .select(col("id"), col("cell"), col("__vd"), col("__n"))
   }
 
+  /** Embedding-space DECONTAMINATION against a benchmark set — the vector
+    * sibling of the n-gram `Dedup.decontaminateSpans` family, catching
+    * paraphrased/translated eval leakage that exact grams miss: flag
+    * every corpus vector whose best benchmark cosine (rounded 4 dp, ties
+    * to the smallest benchmark id — the [[assignToAnchors]] determinism
+    * rule) reaches `threshold`. Returns (id, bench_id, sim) for the
+    * flagged vectors; scrub by broadcast-anti-joining the corpus on `id`.
+    *
+    * Scale shape: benchmark sets are eval-sized (KB-scale) by nature, so
+    * they embed as driver-side literals — the max is ONE codegen'd fold
+    * inside the corpus scan, zero shuffle, zero broadcast join, exactly
+    * [[semanticDedup]]'s anchor-argmax regime (bounded at 512 like
+    * [[kmeansFit]]; chunk the benchmark and OR the flags for more). */
+  def embedDecontaminate(corpus: DataFrame, bench: Seq[(Long, Array[Double])],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(bench.nonEmpty, "embedDecontaminate requires a non-empty benchmark")
+    require(bench.size <= 512,
+      s"literal-embed benchmark regime is <= 512 vectors, got ${bench.size}")
+    require(!threshold.isNaN && threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val c = withNorm(corpus.select(col(idCol).cast("long").as("id"), col(vecCol)),
+      vecCol, "__vd", "__n")
+    val cands = array(bench.map { case (bid, bv) =>
+      struct(round(dot(col("__vd"), lit(bv)) /
+          (col("__n") * sqrt(dot(lit(bv), lit(bv)))), 4).as("s"),
+        lit(-bid).as("nb"))
+    }: _*)
+    c.withColumn("__best", array_max(cands))
+      .where(col("__best").getField("s") >= threshold)
+      .select(col("id"), (-col("__best").getField("nb")).as("bench_id"),
+        col("__best").getField("s").as("sim"))
+  }
+
   /** One Lloyd iteration of SPHERICAL k-means over the embedding corpus:
     * assign every vector to its nearest anchor by rounded cosine (the
     * [[assignToAnchors]] fold — the assignment metric of spherical

@@ -343,6 +343,37 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("embedDecontaminate: planted leak flags at 1.0, tie to smaller bench id, clean rows pass, no shuffle") {
+    val bench = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(1.0, 0.0, 0.0, 0.0), // duplicate bench vector: tie -> id 1
+      3L -> Array(0.0, 1.0, 0.0, 0.0))
+    val corpus = Seq(
+      (10L, Seq(2.0, 0.0, 0.0, 0.0)),   // scaled copy of bench 1/2 -> sim 1.0
+      (11L, Seq(0.0, 0.9, 0.1, 0.0)),   // near bench 3
+      (12L, Seq(0.0, 0.0, 0.0, 1.0)))   // orthogonal to every bench -> clean
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedDecontaminate(corpus, bench, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      (10L, 1L, 1.0),                     // tie between bench 1 and 2 -> 1
+      (11L, 3L, 0.9939)))                 // 0.9/sqrt(0.82) rounded 4 dp
+    assert(Similarity.embedDecontaminate(corpus, bench, 0.9999)
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    intercept[IllegalArgumentException] {
+      Similarity.embedDecontaminate(corpus, Nil, 0.9) }
+    intercept[IllegalArgumentException] {
+      Similarity.embedDecontaminate(corpus, bench, 0.0) }
+    intercept[IllegalArgumentException] {
+      Similarity.embedDecontaminate(corpus,
+        (1L to 513L).map(i => i -> Array(1.0, 0.0, 0.0, 0.0)), 0.9) }
+    // the corpus never shuffles: the benchmark argmax folds inside the scan
+    val plan = Similarity.embedDecontaminate(corpus, bench, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("semanticDedup: cell assignment, smaller-id-wins drop rule, cross-cell dups survive") {
     import spark.implicits._
     // two orthogonal cell directions; duplicates planted along each
