@@ -3068,6 +3068,28 @@ object SparkEntry {
         .toSeq.sortBy(_._1)
       Similarity.embedDecontaminate(
         e.where(pmod(col("vec_id"), lit(37L)) =!= 5L), bench, 0.3)
+    }),
+
+    // WordPiece VOCAB — the second tokenizer family next to BPE
+    // (q187/q206): substring forms (plain at word start, ## inside)
+    // counted over the distinct-word frame weighted by occurrence, top-50
+    // multi-char forms by (count, piece) + every observed single-char
+    // form (so encode under this vocab is total). Dense ids in piece
+    // order over a vocab-bounded window.
+    "q213_wordpiece_vocab" -> ((sp, dir) =>
+      TF.wordpieceVocab(table(sp, dir, "documents"), "text", k = 50, maxPieceLen = 4)),
+
+    // WordPiece ENCODE — BERT's greedy longest-match-first segmentation
+    // under the q213 vocab (collected driver-side: vocabularies are
+    // KB-scale literals by construction). Pure integer/string folds, so
+    // the oracle replays the exact greedy walk; the fold runs once per
+    // DISTINCT word (the vocab trick), occurrences pay one word-keyed
+    // join plus the per-doc ordered reassembly.
+    "q214_wordpiece_encode" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val voc = TF.wordpieceVocab(d, "text", k = 50, maxPieceLen = 4)
+        .select("piece").collect().map(_.getString(0)).toSeq
+      TF.wordpieceEncode(d, "doc_id", "text", voc, maxPieceLen = 4)
     })
   )
 
@@ -3491,6 +3513,86 @@ object SparkEntry {
          |       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY i, j)
          |         AS token_ids
          |FROM wids GROUP BY doc_id""".stripMargin
+  }
+
+  /** Shared WordPiece vocab-selection CTE chain (ends at `voc`): q213's
+    * replay and the vocab half of q214's encode replay. */
+  private lazy val wordpieceVocabCtes: String =
+    s"""w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |       FROM documents),
+       |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+       |s1 AS (SELECT w, f, unnest(range(1, len(w) + 1)) AS p FROM vw),
+       |s2 AS (SELECT w, f, p,
+       |              unnest(range(1, least(4, len(w) - p + 1) + 1)) AS j
+       |       FROM s1),
+       |pc AS (SELECT CASE WHEN p = 1
+       |                   THEN substr(w, CAST(p AS INTEGER), CAST(j AS INTEGER))
+       |                   ELSE '##' || substr(w, CAST(p AS INTEGER), CAST(j AS INTEGER))
+       |              END AS piece, f
+       |       FROM s2),
+       |cnt AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n_occ FROM pc GROUP BY 1),
+       |chars AS (SELECT * FROM cnt
+       |          WHERE len(regexp_replace(piece, '^##', '')) = 1),
+       |multi AS (SELECT * FROM cnt
+       |          WHERE len(regexp_replace(piece, '^##', '')) > 1
+       |          ORDER BY n_occ DESC, piece LIMIT 50),
+       |voc AS (SELECT * FROM chars UNION ALL SELECT * FROM multi)""".stripMargin
+
+  /** q214's greedy longest-match-first WordPiece walk: match lengths
+    * precomputed per (distinct word, position), then a RECURSIVE CTE
+    * consumes them left to right — one chain per word, final state = the
+    * largest-position row. A list_reduce formulation of the same fold
+    * hits a DuckDB 1.0.0 vectorization bug (cross-row accumulator bleed
+    * once the frame is wide enough to batch; filtered probes of the same
+    * CTEs evaluate correctly), so the walk uses the recursive-CTE idiom
+    * q186 already relies on. */
+  private lazy val wordpieceEncodeSql: String = {
+    val cases = (4 to 1 by -1).map { j =>
+      s"WHEN CAST(i AS INTEGER) + $j - 1 <= len(w) AND list_contains(vl, " +
+        s"(CASE WHEN i > 1 THEN '##' ELSE '' END) || " +
+        s"substr(w, CAST(i AS INTEGER), $j)) THEN $j"
+    }.mkString(" ")
+    s"""WITH RECURSIVE $wordpieceVocabCtes,
+       |vlt AS (SELECT list(piece) AS vl FROM voc),
+       |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |       FROM documents),
+       |o0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS oi FROM dw),
+       |occ AS (SELECT doc_id, oi, ws[CAST(oi AS INTEGER)] AS w FROM o0),
+       |dws AS (SELECT DISTINCT w FROM occ),
+       |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM dws),
+       |cand AS (SELECT w, i, CASE $cases ELSE 0 END AS ml
+       |         FROM pos, vlt),
+       |cand2 AS (SELECT w, i, ml,
+       |                 (CASE WHEN i > 1 THEN '##' ELSE '' END)
+       |                 || substr(w, CAST(i AS INTEGER), CAST(ml AS INTEGER))
+       |                   AS taken
+       |          FROM cand),
+       |walk AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, '' AS out, false AS unk
+       |  FROM dws
+       |  UNION ALL
+       |  SELECT k.w,
+       |         k.pos + CASE WHEN c.ml = 0 THEN 1000000 ELSE c.ml END,
+       |         CASE WHEN c.ml = 0 THEN ''
+       |              WHEN k.out = '' THEN c.taken
+       |              ELSE k.out || ' ' || c.taken END,
+       |         c.ml = 0
+       |  FROM walk k JOIN cand2 c ON c.w = k.w AND c.i = k.pos
+       |  WHERE NOT k.unk),
+       |fin AS (SELECT w, CASE WHEN unk THEN '[UNK]' ELSE out END AS p,
+       |               row_number() OVER (PARTITION BY w ORDER BY pos DESC)
+       |                 AS rn
+       |        FROM walk),
+       |enc AS (SELECT w, p FROM fin WHERE rn = 1),
+       |jn AS (SELECT o.doc_id, o.oi, e.p,
+       |              CASE WHEN e.p = '[UNK]' THEN 1 ELSE 0 END AS unk,
+       |              len(str_split(e.p, ' ')) AS np
+       |       FROM occ o JOIN enc e USING (w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(unk) AS BIGINT) AS n_unk,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       string_agg(p, ' ' ORDER BY oi) AS pieces
+       |FROM jn GROUP BY doc_id""".stripMargin
   }
 
   /** q64's full MinHash index-probe replay — shared verbatim by the batch
@@ -7553,6 +7655,19 @@ object SparkEntry {
         |                                   ORDER BY s DESC, bid) AS rn
         |         FROM s)
         |SELECT id, bid AS bench_id, s AS sim
-        |FROM best WHERE rn = 1 AND s >= 0.3""".stripMargin
+        |FROM best WHERE rn = 1 AND s >= 0.3""".stripMargin,
+
+    // WordPiece vocab selection replay: weighted substring forms off the
+    // distinct-word frame, char totality, (count desc, piece) top-k.
+    "q213_wordpiece_vocab" ->
+      s"""WITH $wordpieceVocabCtes
+        |SELECT CAST(row_number() OVER (ORDER BY piece) AS BIGINT)
+        |         AS token_id, piece, n_occ
+        |FROM voc""".stripMargin,
+
+    // The greedy longest-match walk replayed per distinct word: match
+    // lengths precomputed per (word, position), then one list_reduce
+    // consumes them left to right (state = emitted ␁ next-pos ␁ unk).
+    "q214_wordpiece_encode" -> wordpieceEncodeSql
   )
 }

@@ -963,4 +963,115 @@ object TextFunctions {
       "concat(transform(sequence(1, char_length(__w)), i -> substring(__w, i, 1)), array('</w>'))"))
     merges.foldLeft(sym0) { case (s, (a, b)) => fold(s, a, b) }
   }
+
+  /** WordPiece VOCABULARY selection — the companion tokenizer family to
+    * BPE (Devlin et al., NAACL '19 use the greedy variant; vocab pieces
+    * carry the `##` continuation prefix when they may only match inside a
+    * word). Deterministic frequency heuristic in place of the
+    * likelihood-ranked original (whose float scores are not
+    * engine-replayable): every substring occurrence of length 2..
+    * `maxPieceLen` inside every word occurrence counts toward its FORM
+    * (plain at word start, `##`-prefixed elsewhere); the top `k` forms by
+    * (count desc, piece asc) survive, and every observed single-character
+    * form is always included so [[wordpieceEncode]] under this vocab is
+    * total — no `[UNK]` can fire on the training corpus itself. Output:
+    * (piece, n_occ), plus dense `token_id` in piece order.
+    *
+    * Scale shape: substrings explode off the DISTINCT-word frame weighted
+    * by occurrence counts (the vocab trick — corpus length never inflates
+    * the explode), aggregate map-side, and the id window sorts a
+    * vocab-bounded frame only. */
+  def wordpieceVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, maxPieceLen: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"wordpieceVocab requires k >= 1, got $k")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    val words = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    // one row per (start, len) substring slot of each distinct word
+    val subs = words.select(col("__f"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, char_length(__w)), p ->
+             |  transform(sequence(1, least($maxPieceLen, char_length(__w) - p + 1)), j ->
+             |    CASE WHEN p = 1 THEN substring(__w, p, j)
+             |         ELSE concat('##', substring(__w, p, j)) END)))""".stripMargin))
+          .as("piece"))
+      .groupBy("piece").agg(sum("__f").as("n_occ"))
+    val isChar = length(regexp_replace(col("piece"), lit("^##"), lit(""))) === 1
+    val chars = subs.where(isChar)
+    val multi = subs.where(!isChar)
+      .orderBy(col("n_occ").desc, col("piece")).limit(k)
+    val voc = chars.unionByName(multi)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("piece")
+    voc.select(row_number().over(w).cast("long").as("token_id"),
+      col("piece"), col("n_occ"))
+  }
+
+  /** WordPiece ENCODE — greedy longest-match-first segmentation under a
+    * fixed vocabulary (the BERT tokenizer's algorithm): at each position
+    * the longest vocab piece (`##`-form when not at the word start, max
+    * candidate length `maxPieceLen`) is taken; a position with NO match
+    * collapses the whole word to `[UNK]` (the standard whole-word bail).
+    * Pure integer/string folds — no float anywhere — so the segmentation
+    * replays exactly in SQL. Output per doc:
+    * (idCol, n_words, n_unk, n_pieces, pieces) with `pieces` the
+    * space-joined piece stream in document order ([UNK] counts 1 piece).
+    *
+    * Scale shape ([[bpeEncode]]'s vocab trick): the greedy fold runs once
+    * per DISTINCT word with the vocab embedded as an array literal
+    * (vocabularies are KB–MB scale by construction); occurrences pay one
+    * word-keyed join plus the per-doc ordered reassembly. */
+  def wordpieceEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: Seq[String], maxPieceLen: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocab.nonEmpty, "wordpieceEncode requires a non-empty vocab")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(vocab.size <= 65536,
+      s"literal-embed vocab regime is <= 65536 pieces, got ${vocab.size}")
+    val vlit = lit(vocab.distinct.toArray)
+    val n = length(col("__w"))
+    // fold state: (o = emitted pieces, k = next unconsumed position,
+    // u = whole-word [UNK] bail). Positions the last piece consumed are
+    // skipped via k; candidates test longest-first so the first hit wins.
+    val enc = aggregate(
+      sequence(lit(1), n),
+      struct(lit("").as("o"), lit(1).as("k"), lit(false).as("u")),
+      (acc, i) => {
+        val o = acc.getField("o"); val kk = acc.getField("k")
+        val u = acc.getField("u")
+        val matchLen = (maxPieceLen to 1 by -1).foldLeft(lit(0)) { (best, j) =>
+          val piece = concat(when(i > 1, lit("##")).otherwise(lit("")),
+            col("__w").substr(i, lit(j)))
+          when(best > 0, best).otherwise(
+            when(i + lit(j) - 1 <= n && array_contains(vlit, piece), lit(j))
+              .otherwise(lit(0)))
+        }
+        val taken = concat(when(i > 1, lit("##")).otherwise(lit("")),
+          col("__w").substr(i, matchLen))
+        when(u || i < kk, acc)
+          .when(matchLen === 0,
+            struct(lit("").as("o"), kk.as("k"), lit(true).as("u")))
+          .otherwise(struct(
+            when(o === "", taken).otherwise(concat(o, lit(" "), taken)).as("o"),
+            (i + matchLen).as("k"), lit(false).as("u")))
+      },
+      acc => when(acc.getField("u"), lit("[UNK]")).otherwise(acc.getField("o")))
+    val words = df.select(col(idCol),
+      posexplode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as(Seq("__i", "__w")))
+    val wenc = words.select("__w").distinct()
+      .select(col("__w"), enc.as("__p"))
+      .select(col("__w"), col("__p"),
+        (col("__p") === "[UNK]").as("__unk"),
+        size(split(col("__p"), " ")).cast("long").as("__np"))
+    words.join(wenc, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__unk").cast("long")).as("n_unk"),
+        sum(col("__np")).as("n_pieces"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__i"), col("__p")))),
+          x => x.getField("__p")), " ").as("pieces"))
+  }
 }

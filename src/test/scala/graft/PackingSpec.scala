@@ -312,6 +312,44 @@ class PackingSpec extends SparkSuite {
     assert(top.sameElements(Array(("a b", 2L), ("b c", 2L), ("b a", 1L))))
   }
 
+  test("wordpieceEncode: greedy longest-match, ## continuation, whole-word UNK bail, doc reassembly") {
+    val vocab = Seq("un", "##aff", "##able", "##le", "u", "n",
+      "##a", "##f", "##b", "##l", "##e", "b", "##ad")
+    val docs = Seq(
+      (1L, "Unaffable unaffable!"),  // two occurrences of one distinct word
+      (2L, "bad xyz"),               // b ##ad; xyz has no 'x' piece -> [UNK]
+      (3L, "")                       // no words -> no output row
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .wordpieceEncode(docs, "doc_id", "text", vocab, maxPieceLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // greedy: "un" beats "u"; "##aff" beats "##a"; "##able" beats "##a"
+      (1L, 2L, 0L, 6L, "un ##aff ##able un ##aff ##able"),
+      (2L, 2L, 1L, 3L, "b ##ad [UNK]")))
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.wordpieceEncode(docs, "doc_id", "text", Nil)
+    }
+  }
+
+  test("wordpieceVocab: weighted substring forms, char totality, top-k ties, dense ids") {
+    val docs = Seq((1L, "ab AB"), (2L, "b")).toDF("doc_id", "text")
+    // words: ab (f=2), b (f=1). forms: a:2, ab:2, ##b:2 (inside ab), b:1.
+    val got = graft.functions.TextFunctions
+      .wordpieceVocab(docs, "text", k = 1, maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // chars always survive; k=1 keeps only the top multi-char piece (ab).
+    // ids are dense in piece order: '##b' < 'a' < 'ab' < 'b' (ASCII).
+    assert(got.toSeq == Seq(
+      (1L, "##b", 2L), (2L, "a", 2L), (3L, "ab", 2L), (4L, "b", 1L)))
+    // encode under its own vocab is total: no [UNK] on the training corpus
+    val enc = graft.functions.TextFunctions.wordpieceEncode(
+      docs, "doc_id", "text", got.map(_._2).toSeq, maxPieceLen = 2)
+      .agg(sum("n_unk")).head.getLong(0)
+    assert(enc == 0L)
+  }
+
   test("fixedLenSequences: windows in order, last pads, n_real exact, empty drops") {
     val docs = Seq(
       (1L, "10,11,12,13,14"), // 5 ids, seqLen 2 -> 3 windows, last pads 1
