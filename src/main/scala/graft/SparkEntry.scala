@@ -3090,6 +3090,30 @@ object SparkEntry {
       val voc = TF.wordpieceVocab(d, "text", k = 50, maxPieceLen = 4)
         .select("piece").collect().map(_.getString(0)).toSeq
       TF.wordpieceEncode(d, "doc_id", "text", voc, maxPieceLen = 4)
+    }),
+
+    // Unigram-LM tokenizer TRAINING (Kudo ACL '18) — the third subword
+    // family next to BPE (q187) and WordPiece (q213): frequency-seeded
+    // piece counts (top-60 multi-char + char totality), one EM round of
+    // Viterbi segmentation (integer-scaled log-prob scores, exact long
+    // DP) and piece recounting. The oracle replays seeding, the Viterbi
+    // E-step (recursive CTE carrying the last-4 DP cells + backpointer
+    // digits), the M-step recount, and the final score computation.
+    "q215_unigram_vocab" -> ((sp, dir) =>
+      TF.unigramTrain(table(sp, dir, "documents"), "text", k = 60,
+        maxPieceLen = 4, rounds = 1)),
+
+    // Unigram-LM ENCODE under the q215 scores: per-document Viterbi
+    // max-log-prob segmentation (q214's output surface, probabilistic
+    // split instead of greedy). The DP folds once per DISTINCT word with
+    // the vocab as a map literal; occurrences pay one word-keyed join
+    // plus the per-doc ordered reassembly.
+    "q216_unigram_encode" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val sc = TF.unigramTrain(d, "text", k = 60, maxPieceLen = 4, rounds = 1)
+        .select("piece", "score").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      TF.unigramEncode(d, "doc_id", "text", sc, maxPieceLen = 4)
     })
   )
 
@@ -3594,6 +3618,117 @@ object SparkEntry {
        |       string_agg(p, ' ' ORDER BY oi) AS pieces
        |FROM jn GROUP BY doc_id""".stripMargin
   }
+
+  /** One unigram Viterbi pass as recursive CTEs: forward DP per distinct
+    * word (the working row carries the last four DP cells — exact long
+    * arithmetic — plus the backpointer digits), then the backward walk
+    * emitting the max-score segmentation. Tie rule: equal path scores
+    * prefer the longer final piece (candidates checked j descending),
+    * mirroring `TextFunctions.viterbiSegment` exactly. `scoreCte` must
+    * expose (piece, s); produces `f$sfx`/`ffin$sfx`/`b$sfx`/`seg$sfx`. */
+  private def unigramViterbiCtes(sfx: String, scoreCte: String): String = {
+    val S = "CAST(-1000000000000000 AS BIGINT)"
+    def c(j: Int) =
+      s"(CASE WHEN v.d${j - 1} > $S AND p$j.s IS NOT NULL " +
+        s"THEN v.d${j - 1} + p$j.s ELSE $S END)"
+    val best = s"greatest(${(1 to 4).map(c).mkString(", ")})"
+    val bp = (4 to 1 by -1).map(j =>
+      s"WHEN ${c(j)} > $S AND ${c(j)} = $best THEN $j").mkString(" ")
+    val bpd = s"CAST(substr(b.bps, CAST(b.pos AS INTEGER), 1) AS INTEGER)"
+    val piece = s"substr(b.w, CAST(b.pos AS INTEGER) - $bpd + 1, $bpd)"
+    s"""f$sfx AS (
+       |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS d0, $S AS d1, $S AS d2,
+       |         $S AS d3, '' AS bps
+       |  FROM vw
+       |  UNION ALL
+       |  SELECT v.w, v.i + 1, $best, v.d0, v.d1, v.d2,
+       |         v.bps || CAST(CASE $bp ELSE 0 END AS VARCHAR)
+       |  FROM f$sfx v
+       |  LEFT JOIN $scoreCte p1
+       |    ON p1.piece = substr(v.w, v.i + 1, 1)
+       |  LEFT JOIN $scoreCte p2
+       |    ON v.i + 1 >= 2 AND p2.piece = substr(v.w, v.i, 2)
+       |  LEFT JOIN $scoreCte p3
+       |    ON v.i + 1 >= 3 AND p3.piece = substr(v.w, v.i - 1, 3)
+       |  LEFT JOIN $scoreCte p4
+       |    ON v.i + 1 >= 4 AND p4.piece = substr(v.w, v.i - 2, 4)
+       |  WHERE v.i < len(v.w)),
+       |ffin$sfx AS (SELECT w, d0 AS sn, bps FROM f$sfx WHERE i = len(w)),
+       |b$sfx AS (
+       |  SELECT w, CAST(len(w) AS BIGINT) AS pos, '' AS out, bps, sn
+       |  FROM ffin$sfx
+       |  UNION ALL
+       |  SELECT b.w, b.pos - $bpd,
+       |         CASE WHEN b.out = '' THEN $piece
+       |              ELSE $piece || ' ' || b.out END,
+       |         b.bps, b.sn
+       |  FROM b$sfx b
+       |  WHERE b.pos > 0 AND b.sn > $S),
+       |seg$sfx AS (SELECT w, CASE WHEN sn <= $S THEN '[UNK]' ELSE out END AS p
+       |            FROM b$sfx WHERE pos <= 0 OR sn <= $S)""".stripMargin
+  }
+
+  /** Unigram training replay through the round-1 scores (`usc1`): seed
+    * substring counts with char totality, Viterbi E-step under the seed
+    * scores, M-step recount with the char floor, final
+    * round(ln(c/total)·1e6) scores. Shared by q215 and q216. */
+  private lazy val unigramTrainCtes: String =
+    s"""w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |       FROM documents),
+       |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
+       |u1 AS (SELECT w, f, unnest(range(1, len(w) + 1)) AS p FROM vw),
+       |u2 AS (SELECT w, f, p,
+       |              unnest(range(1, least(4, len(w) - p + 1) + 1)) AS j
+       |       FROM u1),
+       |upc AS (SELECT substr(w, CAST(p AS INTEGER), CAST(j AS INTEGER))
+       |                 AS piece, f
+       |        FROM u2),
+       |ucnt AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM upc GROUP BY 1),
+       |uch0 AS (SELECT * FROM ucnt WHERE len(piece) = 1),
+       |umu0 AS (SELECT * FROM ucnt WHERE len(piece) > 1
+       |         ORDER BY c DESC, piece LIMIT 60),
+       |uv0 AS (SELECT * FROM uch0 UNION ALL SELECT * FROM umu0),
+       |ut0 AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM uv0),
+       |usc0 AS (SELECT piece,
+       |                CAST(round(ln(c / tot) * 1000000, 0) AS BIGINT) AS s
+       |         FROM uv0, ut0),
+       |${unigramViterbiCtes("t", "usc0")},
+       |um1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c
+       |        FROM (SELECT vw.f, unnest(str_split(sg.p, ' ')) AS piece
+       |              FROM vw JOIN segt sg ON sg.w = vw.w)
+       |        GROUP BY 1),
+       |uch1 AS (SELECT uch0.piece,
+       |                greatest(coalesce(um1.c, 0), CAST(1 AS BIGINT)) AS c
+       |         FROM uch0 LEFT JOIN um1 ON um1.piece = uch0.piece),
+       |umu1 AS (SELECT piece, c FROM um1 WHERE len(piece) > 1),
+       |uv1 AS (SELECT * FROM uch1 UNION ALL SELECT * FROM umu1),
+       |ut1 AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM uv1),
+       |usc1 AS (SELECT piece, c,
+       |                CAST(round(ln(c / tot) * 1000000, 0) AS BIGINT) AS s
+       |         FROM uv1, ut1)""".stripMargin
+
+  private lazy val q215Sql: String =
+    s"""WITH RECURSIVE $unigramTrainCtes
+       |SELECT CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS token_id,
+       |       piece, c AS n_occ, s AS score
+       |FROM usc1""".stripMargin
+
+  private lazy val q216Sql: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |${unigramViterbiCtes("e", "usc1")},
+       |dw2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents),
+       |o02 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS oi FROM dw2),
+       |occ2 AS (SELECT doc_id, oi, ws[CAST(oi AS INTEGER)] AS w FROM o02),
+       |jn2 AS (SELECT o.doc_id, o.oi, e.p,
+       |               CASE WHEN e.p = '[UNK]' THEN 1 ELSE 0 END AS unk,
+       |               len(str_split(e.p, ' ')) AS np
+       |        FROM occ2 o JOIN sege e USING (w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(unk) AS BIGINT) AS n_unk,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       string_agg(p, ' ' ORDER BY oi) AS pieces
+       |FROM jn2 GROUP BY doc_id""".stripMargin
 
   /** q64's full MinHash index-probe replay — shared verbatim by the batch
     * row and q203's incrementally-built index (append ≡ rebuild). */
@@ -7668,6 +7803,15 @@ object SparkEntry {
     // The greedy longest-match walk replayed per distinct word: match
     // lengths precomputed per (word, position), then one list_reduce
     // consumes them left to right (state = emitted ␁ next-pos ␁ unk).
-    "q214_wordpiece_encode" -> wordpieceEncodeSql
+    "q214_wordpiece_encode" -> wordpieceEncodeSql,
+
+    // Full unigram-LM training replay: seed counts, Viterbi E-step
+    // (recursive-CTE DP in exact long arithmetic), M-step recount,
+    // round-1 scores.
+    "q215_unigram_vocab" -> q215Sql,
+
+    // The training replay plus a second Viterbi pass under the trained
+    // scores and the per-doc ordered reassembly.
+    "q216_unigram_encode" -> q216Sql
   )
 }

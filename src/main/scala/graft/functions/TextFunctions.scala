@@ -964,6 +964,171 @@ object TextFunctions {
     merges.foldLeft(sym0) { case (s, (a, b)) => fold(s, a, b) }
   }
 
+  /** Unigram-LM (SentencePiece-family, Kudo ACL '18) VITERBI segmentation
+    * of the distinct-word column `__w` under a fixed piece→score map —
+    * the maximum-total-score split, scores being INTEGER-scaled log
+    * probabilities (`round(ln(p) * 1e6)` longs), so the whole DP runs in
+    * exact long arithmetic and replays bit-for-bit in SQL. Tie rule:
+    * equal path scores prefer the longer final piece at each DP cell
+    * (checked j descending), making the argmax total order explicit.
+    * Forward pass accumulates (score, backpointer) per position in one
+    * `aggregate` fold; the backward pass walks the backpointers in a
+    * second fold. A word with NO valid path (a character outside the
+    * vocab) segments to `[UNK]` — the whole-word bail, same contract as
+    * [[wordpieceEncode]]. */
+  private def viterbiSegment(scores: Map[String, Long],
+      maxPieceLen: Int): Column = {
+    // large-negative sentinel instead of Long.MinValue: candidates ADD
+    // piece scores to it, and MinValue + negative would wrap positive
+    val NegInf = -1000000000000000L
+    val smap = typedLit(scores)
+    val n = length(col("__w"))
+    val fwd = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0L).as("s"), lit(0).as("bp"))), // dp[0]: empty prefix
+      (acc, i) => {
+        val best = (1 to maxPieceLen).foldLeft(
+          struct(lit(NegInf).as("s"), lit(0).as("bp"))) { (b, j) =>
+          val prev = element_at(acc, greatest(i - j + 1, lit(1)).cast("int"))
+          val piece = col("__w").substr(i - j + 1, lit(j))
+          val sc = element_at(smap, piece)
+          val cand = prev.getField("s") + coalesce(sc, lit(NegInf))
+          when(i - j >= 0 && sc.isNotNull && prev.getField("s") > lit(NegInf) &&
+              (cand > b.getField("s") ||
+                (cand === b.getField("s") && lit(j) > b.getField("bp"))),
+            struct(cand.as("s"), lit(j).as("bp"))).otherwise(b)
+        }
+        concat(acc, array(best))
+      },
+      acc => acc)
+    val bps = transform(fwd, x => x.getField("bp"))
+    val unreachable =
+      element_at(fwd, (n + 1).cast("int")).getField("s") <= lit(NegInf)
+    val back = aggregate(
+      sequence(lit(1), n), // each step consumes >= 1 char: n steps suffice
+      struct(n.cast("int").as("pos"), lit("").as("o")),
+      (acc, _) => {
+        val pos = acc.getField("pos"); val o = acc.getField("o")
+        val bp = element_at(bps, greatest(pos + 1, lit(1)))
+        val piece = col("__w").substr(pos - bp + 1, bp)
+        when(pos <= 0, acc).otherwise(struct((pos - bp).cast("int").as("pos"),
+          when(o === "", piece).otherwise(concat(piece, lit(" "), o)).as("o")))
+      },
+      acc => acc.getField("o"))
+    when(unreachable, lit("[UNK]")).otherwise(back)
+  }
+
+  /** Integer-scaled log-probability scores from piece counts:
+    * `round(ln(c / total) * 1e6)` as a long, half away from zero — the
+    * one float op of the unigram tokenizer, rounded once at a fixed
+    * scale so both engines agree (the q94/q132 engine-stability rule). */
+  private def unigramScores(counts: Map[String, Long]): Map[String, Long] = {
+    val total = counts.values.sum.toDouble
+    counts.map { case (p, c) =>
+      p -> BigDecimal(math.log(c / total) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
+  /** Unigram-LM tokenizer TRAINING (Kudo ACL '18, deterministic
+    * frequency-seeded variant): seed counts are all substring occurrences
+    * of length 1..`maxPieceLen` over the distinct-word frame weighted by
+    * word frequency — top `k` multi-char pieces by (count desc, piece)
+    * plus every observed single character (so segmentation is total on
+    * the training corpus); then `rounds` EM iterations, each Viterbi-
+    * segmenting the distinct words under the current integer-scaled
+    * scores (E) and recounting piece usage from the segmentations (M —
+    * unused multi-char pieces leave the vocab; characters always stay,
+    * count-floored at 1). Returns (token_id, piece, n_occ, score) — ids
+    * dense in piece order, `n_occ` the final usage counts, `score` the
+    * final `round(ln(p)·1e6)` longs [[unigramEncode]] consumes.
+    *
+    * Scale shape (the [[bpeTrain]] vocab trick): every round touches the
+    * DISTINCT-WORD frame only — the corpus pays one word-count
+    * aggregation total; the Viterbi fold is a codegen'd expression over
+    * vocab literals (vocabularies are KB-scale by construction), and the
+    * per-round piece recount collects a vocab-bounded frame. */
+  def unigramTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, maxPieceLen: Int = 4, rounds: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"unigramTrain requires k >= 1, got $k")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sp = df.sparkSession
+    val words = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .localCheckpoint(true) // re-scanned once per EM round
+    val subs = words.select(col("__f"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, char_length(__w)), p ->
+             |  transform(sequence(1, least($maxPieceLen, char_length(__w) - p + 1)), j ->
+             |    substring(__w, p, j))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("__f").as("c"))
+      .localCheckpoint(true) // consumed twice: char slice + top-k slice
+    val chars = subs.where(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi = subs.where(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(k)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val charSet = chars.map(_._1).toSet
+    var counts = (chars ++ multi).toMap
+    (1 to rounds).foreach { _ =>
+      val segged = words
+        .select(col("__f"),
+          explode(split(viterbiSegment(unigramScores(counts), maxPieceLen),
+            " ")).as("piece"))
+        .groupBy("piece").agg(sum("__f").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // chars always survive (count-floored); multi-char pieces live on
+      // segmentation usage alone
+      counts = segged.filter { case (p, _) => !charSet.contains(p) } ++
+        charSet.map(ch => ch -> math.max(segged.getOrElse(ch, 0L), 1L))
+    }
+    val scores = unigramScores(counts)
+    import sp.implicits._
+    val voc = counts.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, c, scores(p)) }
+      .toDF("piece", "n_occ", "score")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("piece")
+    voc.select(row_number().over(w).cast("long").as("token_id"),
+      col("piece"), col("n_occ"), col("score"))
+  }
+
+  /** Unigram-LM ENCODE: Viterbi segmentation of every document under a
+    * trained piece→score vocabulary ([[unigramTrain]]'s (piece, score)
+    * pairs). Output per doc: (idCol, n_words, n_unk, n_pieces, pieces) —
+    * the [[wordpieceEncode]] surface, segmentation by max total log
+    * probability instead of greedy longest-match. The DP runs once per
+    * DISTINCT word with the vocab as a map literal; occurrences pay one
+    * word-keyed join plus the per-doc ordered reassembly. */
+  def unigramEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, scores: Map[String, Long], maxPieceLen: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(scores.nonEmpty, "unigramEncode requires a non-empty vocab")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(scores.size <= 65536,
+      s"literal-embed vocab regime is <= 65536 pieces, got ${scores.size}")
+    val words = df.select(col(idCol),
+      posexplode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as(Seq("__i", "__w")))
+    val wenc = words.select("__w").distinct()
+      .select(col("__w"),
+        viterbiSegment(scores, maxPieceLen).as("__p"))
+      .select(col("__w"), col("__p"),
+        (col("__p") === "[UNK]").as("__unk"),
+        size(split(col("__p"), " ")).cast("long").as("__np"))
+    words.join(wenc, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__unk").cast("long")).as("n_unk"),
+        sum(col("__np")).as("n_pieces"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__i"), col("__p")))),
+          x => x.getField("__p")), " ").as("pieces"))
+  }
+
   /** WordPiece VOCABULARY selection — the companion tokenizer family to
     * BPE (Devlin et al., NAACL '19 use the greedy variant; vocab pieces
     * carry the `##` continuation prefix when they may only match inside a

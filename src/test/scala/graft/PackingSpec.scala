@@ -350,6 +350,57 @@ class PackingSpec extends SparkSuite {
     assert(enc == 0L)
   }
 
+  test("unigramEncode: Viterbi max-score split, longer-piece tie rule, UNK bail, doc reassembly") {
+    val scores = Map("ab" -> -100L, "a" -> -300L, "b" -> -400L,
+      "c" -> -500L, "abc" -> -150L, "bc" -> -200L)
+    val docs = Seq(
+      (1L, "abc abcb"),  // abc: whole piece beats every split (-150);
+                         // abcb: abc+b (-550) beats a+bc+b (-900)
+      (2L, "ax b")       // 'x' not in vocab -> whole-word [UNK]
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .unigramEncode(docs, "doc_id", "text", scores, maxPieceLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 3L, "abc abc b"),
+      (2L, 2L, 1L, 2L, "[UNK] b")))
+    // equal path scores prefer the longer final piece: a+a == aa at -200
+    val tie = graft.functions.TextFunctions.unigramEncode(
+      Seq((1L, "aa")).toDF("doc_id", "text"),
+      "doc_id", "text", Map("a" -> -100L, "aa" -> -200L), 2)
+      .head.getString(4)
+    assert(tie == "aa")
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.unigramEncode(docs, "doc_id", "text",
+        Map.empty[String, Long]) }
+  }
+
+  test("unigramTrain: seeded counts, one EM round reassigns mass, scores replay a driver replica") {
+    val docs = Seq((1L, "ab AB b")).toDF("doc_id", "text")
+    // words: ab (f=2), b (f=1); seeds: a:2, b:3, ab:2 (top-1 multi)
+    // scores0: ab = a = round(ln(2/7)e6) = -1252763 -> "ab" segments whole
+    // M1: ab:2, b:1, char floor a:1 -> total 4
+    val got = graft.functions.TextFunctions
+      .unigramTrain(docs, "text", k = 1, maxPieceLen = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1L, -1386294L),
+      (2L, "ab", 2L, -693147L),
+      (3L, "b", 1L, -1386294L)))
+    // a second round is a fixed point here: same segmentation, same counts
+    val got2 = graft.functions.TextFunctions
+      .unigramTrain(docs, "text", k = 1, maxPieceLen = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == got.toSeq)
+    // encode under the trained scores is total on the training corpus
+    val scores = got.map(r => r._2 -> r._4).toMap
+    val enc = graft.functions.TextFunctions.unigramEncode(
+      docs, "doc_id", "text", scores, 2).head
+    assert((enc.getLong(1), enc.getLong(2), enc.getString(4)) ==
+      ((3L, 0L, "ab ab b")))
+  }
+
   test("fixedLenSequences: windows in order, last pads, n_real exact, empty drops") {
     val docs = Seq(
       (1L, "10,11,12,13,14"), // 5 ids, seqLen 2 -> 3 windows, last pads 1
