@@ -894,7 +894,58 @@ object Dedup {
           s"shingleN=$is, seed=$isd) but the probe uses (k=$k, bands=$bands, " +
           s"shingleN=$shingleN, seed=$seed) — hashes would never collide")
     }
-    probeIndex(idx, newDocs, textCol, idCol, threshold, k, bands, shingleN, seed)
+    // tombstone mask ([[deleteFromBandIndexTable]]) — broadcast, the
+    // bucketed index side stays shuffle-free
+    val sp = newDocs.sparkSession
+    val live =
+      if (sp.catalog.tableExists(s"${tableName}_tombstones"))
+        idx.join(broadcast(
+          sp.table(s"${tableName}_tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else idx
+    probeIndex(live, newDocs, textCol, idCol, threshold, k, bands, shingleN, seed)
+  }
+
+  /** [[deleteFromBandIndex]] for the bucketed-TABLE index: ids append
+    * into a `<name>_tombstones` table that every probe anti-joins; same
+    * contract (ids not versions; re-ingest after compaction only). */
+  def deleteFromBandIndexTable(ids: DataFrame, idCol: String,
+      tableName: String): Unit = {
+    val sp = ids.sparkSession
+    require(sp.catalog.tableExists(tableName),
+      s"no band index table at $tableName (write one with " +
+        "writeBandIndexTable before deleting)")
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones"))
+      graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_tombstones")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.format("parquet").mode("append")
+      .saveAsTable(s"${tableName}_tombstones")
+  }
+
+  /** [[compactBandIndex]] for the bucketed-TABLE index: rewrite the
+    * surviving rows through a stage table (Spark cannot overwrite a table
+    * that is an input of the writing plan), re-bucketed identically, then
+    * drop the tombstones. No-op when nothing is tombstoned. */
+  def compactBandIndexTable(sp: org.apache.spark.sql.SparkSession,
+      tableName: String): Unit = {
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones")) return
+    val spec = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
+    require(spec.nonEmpty, s"$tableName is not a bucketed index table")
+    val t = sp.table(s"${tableName}_tombstones").select("id").distinct()
+    val survivors = sp.table(tableName).join(broadcast(t), Seq("id"), "left_anti")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stage")
+    survivors.write.format("parquet")
+      .bucketBy(spec.get.numBuckets, "band", "bh").sortBy("band", "bh")
+      .mode("overwrite").saveAsTable(s"${tableName}_stage")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, tableName)
+    sp.table(s"${tableName}_stage")
+      .write.format("parquet")
+      .bucketBy(spec.get.numBuckets, "band", "bh").sortBy("band", "bh")
+      .mode("overwrite").saveAsTable(tableName)
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stage")
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_tombstones")
+    ()
   }
 
   /** [[appendToBandIndex]] for the bucketed-TABLE index: the new batch's

@@ -837,6 +837,25 @@ class TextDedupSpec extends SparkSuite {
       // compacting with nothing tombstoned is a no-op
       Dedup.compactBandIndex(spark, pDel)
       assert(probe(pDel) == rebuilt)
-    } finally { rm(new java.io.File(pDel)); rm(new java.io.File(pSurv)) }
+      // the bucketed-TABLE variant: same delete ≡ rebuild contract,
+      // compaction preserves probes and the bucket layout
+      Dedup.writeBandIndexTable(hist, "text", "doc_id",
+        "graft_band_del_tbl", nBuckets = 4)
+      Dedup.deleteFromBandIndexTable(dead, "doc_id", "graft_band_del_tbl")
+      def probeT() = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
+        "graft_band_del_tbl", threshold = 0.4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(probeT() == rebuilt)
+      Dedup.compactBandIndexTable(spark, "graft_band_del_tbl")
+      assert(!spark.catalog.tableExists("graft_band_del_tbl_tombstones"))
+      assert(probeT() == rebuilt)
+      assert(spark.table("graft_band_del_tbl").count() ==
+        spark.read.parquet(pSurv).count())
+    } finally {
+      rm(new java.io.File(pDel)); rm(new java.io.File(pSurv))
+      Seq("graft_band_del_tbl", "graft_band_del_tbl_tombstones",
+        "graft_band_del_tbl_stage")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 }
