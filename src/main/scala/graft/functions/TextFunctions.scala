@@ -987,18 +987,29 @@ object TextFunctions {
       sequence(lit(1), n),
       array(struct(lit(0L).as("s"), lit(0).as("bp"))), // dp[0]: empty prefix
       (acc, i) => {
-        val best = (1 to maxPieceLen).foldLeft(
-          struct(lit(NegInf).as("s"), lit(0).as("bp"))) { (b, j) =>
+        // candidates as an array + array_max: struct comparison is
+        // lexicographic (score, then length), which IS the tie rule —
+        // and the tree stays linear in maxPieceLen, where a nested
+        // when-chain fold duplicated the accumulator ~3^L times and the
+        // resulting codegen dominated wall time (measured 13 s of fixed
+        // planning/codegen per use at any SF)
+        val cands = array((1 to maxPieceLen).map { j =>
           val prev = element_at(acc, greatest(i - j + 1, lit(1)).cast("int"))
           val piece = col("__w").substr(i - j + 1, lit(j))
           val sc = element_at(smap, piece)
-          val cand = prev.getField("s") + coalesce(sc, lit(NegInf))
-          when(i - j >= 0 && sc.isNotNull && prev.getField("s") > lit(NegInf) &&
-              (cand > b.getField("s") ||
-                (cand === b.getField("s") && lit(j) > b.getField("bp"))),
-            struct(cand.as("s"), lit(j).as("bp"))).otherwise(b)
-        }
-        concat(acc, array(best))
+          val valid = i - j >= 0 && sc.isNotNull &&
+            prev.getField("s") > lit(NegInf)
+          struct(
+            when(valid, prev.getField("s") + coalesce(sc, lit(0L)))
+              .otherwise(lit(NegInf)).as("s"),
+            lit(j).as("bp"))
+        }: _*)
+        val best = array_max(cands)
+        // all-invalid: array_max yields (NegInf, maxPieceLen) — bp gates
+        // back to 0 so the cell reads as unreachable
+        concat(acc, array(struct(best.getField("s").as("s"),
+          when(best.getField("s") <= lit(NegInf), lit(0))
+            .otherwise(best.getField("bp")).as("bp"))))
       },
       acc => acc)
     val bps = transform(fwd, x => x.getField("bp"))

@@ -309,8 +309,11 @@ class TextDedupSpec extends SparkSuite {
       val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // the huge-batch plan (broadcastProbe = false) is where bucketing
+        // matters; the default broadcast plan never shuffles the index, so
+        // the planner rightly skips bucketed reading there
         val plan = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
-          "graft_band_idx_incr", threshold = 0.4)
+          "graft_band_idx_incr", threshold = 0.4, broadcastProbe = false)
           .queryExecution.executedPlan.toString
         assert(plan.contains("Bucketed: true"),
           s"appended index must still scan bucketed:\n$plan")
@@ -347,16 +350,31 @@ class TextDedupSpec extends SparkSuite {
         threshold = 0.4, seed = 7L)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       assert(viaTable.nonEmpty && viaTable == viaPath)
-      // the point of the bucket layout: force the big-big join path and the
-      // history side must come back CO-LOCATED — exactly ONE Exchange in the
-      // whole plan (the probe side), none under the index scan
+      // the point of the bucket layout under the huge-batch plan
+      // (broadcastProbe = false -> sort-merge): the index side must come
+      // back CO-LOCATED, so the bucketed plan carries exactly one fewer
+      // Exchange than the same probe against the path index (whose index
+      // side must shuffle)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
-        "graft_band_idx", threshold = 0.4, seed = 7L)
+        "graft_band_idx", threshold = 0.4, seed = 7L, broadcastProbe = false)
         .queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"index scan must use buckets:\n$plan")
-      assert("Exchange".r.findAllIn(plan).size == 1,
-        s"only the probe side may shuffle:\n$plan")
+      val planPath = Dedup.nearDupAgainstIndex(fresh, "text", "doc_id", path,
+        threshold = 0.4, seed = 7L, broadcastProbe = false)
+        .queryExecution.executedPlan.toString
+      def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+      assert(exchanges(plan) == exchanges(planPath) - 1,
+        s"bucketed index side must not shuffle: bucketed=${exchanges(plan)} " +
+          s"path=${exchanges(planPath)}\n$plan")
+      // the default (deliberate batch broadcast) never moves the index:
+      // zero Exchange under the bucketed scan, zero anywhere but the
+      // batch side
+      val planB = Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id",
+        "graft_band_idx", threshold = 0.4, seed = 7L)
+        .queryExecution.executedPlan.toString
+      assert(planB.contains("BroadcastExchange"),
+        s"default probe plan must broadcast the batch deliberately:\n$planB")
       // parameters ride the catalog schema: mismatched probe rejected
       val e = intercept[IllegalArgumentException] {
         Dedup.nearDupAgainstIndexTable(fresh, "text", "doc_id", "graft_band_idx")
