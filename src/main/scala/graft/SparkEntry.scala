@@ -3120,6 +3120,21 @@ object SparkEntry {
         .select("piece", "score").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       TF.unigramEncode(d, "doc_id", "text", sc, maxPieceLen = 4)
+    }),
+
+    // Encode under a FROZEN vocabulary with real OOV — the shipped-
+    // tokenizer contract q216 can't exercise (its vocab derives from the
+    // corpus it encodes, so every char is covered): the q215 scores minus
+    // every piece containing 'q' make each q-bearing word UNREACHABLE in
+    // the Viterbi DP, and the whole-word [UNK] bail — until now only
+    // spec-pinned — lands under the oracle gate on both engines.
+    "q217_unigram_frozen_oov" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val sc = TF.unigramTrain(d, "text", k = 60, maxPieceLen = 4, rounds = 1)
+        .select("piece", "score").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .filterNot(_._1.contains("q")).toMap
+      TF.unigramEncode(d, "doc_id", "text", sc, maxPieceLen = 4)
     })
   )
 
@@ -3722,6 +3737,27 @@ object SparkEntry {
   private lazy val q216Sql: String =
     s"""WITH RECURSIVE $unigramTrainCtes,
        |${unigramViterbiCtes("e", "usc1")},
+       |dw2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents),
+       |o02 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS oi FROM dw2),
+       |occ2 AS (SELECT doc_id, oi, ws[CAST(oi AS INTEGER)] AS w FROM o02),
+       |jn2 AS (SELECT o.doc_id, o.oi, e.p,
+       |               CASE WHEN e.p = '[UNK]' THEN 1 ELSE 0 END AS unk,
+       |               len(str_split(e.p, ' ')) AS np
+       |        FROM occ2 o JOIN sege e USING (w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(unk) AS BIGINT) AS n_unk,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       string_agg(p, ' ' ORDER BY oi) AS pieces
+       |FROM jn2 GROUP BY doc_id""".stripMargin
+
+  /** q216's replay with the encode pass run under the q-censored frozen
+    * vocabulary: q-bearing words have no valid DP path and bail to
+    * [UNK]. */
+  private lazy val q217Sql: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |usc1f AS (SELECT piece, s FROM usc1 WHERE piece NOT LIKE '%q%'),
+       |${unigramViterbiCtes("e", "usc1f")},
        |dw2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
        |        FROM documents),
        |o02 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS oi FROM dw2),
@@ -7819,6 +7855,10 @@ object SparkEntry {
 
     // The training replay plus a second Viterbi pass under the trained
     // scores and the per-doc ordered reassembly.
-    "q216_unigram_encode" -> q216Sql
+    "q216_unigram_encode" -> q216Sql,
+
+    // The frozen-vocab OOV replay: the encode pass runs under the
+    // q-censored score set, so q-bearing words bail to [UNK].
+    "q217_unigram_frozen_oov" -> q217Sql
   )
 }
