@@ -703,10 +703,16 @@ object Dedup {
     * The one full-rewrite cost of the lifecycle — paid on an operator's
     * schedule (storage-reclaim thresholds), never per delete batch. The
     * rewrite stages into a sibling `<path>.compacting` directory and swaps
-    * via two renames (readers racing the swap see either the old complete
-    * index or the new one); the tombstone set vanishes with the old
-    * directory, so compaction also re-opens the door for re-ingesting a
-    * previously deleted id. No-op when nothing is tombstoned. */
+    * via two renames. The swap is NOT atomic: between rename(cur→old) and
+    * rename(stage→cur) the index path briefly does not exist, so the
+    * contract is SINGLE WRITER, NO CONCURRENT READERS during compaction
+    * (schedule it in a maintenance window, exactly like the managed-table
+    * stage swaps the BM25/IVF indexes use). A crash between the renames
+    * strands the only copy at the `<path>.old-<uuid>` location — that path
+    * is logged (and echoed to stderr) BEFORE the first rename so the
+    * recovery is a single rename back. The tombstone set vanishes with the
+    * old directory, so compaction also re-opens the door for re-ingesting
+    * a previously deleted id. No-op when nothing is tombstoned. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = bandTombstones(spark, path).foreach { t =>
     val (k, b, s, seed) = readIndexMeta(spark, path).getOrElse(
@@ -722,6 +728,12 @@ object Dedup {
     val cur = new org.apache.hadoop.fs.Path(path)
     val fs = cur.getFileSystem(conf)
     val old = new org.apache.hadoop.fs.Path(s"$path.old-${java.util.UUID.randomUUID()}")
+    // announce the retreat path before touching anything: if the JVM dies
+    // between the two renames, the sole complete copy lives at `old` and
+    // recovery is `rename(old, cur)`
+    Console.err.println(
+      s"[graft] compactBandIndex: swapping $cur (old copy parked at $old; " +
+        "if this process dies mid-swap, rename it back)")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri, conf)
     fc.rename(cur, old)
     fc.rename(new org.apache.hadoop.fs.Path(stage), cur)

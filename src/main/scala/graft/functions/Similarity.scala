@@ -297,8 +297,8 @@ object Similarity {
     * Centroids are untouched — the standard IVF deletion contract: the
     * quantizer is a corpus-level artifact and list membership of the
     * survivors is unchanged, so probe-over-deleted ≡ probe-over-rebuilt
-    * under the SAME frozen quantizer exactly (spec-pinned and q211
-    * oracle-gated). Reclaim bytes with [[compactIvfIndexTable]];
+    * under the SAME frozen quantizer exactly (spec-pinned and test-gated
+    * in SimilaritySpec). Reclaim bytes with [[compactIvfIndexTable]];
     * re-ingest a deleted id only after compaction. */
   def deleteFromIvfIndexTable(ids: DataFrame, tableName: String,
       idCol: String = "vec_id"): Unit = {

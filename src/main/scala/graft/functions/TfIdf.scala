@@ -244,7 +244,17 @@ object TfIdf {
     * postings filtered by the deleted ids — work per delete batch, never
     * per probe; reclaim the posting bytes with [[compactBm25Index]].
     * Same contract as the band index: tombstones kill ids, so re-ingest a
-    * deleted id only after compaction. */
+    * deleted id only after compaction.
+    *
+    * IDEMPOTENT: incoming ids are anti-joined against the existing
+    * tombstone set first, so re-deleting an id (overlapping delete batches
+    * before compaction) is a clean no-op — the already-tombstoned id's
+    * postings are still physically present and would otherwise
+    * double-decrement df/n/sumdl. Crash safety: the tombstones append
+    * BEFORE the stats fold, so a crash in between leaves probes
+    * conservative (deleted docs masked, stats one batch stale) rather
+    * than unmasked; [[compactBm25Index]] recomputes stats from the
+    * surviving postings and is the repair procedure for that window. */
   def deleteFromBm25Index(ids: DataFrame, idCol: String,
       tableName: String): Unit = {
     val sp = ids.sparkSession
@@ -256,13 +266,26 @@ object TfIdf {
       org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
     require(spec.nonEmpty, s"$tableName is not a bucketed index table")
     val nBuckets = spec.get.numBuckets
-    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val delRaw = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val del = (if (sp.catalog.tableExists(s"${tableName}_tombstones"))
+        delRaw.join(broadcast(
+          sp.table(s"${tableName}_tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else delRaw)
       .localCheckpoint(true) // consumed twice: posting filter, tombstone append
+    if (del.isEmpty) return  // every id already tombstoned — true no-op
     // the deleted docs' own posting rows drive the stats fold — deleting
     // an id the index never held is a clean no-op on every statistic
     val delPost = sp.table(tableName)
       .join(broadcast(del), Seq("id"), "left_semi")
       .localCheckpoint(true) // consumed thrice: df fold, sentinel n, sentinel sumdl
+    // tombstones land FIRST: a crash before the stats swap below leaves the
+    // index conservative (probes mask the ids, stats stale by one batch),
+    // repairable by compactBm25Index's stats recompute
+    if (!sp.catalog.tableExists(s"${tableName}_tombstones"))
+      graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_tombstones")
+    del.write.format("parquet").mode("append")
+      .saveAsTable(s"${tableName}_tombstones")
     val nDel = delPost.select("id").distinct().count()
     val sumDlDec = delPost.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
     val dfDec = delPost.groupBy("term").agg(count(lit(1)).as("__dfdec"))
@@ -286,19 +309,19 @@ object TfIdf {
       .bucketBy(nBuckets, "term").sortBy("term")
       .mode("overwrite").saveAsTable(s"${tableName}_stats")
     sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stats_stage")
-    if (!sp.catalog.tableExists(s"${tableName}_tombstones"))
-      graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_tombstones")
-    del.write.format("parquet").mode("append")
-      .saveAsTable(s"${tableName}_tombstones")
+    ()
   }
 
   /** Physical COMPACTION of a tombstoned [[writeBm25IndexIncr]] index:
     * rewrite the surviving posting rows through a stage table (Spark
-    * cannot overwrite a table that is an input of the writing plan), drop
-    * the tombstone table. Stats are already exact — [[deleteFromBm25Index]]
-    * folded them at delete time — so compaction touches postings only.
-    * Paid on a storage-reclaim schedule, never per delete batch. No-op
-    * when nothing is tombstoned. */
+    * cannot overwrite a table that is an input of the writing plan),
+    * RECOMPUTE the stats table from the survivors, drop the tombstone
+    * table. The stats recompute is bit-equal to the delete-time folds
+    * when those completed (all long arithmetic over the same rows), and
+    * it REPAIRS the one crash window [[deleteFromBm25Index]] has — a death
+    * between its tombstone append and stats swap — so compaction doubles
+    * as the documented recovery procedure. Paid on a storage-reclaim
+    * schedule, never per delete batch. No-op when nothing is tombstoned. */
   def compactBm25Index(sp: org.apache.spark.sql.SparkSession,
       tableName: String): Unit = {
     if (!sp.catalog.tableExists(s"${tableName}_tombstones")) return
@@ -318,6 +341,28 @@ object TfIdf {
       .bucketBy(nBuckets, "term").sortBy("term")
       .mode("overwrite").saveAsTable(tableName)
     sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stage")
+    // exact stats from the compacted postings: per-term df, plus the
+    // (term=null, n, sumdl) sentinel — same shape writeBm25IndexIncr emits
+    val post = sp.table(tableName)
+    val sent = post.agg(
+      countDistinct(col("id")).as("n"),
+      coalesce(sum("tf"), lit(0L)).as("sumdl")).head()
+    val stats = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sumdl"))
+      .unionByName(sp.range(1).select(
+        lit(null).cast("string").as("term"), lit(null).cast("long").as("df"),
+        lit(sent.getLong(0)).as("n"), lit(sent.getLong(1)).as("sumdl")))
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats_stage")
+    stats.write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats_stage")
+    graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stats")
+    sp.table(s"${tableName}_stats_stage")
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${tableName}_stats")
+    sp.sql(s"DROP TABLE IF EXISTS ${tableName}_stats_stage")
     sp.sql(s"DROP TABLE IF EXISTS ${tableName}_tombstones")
     ()
   }

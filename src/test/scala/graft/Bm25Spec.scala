@@ -209,6 +209,16 @@ class Bm25Spec extends SparkSuite {
       assert(probe("graft_bm25_del_spec") == rebuilt)
       assert(spark.table("graft_bm25_del_spec_stats")
         .where(col("term").isNull).select("n", "sumdl").head() == sentS)
+      // RE-deleting an already-tombstoned id is a no-op (idempotency:
+      // the dead ids' postings are still physically present until
+      // compaction, so without the tombstone anti-join this would
+      // double-decrement df/n/sumdl)
+      TfIdf.deleteFromBm25Index(dead, "doc_id", "graft_bm25_del_spec")
+      assert(probe("graft_bm25_del_spec") == rebuilt,
+        "re-delete of tombstoned ids must not change scores")
+      assert(spark.table("graft_bm25_del_spec_stats")
+        .where(col("term").isNull).select("n", "sumdl").head() == sentS,
+        "re-delete must not double-decrement the stats sentinel")
       // compaction: postings shrink to the survivor rebuild's row count,
       // tombstones drop, probe unchanged, bucket layout preserved
       TfIdf.compactBm25Index(spark, "graft_bm25_del_spec")
@@ -227,10 +237,28 @@ class Bm25Spec extends SparkSuite {
       // compacting with nothing tombstoned is a no-op
       TfIdf.compactBm25Index(spark, "graft_bm25_del_spec")
       assert(probe("graft_bm25_del_spec") == rebuilt)
+      // crash repair: tombstones landed but the stats fold never ran (the
+      // delete's one crash window — tombstones append first, stats swap
+      // second). Compaction recomputes stats from the survivors exactly.
+      TfIdf.writeBm25IndexIncr(docs, "doc_id", "text",
+        "graft_bm25_del_crash", nBuckets = 4)
+      graft.sources.ManagedTables.clearOrphanedLocation(
+        spark, "graft_bm25_del_crash_tombstones")
+      dead.select(col("doc_id").cast("long").as("id"))
+        .write.format("parquet").mode("append")
+        .saveAsTable("graft_bm25_del_crash_tombstones")
+      TfIdf.compactBm25Index(spark, "graft_bm25_del_crash")
+      assert(probe("graft_bm25_del_crash") == rebuilt,
+        "compaction must repair a crash-stale stats table")
+      assert(spark.table("graft_bm25_del_crash_stats")
+        .where(col("term").isNull).select("n", "sumdl").head() == sentS)
     } finally {
       Seq("graft_bm25_del_spec", "graft_bm25_del_spec_stats",
         "graft_bm25_del_spec_tombstones", "graft_bm25_del_spec_stage",
         "graft_bm25_del_spec_stats_stage",
+        "graft_bm25_del_crash", "graft_bm25_del_crash_stats",
+        "graft_bm25_del_crash_tombstones", "graft_bm25_del_crash_stage",
+        "graft_bm25_del_crash_stats_stage",
         "graft_bm25_del_surv", "graft_bm25_del_surv_stats")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
