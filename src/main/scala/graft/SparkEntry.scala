@@ -2342,7 +2342,13 @@ object SparkEntry {
     // equal the batch packStream bit for bit (q56's oracle SQL verbatim).
     "q177_stream_packing" -> ((sp, dir) => {
       import sp.implicits._
+      // replay input bounded the q184 way (a 10% doc slice): the collect
+      // here is replay MACHINERY building the id-ordered arrival batches,
+      // not the operator — packStreamOnline itself is a bounded-state
+      // streaming transform — so the harness must not become the one
+      // driver-sized collect in the suite at bigger SFs
       val docs = table(sp, dir, "documents")
+        .where(pmod(col("doc_id"), lit(10L)) === 0L)
         .select(col("doc_id").cast("long").as("id"),
           TF.tokenCount(col("text")).cast("long").as("n_tok"))
         .orderBy("id").collect()
@@ -6927,14 +6933,15 @@ object SparkEntry {
         |FROM lg WHERE pe IS NOT NULL AND pe < ms""".stripMargin,
 
     // Id-ordered arrival makes the online packer equal the batch layout
-    // bit for bit: q56's cumulative-cursor replay verbatim.
+    // bit for bit: q56's cumulative-cursor replay verbatim, over the same
+    // bounded 10% doc slice the replay harness feeds (the q184 idiom).
     "q177_stream_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id,
          |         ((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
          |           % ${TF.HashMod}) % 1000) % 8 AS bucket,
          |         CAST(len($toksSql) AS BIGINT) AS n_tok
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 10 = 0),
          |c AS (
          |  SELECT doc_id, bucket, n_tok,
          |         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id

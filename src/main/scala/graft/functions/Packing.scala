@@ -129,22 +129,24 @@ object Packing {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("oversize",
           org.apache.spark.sql.types.BooleanType, nullable = false)))
-    proj.sparkSession.createDataFrame(
-      proj.rdd.mapPartitions { it =>
-        var cur = Long.MinValue
-        var p = 0L
-        var f = 0L
-        it.map { r =>
-          val b = r.getLong(1)
-          val n = r.getLong(2)
-          if (b != cur) { cur = b; p = 0L; f = 0L }
-          if (f + n > capacity && f > 0) { p += 1; f = 0L }
-          val off = f
-          f += n
-          org.apache.spark.sql.Row.fromSeq(
-            r.toSeq ++ Seq(p, off, n > capacity))
-        }
-      }, outSchema)
+    // typed mapPartitions (Row encoder — the id column's type is dynamic),
+    // NOT .rdd: the object pass stays inside the SQL engine, so Tungsten
+    // serialization and AQE survive across the fill stage
+    proj.mapPartitions { it =>
+      var cur = Long.MinValue
+      var p = 0L
+      var f = 0L
+      it.map { r =>
+        val b = r.getLong(1)
+        val n = r.getLong(2)
+        if (b != cur) { cur = b; p = 0L; f = 0L }
+        if (f + n > capacity && f > 0) { p += 1; f = 0L }
+        val off = f
+        f += n
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ Seq(p, off, n > capacity))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Sliding-window chunks: one output row per (doc, chunk). A doc with `n`
