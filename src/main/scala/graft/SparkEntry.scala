@@ -3141,6 +3141,101 @@ object SparkEntry {
         .map(r => r.getString(0) -> r.getLong(1))
         .filterNot(_._1.contains("q")).toMap
       TF.unigramEncode(d, "doc_id", "text", sc, maxPieceLen = 4)
+    }),
+
+    // BPE under a PERSISTED FROZEN vocabulary — the production tokenizer
+    // contract for the first family, matching q217's unigram shape: merges
+    // + vocab TRAIN on the odd-doc slice, the vocab ships as a parquet
+    // table (censored of every 'q'-bearing symbol, the q217 idiom that
+    // guarantees real OOV), and the EVEN slice encodes against the table.
+    // Pinned OOV policy: a symbol absent from the frozen vocab DROPS
+    // (per-symbol, not whole-word — bpeEncodeIds' documented contract);
+    // n_sym counts surviving symbols only. The vocab table is KB-scale by
+    // construction, so the collect-free probe broadcasts it.
+    "q218_bpe_frozen_ids" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val train = d.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      val m = TF.bpeTrain(train, "text", 5).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tbl = s"graft_bpe_vocab_${datasetStamp(dir)}"
+      if (!sp.catalog.tableExists(tbl)) {
+        graft.sources.ManagedTables.clearOrphanedLocation(sp, tbl)
+        TF.bpeVocab(train, "text", m)
+          .where(!col("symbol").contains("q"))
+          .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+      }
+      TF.bpeEncodeIds(d.where(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", m, vocab = Some(sp.table(tbl)))
+    }),
+
+    // WordPiece under a PERSISTED FROZEN vocabulary — q218's contract for
+    // the second family: vocab trained on the odd slice, persisted,
+    // q-censored, even slice encodes. Pinned OOV policy: WordPiece bails
+    // the WHOLE word to [UNK] when any position has no matching piece
+    // (BERT's rule) — with the 'q' char piece censored, every q-bearing
+    // word provably exercises it.
+    "q219_wordpiece_frozen" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val train = d.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      val tbl = s"graft_wp_vocab_${datasetStamp(dir)}"
+      if (!sp.catalog.tableExists(tbl)) {
+        graft.sources.ManagedTables.clearOrphanedLocation(sp, tbl)
+        TF.wordpieceVocab(train, "text", k = 50, maxPieceLen = 4)
+          .where(!col("piece").contains("q"))
+          .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+      }
+      val voc = sp.table(tbl).select("piece").collect().map(_.getString(0)).toSeq
+      TF.wordpieceEncode(d.where(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", voc, maxPieceLen = 4)
+    }),
+
+    // The END-TO-END training-data pipeline as ONE oracle-gated query —
+    // EndToEndPipelineSpec's composition promoted to the gate: quality
+    // filter → exact dedup → near-dup removal → benchmark decontamination
+    // → mixture resampling → per-language token budget → deterministic
+    // global shuffle → sequence packing, every stage the library operator
+    // the per-stage rows (q09/q17/q54/q65/q67/q66/q56) already pin
+    // individually. The bench slice is q54's every-50th doc; near-dup
+    // removal drops any doc that near-duplicates a LOWER-id doc (the
+    // keep-first policy — cheaper than CC at scale and exactly
+    // SQL-replayable); the quality cut uses exact integer predicates
+    // (>= 20 tokens, strict-majority distinct) so no float boundary can
+    // diverge between engines. Scale shape: the only shuffles are the
+    // stages' own (dedup group-by, LSH band join, window partitions);
+    // the bench gram set and budget-offset table broadcast.
+    "q220_pipeline" -> ((sp, dir) => {
+      val d = table(sp, dir, "documents")
+      val bench = d.where(pmod(col("doc_id"), lit(50L)) === 0L)
+      val corpus0 = d.where(pmod(col("doc_id"), lit(50L)) =!= 0L)
+      val nTok = TF.tokenCount(col("text"))
+      val filtered = corpus0.where(nTok >= 20 &&
+        size(array_distinct(TF.tokens(col("text")))) * 2 > nTok)
+      val keepers = Dedup.exactDupGroups(filtered, "text", "doc_id")
+        .select(col("keeper"))
+      val exact = filtered.join(keepers,
+        filtered("doc_id") === col("keeper"), "left_semi")
+      val dups = Dedup.nearDupPairs(exact, "text", "doc_id",
+          k = 16, bands = 4, shingleN = 5, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val deduped = exact.join(dups, Seq("doc_id"), "left_anti")
+      val hits = Dedup.benchmarkContamination(deduped, bench, "text",
+        "doc_id", n = 3)
+      val clean = deduped.join(hits.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val mixed = graft.functions.Sampling.resampleByWeight(
+        clean.select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok")),
+        "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 0.6, "zh" -> 0.4))
+      val keyed = mixed.withColumn("key",
+        concat_ws("#", col("doc_id"), col("epoch")))
+      val budgeted = graft.functions.Sampling.capByBudget(keyed, "key",
+        "n_tok", 2000L, strataCols = Seq("lang"))
+      val shuffled = graft.functions.Sampling.globalShuffle(budgeted, "key")
+      Packing.packStream(shuffled, "key", col("n_tok"),
+          capacity = 256, nBuckets = 8)
+        .select(col("key"), col("doc_id"), col("lang"), col("epoch"),
+          col("idx"), col("bucket"), col("n_tok"), col("pack_first"),
+          col("pack_offset"), col("pack_last"), col("n_packs"))
     })
   )
 
@@ -3487,7 +3582,16 @@ object SparkEntry {
 
   /** q207's full BPE encode-to-ids replay — shared by the batch row
     * and q211's fixed-length training-sequence layer on top. */
-  private lazy val q207Sql: String = {
+  private lazy val q207Sql: String = q207SqlFor("TRUE", "TRUE", "TRUE")
+
+  /** The BPE encode-to-ids replay with the TRAINING corpus (merges +
+    * vocab), the ENCODE corpus, and a post-id-assignment vocab filter all
+    * parameterized — q218 trains on the odd slice, censors 'q'-bearing
+    * symbols (AFTER dense id assignment, so the persisted table's id gaps
+    * replay exactly), and encodes the even slice. `TRUE`s everywhere give
+    * the classic q207 replay. */
+  private def q207SqlFor(trainPred: String, encodePred: String,
+      vocabPred: String): String = {
       def o(acc: String) = s"split_part($acc, chr(1), 1)"
       def p(acc: String) = s"split_part($acc, chr(1), 2)"
       def app(out: String, x: String) =
@@ -3523,7 +3627,7 @@ object SparkEntry {
       }
       val rounds = 5
       s"""WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-         |            FROM documents),
+         |            FROM documents WHERE $trainPred),
          |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
          |v0 AS (SELECT array_to_string(
          |                 list_append(list_transform(range(1, len(w) + 1),
@@ -3533,12 +3637,13 @@ object SparkEntry {
          |${(1 to rounds).map(vocabLayer).mkString(",\n")},
          |voc0 AS (SELECT DISTINCT unnest(str_split(s, ' ')) AS symbol
          |         FROM v$rounds),
-         |voc AS (SELECT symbol,
+         |vocall AS (SELECT symbol,
          |               CAST(row_number() OVER (ORDER BY symbol) AS BIGINT)
          |                 AS token_id
          |        FROM voc0),
+         |voc AS (SELECT * FROM vocall WHERE $vocabPred),
          |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-         |       FROM documents),
+         |       FROM documents WHERE $encodePred),
          |e00 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
          |        FROM dw),
          |e0 AS (SELECT doc_id, i,
@@ -3568,9 +3673,13 @@ object SparkEntry {
 
   /** Shared WordPiece vocab-selection CTE chain (ends at `voc`): q213's
     * replay and the vocab half of q214's encode replay. */
-  private lazy val wordpieceVocabCtes: String =
+  private lazy val wordpieceVocabCtes: String = wordpieceVocabCtesFor("TRUE")
+
+  /** The vocab-selection chain with the TRAINING corpus parameterized —
+    * q219 trains on the odd slice. */
+  private def wordpieceVocabCtesFor(trainPred: String): String =
     s"""w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-       |       FROM documents),
+       |       FROM documents WHERE $trainPred),
        |vw AS (SELECT w, count(*) AS f FROM w0 GROUP BY w),
        |s1 AS (SELECT w, f, unnest(range(1, len(w) + 1)) AS p FROM vw),
        |s2 AS (SELECT w, f, p,
@@ -3597,16 +3706,24 @@ object SparkEntry {
     * once the frame is wide enough to batch; filtered probes of the same
     * CTEs evaluate correctly), so the walk uses the recursive-CTE idiom
     * q186 already relies on. */
-  private lazy val wordpieceEncodeSql: String = {
+  private lazy val wordpieceEncodeSql: String =
+    wordpieceEncodeSqlFor("TRUE", "TRUE", "TRUE")
+
+  /** The WordPiece encode replay with training corpus, encode corpus, and
+    * vocab filter parameterized (q219: odd-slice vocab, q-censored, even
+    * slice encoded — q-bearing words provably hit the whole-word [UNK]
+    * bail). `TRUE`s everywhere give the classic q214 replay. */
+  private def wordpieceEncodeSqlFor(trainPred: String, encodePred: String,
+      vocabPred: String): String = {
     val cases = (4 to 1 by -1).map { j =>
       s"WHEN CAST(i AS INTEGER) + $j - 1 <= len(w) AND list_contains(vl, " +
         s"(CASE WHEN i > 1 THEN '##' ELSE '' END) || " +
         s"substr(w, CAST(i AS INTEGER), $j)) THEN $j"
     }.mkString(" ")
-    s"""WITH RECURSIVE $wordpieceVocabCtes,
-       |vlt AS (SELECT list(piece) AS vl FROM voc),
+    s"""WITH RECURSIVE ${wordpieceVocabCtesFor(trainPred)},
+       |vlt AS (SELECT list(piece) AS vl FROM voc WHERE $vocabPred),
        |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-       |       FROM documents),
+       |       FROM documents WHERE $encodePred),
        |o0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS oi FROM dw),
        |occ AS (SELECT doc_id, oi, ws[CAST(oi AS INTEGER)] AS w FROM o0),
        |dws AS (SELECT DISTINCT w FROM occ),
@@ -3821,6 +3938,98 @@ object SparkEntry {
        |                          ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
        |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin
+
+  /** q220's end-to-end pipeline replay — each stage is the corresponding
+    * per-stage oracle's CTE chain, chained: quality filter (exact integer
+    * predicates), exact-dup min-id keeper (q09), near-dup keep-first
+    * removal over the survivors (q17's MinHash/LSH chain), 3-gram
+    * decontamination vs the every-50th bench slice (q54), hash-Bernoulli
+    * mixture (q65), per-lang running-sum budget on the (doc,epoch) key
+    * (q67), hash-order global shuffle (q66), cumulative pack layout
+    * (q56). */
+  private lazy val q220Sql: String = {
+    val bandSqls = (0 until 4).map(bd =>
+      s"list_reduce(sig[${bd * 4 + 1}:${bd * 4 + 4}], (a, b) -> (a*31 + b) % ${Dedup.P}) AS bh$bd")
+      .mkString(",\n       ")
+    def gramsOf(tk: String) =
+      s"list_distinct(list_transform(range(1, greatest(len($tk)-2, 0)+1), " +
+        s"i -> array_to_string($tk[i:i+2], ' ')))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, text, $toksSql AS tk
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       |f AS (
+       |  SELECT doc_id, lang, text, tk, CAST(len(tk) AS BIGINT) AS n_tok
+       |  FROM tok
+       |  WHERE len(tk) >= 20 AND len(list_distinct(tk)) * 2 > len(tk)),
+       |kp AS (SELECT min(doc_id) AS kid FROM f GROUP BY md5(text)),
+       |ex AS (SELECT * FROM f WHERE doc_id IN (SELECT kid FROM kp)),
+       |nd AS (SELECT doc_id, ${shinglesSql(5)} AS sh FROM ex),
+       |nd2 AS (SELECT doc_id, sh FROM nd WHERE len(sh) > 0),
+       |s AS (SELECT doc_id,
+       |             list_distinct(list_transform(sh, sg -> ${hSql("sg")})) AS hs,
+       |             $sigSql AS sig
+       |      FROM nd2),
+       |bnd AS (SELECT doc_id, hs,
+       |       $bandSqls
+       |      FROM s),
+       |dup AS (SELECT DISTINCT b2.doc_id AS did
+       |        FROM bnd a JOIN bnd b2
+       |          ON a.doc_id < b2.doc_id
+       |         AND (a.bh0 = b2.bh0 OR a.bh1 = b2.bh1
+       |              OR a.bh2 = b2.bh2 OR a.bh3 = b2.bh3)
+       |        WHERE round(len(list_intersect(a.hs, b2.hs))
+       |              / len(list_distinct(list_concat(a.hs, b2.hs))), 6) >= 0.5),
+       |dd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT did FROM dup)),
+       |bg AS (SELECT DISTINCT ('0x' || substr(md5(g),1,15))::BIGINT AS h
+       |       FROM (SELECT unnest(${gramsOf("tkb")}) AS g
+       |             FROM (SELECT $toksSql AS tkb
+       |                   FROM documents WHERE doc_id % 50 = 0))),
+       |cg AS (SELECT doc_id, ('0x' || substr(md5(g),1,15))::BIGINT AS h
+       |       FROM (SELECT doc_id, unnest(${gramsOf("tk")}) AS g FROM dd)),
+       |hit AS (SELECT DISTINCT doc_id AS hid FROM cg
+       |        WHERE h IN (SELECT h FROM bg)),
+       |cl AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT hid FROM hit)),
+       |mx0 AS (SELECT doc_id, lang, n_tok,
+       |          (${hSql("'resample:' || CAST(doc_id AS VARCHAR)")}) % 1000 AS bkt,
+       |          CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+       |                    WHEN 'es' THEN 1.0 WHEN 'fr' THEN 0.6
+       |                    WHEN 'zh' THEN 0.4 ELSE 1.0 END AS w
+       |        FROM cl),
+       |mx1 AS (SELECT doc_id, lang, n_tok,
+       |          CAST(floor(w) AS BIGINT)
+       |            + (CASE WHEN bkt < (w - floor(w)) * 1000 THEN 1 ELSE 0 END) AS n
+       |        FROM mx0),
+       |mx AS (SELECT doc_id, lang, n_tok, unnest(range(n)) AS epoch
+       |       FROM mx1 WHERE n > 0),
+       |ky AS (SELECT doc_id, lang, n_tok, epoch,
+       |              CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) AS key
+       |       FROM mx),
+       |bh AS (SELECT *, ${hSql("'budget:' || key")} AS hkey FROM ky),
+       |bc AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY hkey, key
+       |                                  ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM bh),
+       |bd AS (SELECT doc_id, lang, n_tok, epoch, key FROM bc WHERE cum <= 2000),
+       |sf AS (SELECT doc_id, lang, n_tok, epoch, key,
+       |              CAST(row_number() OVER (
+       |                ORDER BY ${hSql("'shuffle:' || key")}, key) - 1 AS BIGINT)
+       |                AS idx
+       |       FROM bd),
+       |pk AS (SELECT *, ((${hSql("'pack:' || key")}) % 1000) % 8 AS bucket
+       |       FROM sf),
+       |pc AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+       |              PARTITION BY bucket ORDER BY key
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS cum
+       |       FROM pk)
+       |SELECT key, doc_id, lang, epoch, idx, bucket, n_tok,
+       |       cum // 256 AS pack_first,
+       |       cum % 256 AS pack_offset,
+       |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256
+       |            ELSE cum // 256 END AS pack_last,
+       |       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // 256 - cum // 256 + 1
+       |            ELSE 0 END AS n_packs
+       |FROM pc""".stripMargin
+  }
 
   /** q71's count-min replay — shared verbatim by the batch row and q195's
     * streamed replay (a running CMS is a pure aggregation: the snapshot
@@ -7866,6 +8075,27 @@ object SparkEntry {
 
     // The frozen-vocab OOV replay: the encode pass runs under the
     // q-censored score set, so q-bearing words bail to [UNK].
-    "q217_unigram_frozen_oov" -> q217Sql
+    "q217_unigram_frozen_oov" -> q217Sql,
+
+    // BPE frozen-vocab replay: merges + vocab train on the odd slice, ids
+    // assigned densely BEFORE the q-censoring (so the persisted table's id
+    // gaps replay), even slice encodes, OOV symbols drop via the inner
+    // vocab join.
+    "q218_bpe_frozen_ids" ->
+      q207SqlFor("doc_id % 2 = 1", "doc_id % 2 = 0", "symbol NOT LIKE '%q%'"),
+
+    // WordPiece frozen-vocab replay: odd-slice vocab, q-censored, even
+    // slice encoded — q-bearing words hit the whole-word [UNK] bail.
+    "q219_wordpiece_frozen" ->
+      wordpieceEncodeSqlFor("doc_id % 2 = 1", "doc_id % 2 = 0",
+        "piece NOT LIKE '%q%'"),
+
+    // The full pipeline replay, stage by stage: quality (exact integer
+    // predicates) → exact-dup keeper → near-dup keep-first removal (q17's
+    // MinHash/LSH chain over the survivors) → 3-gram decontamination vs
+    // the every-50th bench slice → q65's hash-Bernoulli mixture → q67's
+    // per-lang running-sum budget on the (doc,epoch) key → q66's
+    // hash-order shuffle → q56's cumulative pack layout.
+    "q220_pipeline" -> q220Sql
   )
 }
