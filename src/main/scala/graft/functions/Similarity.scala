@@ -315,20 +315,51 @@ object Similarity {
 
   /** Physical COMPACTION of a tombstoned [[writeIvfIndexTable]] index:
     * rewrite the surviving vector rows through a stage table, drop the
-    * tombstones. The `list_id` column metadata (dim + frozen centroids)
-    * rides the schema through the rewrite, so probes against the
-    * compacted table plan exactly as before. No-op when nothing is
-    * tombstoned. */
+    * tombstones. By default the `list_id` column metadata (dim + frozen
+    * centroids) rides the schema through the rewrite, so probes against
+    * the compacted table plan exactly as before.
+    *
+    * `recluster = true` additionally RE-TRAINS the coarse quantizer on the
+    * survivors' stored vectors and reassigns every list id — the retrain
+    * cadence leg of the IVF lifecycle ([[appendToIvfIndexTable]]
+    * deliberately freezes the quantizer; after enough churn the frozen
+    * centroids drift off the live distribution and recall at a fixed
+    * nProbe decays). The retrain is [[ivfTrain]] over the stored double
+    * vectors with the SAME list count, sample size, iteration count and
+    * seed discipline as a fresh build, so compact-with-recluster over the
+    * survivors is BIT-IDENTICAL to dropping the index and rebuilding it
+    * from the surviving corpus (ivfTrain's hash-ordered sample and the
+    * stored vectors are both deterministic) — pinned in SimilaritySpec.
+    * No-op when nothing is tombstoned. */
   def compactIvfIndexTable(sp: org.apache.spark.sql.SparkSession,
-      tableName: String, idCol: String = "vec_id"): Unit = {
+      tableName: String, idCol: String = "vec_id",
+      recluster: Boolean = false, sampleSize: Int = 10000,
+      iterations: Int = 10, seed: Long = 11L): Unit = {
     if (!sp.catalog.tableExists(s"${tableName}_tombstones")) return
     val spec = sp.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tableName)).bucketSpec
     require(spec.nonEmpty, s"$tableName is not a bucketed index table")
     val nBuckets = spec.get.numBuckets
     val t = sp.table(s"${tableName}_tombstones").select("id").distinct()
-    val survivors = sp.table(tableName)
+    val survivors0 = sp.table(tableName)
       .join(broadcast(t), col(idCol) === col("id"), "left_anti")
+    val survivors = if (!recluster) survivors0 else {
+      val m = survivors0.schema.find(_.name == "list_id").map(_.metadata)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      require(m.contains("graft.ivf.dim") && m.contains("graft.ivf.centroids"),
+        s"table $tableName was not written by writeIvfIndexTable (missing centroids)")
+      val dim = m.getLong("graft.ivf.dim").toInt
+      val nLists = m.getDoubleArray("graft.ivf.centroids").length / dim
+      val index = ivfTrain(survivors0.select(col("vec")), nLists,
+        sampleSize = sampleSize, iterations = iterations, seed = seed,
+        vecCol = "vec")
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft.ivf.dim", dim.toLong)
+        .putDoubleArray("graft.ivf.centroids", index.centroids.flatten)
+        .build()
+      survivors0.select(col(idCol), col("vec"), col("norm"),
+        ivfListId(col("vec"), index).as("list_id", meta))
+    }
     graft.sources.ManagedTables.clearOrphanedLocation(sp, s"${tableName}_stage")
     survivors.write.format("parquet")
       .bucketBy(nBuckets, "list_id").sortBy("list_id")

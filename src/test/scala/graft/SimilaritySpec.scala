@@ -343,6 +343,56 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF recluster-on-compact == drop-and-rebuild from the survivors, bit for bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 100 === 0)
+    val dead = e.where(col("vec_id") % 5 === 3).select("vec_id")
+    val survivors = e.where(col("vec_id") % 5 =!= 3)
+    val index = Similarity.ivfTrain(e, nLists = 8)
+    def probe(t: String) = Similarity.ivfTopKAgainstIndexTable(q, 10, t,
+      nProbe = 3).collect().map(_.toSeq).toSet
+    try {
+      Similarity.writeIvfIndexTable(e, index, "graft_ivf_rc_idx", nBuckets = 4)
+      Similarity.deleteFromIvfIndexTable(dead, "graft_ivf_rc_idx")
+      Similarity.compactIvfIndexTable(spark, "graft_ivf_rc_idx",
+        recluster = true)
+      // the reference: drop everything and rebuild the index from the
+      // surviving corpus with a freshly trained quantizer (same nLists,
+      // same train discipline)
+      val freshIndex = Similarity.ivfTrain(survivors, nLists = 8)
+      Similarity.writeIvfIndexTable(survivors, freshIndex,
+        "graft_ivf_rc_fresh", nBuckets = 4)
+      // centroids in the schema metadata are the retrained set exactly
+      def cents(t: String) = spark.table(t).schema
+        .find(_.name == "list_id").get.metadata
+        .getDoubleArray("graft.ivf.centroids").toSeq
+      assert(cents("graft_ivf_rc_idx") == cents("graft_ivf_rc_fresh"),
+        "recluster must retrain to the same centroids a fresh build trains")
+      // table contents identical: same (id, list assignment) facts
+      val got = spark.table("graft_ivf_rc_idx")
+        .select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = spark.table("graft_ivf_rc_fresh")
+        .select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == want, "reassigned lists must match a fresh build")
+      // probe at the same operating point is bit-identical
+      val a = probe("graft_ivf_rc_idx")
+      assert(a.nonEmpty && a == probe("graft_ivf_rc_fresh"))
+      // and the layout survives: still bucketed, no tombstones left
+      assert(!spark.catalog.tableExists("graft_ivf_rc_idx_tombstones"))
+      val plan = Similarity.ivfTopKAgainstIndexTable(q, 10,
+        "graft_ivf_rc_idx", nProbe = 3, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"reclustered index must still scan bucketed:\n$plan")
+    } finally {
+      Seq("graft_ivf_rc_idx", "graft_ivf_rc_idx_tombstones",
+        "graft_ivf_rc_idx_stage", "graft_ivf_rc_fresh")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("embedDecontaminate: planted leak flags at 1.0, tie to smaller bench id, clean rows pass, no shuffle") {
     val bench = Seq(
       1L -> Array(1.0, 0.0, 0.0, 0.0),
