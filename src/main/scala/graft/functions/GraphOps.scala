@@ -43,8 +43,10 @@ object GraphOps {
   def pagerankStep(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, damping: Double = 0.85): DataFrame = {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
-    val nodes = edges.select(col(srcCol).as("node"))
-      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+    // endpoints explode in-row: the unionAll formulation planned the edge
+    // subquery twice (expensive when edges is itself a join/aggregate)
+    val nodes = edges
+      .select(explode(array(col(srcCol), col(dstCol))).as("node")).distinct()
     val n = nodes.agg(count(lit(1)).as("__n"))
     // r0(u) = 1/N, folded into the quantized per-edge contribution
     val contrib = edges.crossJoin(broadcast(n))
@@ -125,8 +127,9 @@ object GraphOps {
     // scratch — materialize it once.
     val eChk = if (iterations > 1) edges.localCheckpoint(true) else edges
     // node frame computed once and pinned: every round rejoins against it
-    val nodes = eChk.select(col(srcCol).as("node"))
-      .unionAll(eChk.select(col(dstCol).as("node"))).distinct()
+    // (endpoints explode in-row — one scan of the edge frame, not two)
+    val nodes = eChk
+      .select(explode(array(col(srcCol), col(dstCol))).as("node")).distinct()
       .localCheckpoint(true)
     val nNodes = nodes.count()
     // Checkpointed frames carry no size stats, so the per-round
@@ -137,9 +140,18 @@ object GraphOps {
     // sort-merge join reuses that partitioning (localCheckpoint
     // preserves outputPartitioning).
     val small = nNodes <= broadcastNodesMax
+    // Pre-shuffle ONCE so every round reuses the partitioning
+    // (localCheckpoint preserves outputPartitioning): small graphs
+    // partition the edge frame by dstCol — the per-round rank join is a
+    // broadcast (stream side keeps the partitioning), so the contribution
+    // aggregate groupBy(dstCol) plans with NO exchange and rounds are
+    // shuffle-free; big graphs partition by srcCol, the per-round
+    // sort-merge rank-join key (only the rank vector moves).
     val e =
       if (iterations > 1 && !small)
         eChk.repartition(col(srcCol)).localCheckpoint(true)
+      else if (iterations > 1)
+        eChk.repartition(col(dstCol)).localCheckpoint(true)
       else eChk
     val n = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(n))
@@ -204,7 +216,19 @@ object GraphOps {
           col(wCol).cast("long").as("__w")))).as("__e"))
       .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
         col("__e.__w").as("__w"))
-    val dird = (if (small) dirdBase else dirdBase.repartition(col("__v")))
+    // Pre-shuffle regimes (one exchange paid ONCE, reused every round —
+    // localCheckpoint preserves outputPartitioning):
+    //  - small: partition by __u. The per-round label join is a broadcast
+    //    (stream side keeps the partitioning), so BOTH per-round aggregates
+    //    — groupBy(__u, __nl) and groupBy(__u) — are satisfied by
+    //    HashPartitioning(__u) and plan with ZERO exchanges: rounds are
+    //    shuffle-free end to end (before: 2 exchanges per round).
+    //  - big: partition by __v, the per-round sort-merge label-join key
+    //    (only the label frame moves); the tally aggregates then pay their
+    //    own exchanges, which is the right trade when labels can't
+    //    broadcast.
+    val dird = (if (small) dirdBase.repartition(col("__u"))
+      else dirdBase.repartition(col("__v")))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -252,7 +276,7 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") < col("b")).distinct()
-    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient from lower (deg, id) to higher (deg, id)
     val withDeg = e
@@ -324,10 +348,19 @@ object GraphOps {
   def labelPropagationStep(edges: DataFrame, labels: DataFrame,
       srcCol: String, dstCol: String, wCol: String,
       nodeCol: String, labelCol: String): DataFrame = {
-    val dird = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"),
-        col(wCol).cast("long").as("__w"))
-      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v"),
-        col(wCol).cast("long").as("__w")))
+    // one scan of the (possibly expensive) edge frame: explode each edge
+    // into both directions in-row — the unionAll formulation planned the
+    // edge subquery TWICE (a co-purchase edge join paid its basket
+    // aggregation once per branch; exchange reuse does not fire across
+    // the two differently-projected branches)
+    val dird = edges
+      .select(explode(array(
+        struct(col(srcCol).as("__u"), col(dstCol).as("__v"),
+          col(wCol).cast("long").as("__w")),
+        struct(col(dstCol).as("__u"), col(srcCol).as("__v"),
+          col(wCol).cast("long").as("__w")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
+        col("__e.__w").as("__w"))
     val lab = labels.select(col(nodeCol).as("__v"), col(labelCol).as("__nl"))
     val tallies = dird.join(lab, Seq("__v"))
       .groupBy(col("__u"), col("__nl")).agg(sum("__w").as("__t"))
