@@ -3312,11 +3312,17 @@ object SparkEntry {
   private def orderSpanBatches(sp: SparkSession,
       dir: String): (Seq[Seq[(Long, Long, Long)]], Long) = {
     val startNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+    // typed collect: specialized (Long, Long, Long) tuples skip the
+    // GenericRow boxing of 150 k rows (the CC edge-collect idiom)
     val rows = table(sp, dir, "orders").select(
         col("o_custkey").cast("long").as("k"), startNs.as("s"),
         (startNs + (pmod(col("o_orderkey"), lit(30L)) + 1L)
           * lit(86400000000000L)).as("e"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq
     val cut1 = 757382400L * 1000000000L // 1994-01-01 UTC, ns
     val cut2 = 820454400L * 1000000000L // 1996-01-01 UTC, ns
     val far = rows.map(_._3).max + 86400000000000L
@@ -3355,11 +3361,17 @@ object SparkEntry {
     val name = s"graft_stream_replay_${streamSeq.incrementAndGet()}"
     // state-store partition count = shuffle partitions AT QUERY START, and
     // every micro-batch schedules that many stateful tasks per stateful
-    // operator — at 32 it is pure per-batch overhead for these bounded
-    // replays. Pin 8 for the streaming query only (entries run
-    // sequentially in Verify/Bench; restored immediately after).
+    // operator AND commits that many state-store deltas — at 32 it is pure
+    // per-batch overhead for these bounded replays. Pin 2 for the streaming
+    // query only (entries run sequentially in Verify/Bench; restored
+    // immediately after). Measured on the q175 shape (StreamOverheadProbe,
+    // same session confs): 32 parts 7.1 s, 8 parts 4.29 s, 2 parts 4.06 s —
+    // even a 0-row no-data batch costs ~0.3 s/partition-set in state-store
+    // commit. Results are partition-count-invariant (keyed state, exact
+    // integer aggregates); production streams size this by load, the pin is
+    // replay-fixture machinery only.
     val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
-    sp.conf.set("spark.sql.shuffle.partitions", "8")
+    sp.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       // mode "complete" for running-aggregation operators (sketches,
       // profile): the memory sink then holds the LATEST snapshot, which
