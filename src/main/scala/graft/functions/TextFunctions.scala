@@ -750,6 +750,11 @@ object TextFunctions {
       nMerges: Int): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1, s"bpeTrain requires nMerges >= 1, got $nMerges")
     val sp = df.sparkSession
+    // LAZY localCheckpoints throughout the training loop: each round's
+    // top-pair job materializes (and caches) the pending rewrite as a side
+    // effect, so a round costs ONE job instead of two — and the final
+    // round's rewrite, which nothing ever reads, never executes at all.
+    // Lineage still truncates at every checkpoint; results are identical.
     var vocab = df
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z0-9]+"), lit(0))).as("__w"))
@@ -757,7 +762,7 @@ object TextFunctions {
       .select(concat_ws(" ", expr(
         "concat(transform(sequence(1, char_length(__w)), i -> substring(__w, i, 1)), array('</w>'))"))
         .as("__s"), col("__f"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var round = 0
@@ -798,7 +803,7 @@ object TextFunctions {
           acc => when(acc.getField("p") === "", acc.getField("o"))
             .otherwise(app(acc.getField("o"), acc.getField("p"))))
         vocab = vocab.select(folded.as("__s"), col("__f"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     import sp.implicits._
@@ -1070,14 +1075,14 @@ object TextFunctions {
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z0-9]+"), lit(0))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
-      .localCheckpoint(true) // re-scanned once per EM round
+      .localCheckpoint(false) // lazy: the subs job materializes it; re-read once per EM round
     val subs = words.select(col("__f"),
         explode(expr(
           s"""flatten(transform(sequence(1, char_length(__w)), p ->
              |  transform(sequence(1, least($maxPieceLen, char_length(__w) - p + 1)), j ->
              |    substring(__w, p, j))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("__f").as("c"))
-      .localCheckpoint(true) // consumed twice: char slice + top-k slice
+      .localCheckpoint(false) // lazy: char-slice collect materializes; top-k slice re-reads
     val chars = subs.where(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val multi = subs.where(length(col("piece")) > 1)
@@ -1205,11 +1210,15 @@ object TextFunctions {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(vocab.size <= 65536,
       s"literal-embed vocab regime is <= 65536 pieces, got ${vocab.size}")
-    val vlit = lit(vocab.distinct.toArray)
+    val vocabSet = vocab.distinct
     val n = length(col("__w"))
     // fold state: (o = emitted pieces, k = next unconsumed position,
     // u = whole-word [UNK] bail). Positions the last piece consumed are
     // skipped via k; candidates test longest-first so the first hit wins.
+    // Membership tests use isin (optimizes to a hash-set InSet) instead of
+    // array_contains over a literal array: these HOF lambdas evaluate
+    // interpreted, where the literal-array scan is O(|vocab|) per candidate
+    // and the hash set is O(1) — same string-equality semantics.
     val enc = aggregate(
       sequence(lit(1), n),
       struct(lit("").as("o"), lit(1).as("k"), lit(false).as("u")),
@@ -1220,7 +1229,7 @@ object TextFunctions {
           val piece = concat(when(i > 1, lit("##")).otherwise(lit("")),
             col("__w").substr(i, lit(j)))
           when(best > 0, best).otherwise(
-            when(i + lit(j) - 1 <= n && array_contains(vlit, piece), lit(j))
+            when(i + lit(j) - 1 <= n && piece.isin(vocabSet: _*), lit(j))
               .otherwise(lit(0)))
         }
         val taken = concat(when(i > 1, lit("##")).otherwise(lit("")),

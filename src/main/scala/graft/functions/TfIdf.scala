@@ -73,15 +73,23 @@ object TfIdf {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"bm25TopK requires k >= 1, got $k")
-    // dl/df/token-total all derive from the ONE tf aggregate (dl = Σ tf per
-    // doc, token total = Σ tf) so the three branches are structurally
-    // identical subplans — ReuseExchange computes the tokenize+explode+agg
-    // once instead of re-executing the corpus scan per branch. Values are
-    // identical: integer counts either way.
+    // ONE corpus exchange feeds everything: tokens repartition by id, so
+    // the (id, term) tf aggregate, the per-doc length, and the token total
+    // all plan WITHOUT further exchanges (HashPartitioning(id) satisfies
+    // the (id, term) clustering). dl is a window over the co-partitioned
+    // tf frame — partition key is the doc id, so the window state is one
+    // document's postings (bounded) and no stopword-skew hazard exists;
+    // the former groupBy(id) + join-back branch cost an extra aggregate,
+    // broadcast and join stage per probe. df stays a groupBy + join with
+    // the strategy left to the optimizer (a term-keyed window would put a
+    // whole stopword's postings in one task at 100 TB, and a forced
+    // broadcast would ship an unbounded vocabulary; AQE broadcasts it at
+    // small scale on real sizes). Values are identical integers either
+    // way; the 6 dp contribution and its float op order are unchanged.
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .repartition(col("id"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N counts ALL docs (token-less docs score nothing but shift idf/avgdl)
     val stats = docs.agg(count(lit(1)).as("__n"))
@@ -91,7 +99,9 @@ object TfIdf {
     // per posting — the dl/df joins and the ln run over the posting frame,
     // not over the |qterms| x df(term) match blow-up; the match join then
     // carries a ready 6 dp term straight into the partial sum.
-    val postings = tf.join(dl, "id").join(dfr, "term")
+    val wDoc = Window.partitionBy("id")
+    val postings = tf.withColumn("dl", sum("tf").over(wDoc))
+      .join(dfr, "term")
       .crossJoin(broadcast(stats))
       .select(col("term"), col("id"),
         (round(bm25Contrib(col("__n"), col("__avgdl"), k1, b), 6)
