@@ -1663,30 +1663,26 @@ object SparkEntry {
     // Jaccard — the operator that tells you whether k=16 suffices for
     // your near-dup threshold before a corpus-wide run.
     "q127_minhash_est" -> ((sp, dir) => {
-      val sig = Dedup.signatures(
+      // ONE imperative pass emits signature AND raw shingles per doc (the
+      // former two-frame shape scanned the corpus twice and paid three
+      // joins — est self-join, truth self-join, est ⋈ truth — to glue the
+      // same adjacent pairs back together; 12 jobs → 5, values identical).
+      val f = Dedup.signaturesWithShingles(
           table(sp, dir, "documents").where(length(col("text")) >= 5),
           "text", "doc_id")
-        .select(col("id"), col("sig"))
         .repartition(sp.sessionState.conf.numShufflePartitions)
         .localCheckpoint(true)
-      val sh = table(sp, dir, "documents").where(length(col("text")) >= 5)
-        .repartition(sp.sessionState.conf.numShufflePartitions)
-        .select(col("doc_id"), TF.shingles(col("text"), 5).as("sh"))
-        .localCheckpoint(true)
-      val a = sig.select(col("id").as("doc_a"), col("sig").as("siga"))
-      val b = sig.select(col("id").as("doc_b"), col("sig").as("sigb"))
-      val est = a.join(b, col("doc_b") === col("doc_a") + 1L)
+      val a = f.select(col("id").as("doc_a"), col("sig").as("siga"),
+        col("sh").as("sa"))
+      val b = f.select(col("id").as("doc_b"), col("sig").as("sigb"),
+        col("sh").as("sb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
         .select(col("doc_a"), col("doc_b"),
           round(size(filter(zip_with(col("siga"), col("sigb"),
             (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-            v => v === 1)).cast("double") / 16.0, 6).as("est_jaccard"))
-      val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
-      val truth = sa.join(sb, col("doc_b") === col("doc_a") + 1L)
-        .select(col("doc_a"), col("doc_b"),
+            v => v === 1)).cast("double") / 16.0, 6).as("est_jaccard"),
           round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
             size(array_union(col("sa"), col("sb"))), 6).as("true_jaccard"))
-      est.join(truth, Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           col("true_jaccard"),
           round(col("est_jaccard") - col("true_jaccard"), 6).as("err"))

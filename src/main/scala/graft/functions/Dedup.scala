@@ -475,6 +475,63 @@ object Dedup {
     }(Encoders.product[DocSignature]).toDF()
   }
 
+  /** One document's estimator-audit state: MinHash signature plus the RAW
+    * distinct shingle strings (first-seen order — the order
+    * `array_distinct` of [[TextFunctions.shingles]] produces). */
+  final case class SigShingles(id: Long, sig: Array[Long], sh: Array[String])
+
+  /** [[signatures]] variant that ALSO emits the raw distinct shingles in
+    * the SAME single imperative pass — for estimator-vs-truth audits
+    * (q127) that previously scanned and shuffled the corpus twice (one
+    * signature frame, one shingle frame) and paid a join to glue them
+    * back together. `sig` is bit-identical to [[signatures]]' (same
+    * hashParams/md5-mod-P fold); `sh` equals
+    * `array_distinct(charNGrams(lower(text), shingleN))` element for
+    * element. Same scale shape as [[signatures]]: a narrow
+    * partition-parallel projection, no shuffle. */
+  def signaturesWithShingles(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, shingleN: Int = 5, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val params = hashParams(k, seed)
+    val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(s: String): Long = md5H60(md, s) % P
+      it.map { case (id, text) =>
+        val lowered = (if (text == null) "" else text).toLowerCase
+        val seen = new java.util.HashSet[String]()
+        val shBuf = new scala.collection.mutable.ArrayBuffer[String]()
+        val hsBuf = new scala.collection.mutable.ArrayBuffer[Long]()
+        var i = 0
+        val n = lowered.length
+        while (i + shingleN <= n) {
+          val sh = lowered.substring(i, i + shingleN)
+          if (seen.add(sh)) { shBuf += sh; hsBuf += h60(sh) }
+          i += 1
+        }
+        val hs = hsBuf.toArray
+        val sig = Array.fill(k)(if (hs.isEmpty) -1L else Long.MaxValue)
+        if (hs.nonEmpty) {
+          var j = 0
+          while (j < k) {
+            val (a, b) = params(j)
+            var m = Long.MaxValue
+            var x = 0
+            while (x < hs.length) {
+              val v = (a * hs(x) + b) % P
+              if (v < m) m = v
+              x += 1
+            }
+            sig(j) = m
+            j += 1
+          }
+        }
+        SigShingles(id, sig, shBuf.toArray)
+      }
+    }(Encoders.product[SigShingles]).toDF()
+  }
+
   /** End-to-end near-dup pipeline: MinHash → LSH banding → band equi-join →
     * Jaccard verification on the hashed shingle sets. Returns
     * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -1287,10 +1344,16 @@ object Dedup {
     // the pair-level distinct.
     val pre = ordered.select(col("__jid"),
       explode(slice(col("__sorted"), lit(1), prefixLen)).as("__pt"))
+    // Round-robin the deduped BARE pairs before the verify: AQE coalesces
+    // the distinct's KB-sized output to one partition, which would run the
+    // expensive array_intersect verification single-task (measured: 13
+    // tasks / one core busy for the whole verify at sf0.1). The pairs are
+    // 16 B/row, so the extra exchange is noise next to the verify itself.
     val cand = pre.as("l").join(pre.as("r"),
         col("l.__pt") === col("r.__pt") && col("l.__jid") < col("r.__jid"))
       .select(col("l.__jid").as("id_a"), col("r.__jid").as("id_b"))
       .distinct()
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .localCheckpoint(true)
     val withSets = cand
       .join(ordered.select(col("__jid").as("id_a"), col("__sorted").as("__ta"),
