@@ -2268,19 +2268,29 @@ object SparkEntry {
       val splits = clusters.select(col("id"),
         graft.functions.Sampling.splitAssign(col("rep"), fr).as("cl"),
         graft.functions.Sampling.splitAssign(col("id"), fr).as("doc"))
-      def audit(scheme: String) = pairs
-        .join(splits.select(col("id").as("a"),
-          col(scheme).as("__sa")), "a")
-        .join(splits.select(col("id").as("b"),
-          col(scheme).as("__sb")), "b")
+      // BOTH schemes ride ONE pair⋈splits join pass and one aggregate —
+      // the per-scheme formulation joined and aggregated the same pair set
+      // twice (4 joins + 2 aggregates; splits recomputed per branch).
+      // Output rows identical: same counts, same rounding, same order.
+      val sj = pairs
+        .join(splits.select(col("id").as("a"), col("cl").as("__ca"),
+          col("doc").as("__da")), "a")
+        .join(splits.select(col("id").as("b"), col("cl").as("__cb"),
+          col("doc").as("__db")), "b")
         .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
-            .as("n_cross"))
-        .select(lit(if (scheme == "cl") "cluster_split" else "doc_split")
-            .as("scheme"), col("n_pairs"), col("n_cross"),
-          round(col("n_cross").cast("double") /
-            col("n_pairs").cast("double"), 6).as("frac_cross"))
-      audit("cl").unionAll(audit("doc"))
+          sum(when(col("__ca") =!= col("__cb"), 1L).otherwise(0L))
+            .as("__xc"),
+          sum(when(col("__da") =!= col("__db"), 1L).otherwise(0L))
+            .as("__xd"))
+      sj.select(explode(array(
+          struct(lit("cluster_split").as("scheme"), col("n_pairs"),
+            col("__xc").as("n_cross")),
+          struct(lit("doc_split").as("scheme"), col("n_pairs"),
+            col("__xd").as("n_cross")))).as("__r"))
+        .select(col("__r.scheme").as("scheme"), col("__r.n_pairs").as("n_pairs"),
+          col("__r.n_cross").as("n_cross"),
+          round(col("__r.n_cross").cast("double") /
+            col("__r.n_pairs").cast("double"), 6).as("frac_cross"))
     }),
 
     // CUSUM drift alarms on hourly per-type rates: slack 10% of the mean,
@@ -3216,16 +3226,27 @@ object SparkEntry {
       val deduped = exact.join(dups, Seq("doc_id"), "left_anti")
       val hits = Dedup.benchmarkContamination(deduped, bench, "text",
         "doc_id", n = 3)
+      // Materialize the cleaned corpus ONCE: the three downstream sampler
+      // stages each run a driver-side totals/weights pass over their full
+      // upstream (documented two-pass operators), so the un-materialized
+      // composition recomputed the filter→dedup→decontaminate chain four
+      // times (40 jobs at sf0.1). Production pipelines persist exactly this
+      // boundary; results are unchanged.
       val clean = deduped.join(hits.select(col("id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok"))
+        .localCheckpoint(true)
       val mixed = graft.functions.Sampling.resampleByWeight(
-        clean.select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok")),
+        clean.select(col("doc_id"), col("lang"), col("n_tok")),
         "doc_id", "lang",
         Map("en" -> 2.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 0.6, "zh" -> 0.4))
       val keyed = mixed.withColumn("key",
         concat_ws("#", col("doc_id"), col("epoch")))
+      // same reason: the shuffle's totals pass would otherwise re-run the
+      // resample + budget windows a second and third time
       val budgeted = graft.functions.Sampling.capByBudget(keyed, "key",
-        "n_tok", 2000L, strataCols = Seq("lang"))
+          "n_tok", 2000L, strataCols = Seq("lang"))
+        .localCheckpoint(true)
       val shuffled = graft.functions.Sampling.globalShuffle(budgeted, "key")
       Packing.packStream(shuffled, "key", col("n_tok"),
           capacity = 256, nBuckets = 8)
