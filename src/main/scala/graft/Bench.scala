@@ -24,6 +24,13 @@ object Bench {
       // agg) at a quarter of that overhead. The production posture: let
       // AQE pick the width at runtime instead of pinning it to cores.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
+      // Codegen class cache (STATIC conf, default 100 entries): the suite
+      // generates well over 100 distinct wholestage classes per pass, so
+      // the LRU thrashed and passes 2..N re-compiled (janino) nearly every
+      // stage they had already compiled. Scale-independent: any workload
+      // with >100 distinct plan shapes wants this; memory cost is weak-ref
+      // class metadata only.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
